@@ -1,0 +1,68 @@
+"""Configuration structs for models and the translation service.
+
+Mirrors the reference's plain-struct config surface:
+- service `Config` (reference slimt/Frontend.hh:21-39)
+- `Model::Config` (reference slimt/Model.hh:33-51)
+- presets tiny/base/nano (reference slimt/Model.cc:206-245)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+
+@dataclasses.dataclass
+class ModelConfig:
+    """Architecture hyperparameters of a Bergamot student model.
+
+    Defaults are the `tiny` preset (6 encoder layers, 2 SSRU decoder
+    layers, 8 heads; reference slimt/Model.cc:206-218).
+    """
+
+    encoder_layers: int = 6
+    decoder_layers: int = 2
+    feed_forward_depth: int = 2
+    num_heads: int = 8
+    split_mode: str = "sentence"
+
+    # TPU-specific execution knobs (no reference equivalent).
+    # Quantized-matmul provider: "pallas" (fused int8 kernels), "xla_int8"
+    # (lax.dot_general int8), or "f32" (dequantized float reference path).
+    # Mirrors the reference's compile-time QMM provider switch (QMM.cc:3-34).
+    qmm_provider: str = "xla_int8"
+    # The reference decoder adds the position-0 sinusoid at *every* decode
+    # step (Transformer.cc:160 calls transform_embedding with start=0).
+    # Keep True for output parity with the reference; False restores
+    # marian's per-position signal.
+    decoder_position_zero: bool = True
+    # Activation dtype inside the network ("float32" or "bfloat16").
+    compute_dtype: str = "float32"
+
+
+@dataclasses.dataclass
+class Config:
+    """Service configuration (reference slimt/Frontend.hh:21-39)."""
+
+    max_words: int = 1024  # max padded tokens per device batch
+    cache_size: int = 1024  # translation cache entries; 0 disables
+    workers: int = 1  # async worker threads
+    tgt_length_limit_factor: float = 1.5  # max target len / source len
+    wrap_length: int = 128  # hard wrap for long sentences (tokens)
+    html: bool = False
+
+
+class preset:
+    """Model presets (reference slimt/Model.cc:206-245)."""
+
+    @staticmethod
+    def tiny() -> ModelConfig:
+        return ModelConfig(encoder_layers=6, decoder_layers=2)
+
+    @staticmethod
+    def base() -> ModelConfig:
+        return ModelConfig(encoder_layers=6, decoder_layers=2)
+
+    @staticmethod
+    def nano() -> ModelConfig:
+        return ModelConfig(encoder_layers=4, decoder_layers=2)
