@@ -1,0 +1,189 @@
+"""Greedy decode as a TPU-resident loop.
+
+The reference's decode (slimt/Model.cc:111-185) is a host-side Python-
+style loop: one `Decoder::step` per target token with per-sentence EOS
+bookkeeping and an early exit when every sentence finished. Here the
+whole loop is a `lax.while_loop` inside one jit: fixed trip bound
+`max_steps = limit_factor * T_src` with a finished-mask, and the early
+exit preserved through the loop predicate (`step < max_steps AND any
+unfinished`) — so a batch that finishes in 10 steps costs 10 steps.
+
+Semantics matched to the reference:
+  - step 0 feeds a zero embedding (no previous word,
+    slimt/Transformer.cc:138-147);
+  - the positional signal added to decoder embeddings is position 0
+    every step (slimt/Transformer.cc:160 — `transform_embedding`
+    defaulting start=0), switchable via `decoder_position_zero`;
+  - the EOS token itself is recorded, then the sentence is marked
+    complete (slimt/Model.cc:125-137);
+  - per-step soft alignments are head 0 of the last decoder layer's
+    cross-attention (slimt/Model.cc:84-108).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from slimt_tpu.models import transformer as tfm
+
+
+class GreedyResult(NamedTuple):
+    tokens: jax.Array  # [B, max_steps] int32
+    valid: jax.Array  # [B, max_steps] bool — recorded positions
+    alignment: jax.Array  # [B, max_steps, T_src] f32 — head-0 cross-attn
+
+
+def greedy_decode(
+    params: dict,
+    encoder_out: jax.Array,
+    mask_add: jax.Array,
+    eos_id: int,
+    max_steps: int,
+    num_heads: int,
+    provider: Optional[str] = None,
+    shortlist: Optional[jax.Array] = None,
+    decoder_position_zero: bool = True,
+) -> GreedyResult:
+    batch, t_src, emb_dim = encoder_out.shape
+    kv_caches = tfm.precompute_cross_kv(
+        params, encoder_out, num_heads, provider
+    )
+    states0 = tuple(
+        jnp.zeros((batch, 1, emb_dim), jnp.float32)
+        for _ in params["decoder"]
+    )
+
+    tokens0 = jnp.zeros((batch, max_steps), jnp.int32)
+    valid0 = jnp.zeros((batch, max_steps), jnp.bool_)
+    align0 = jnp.zeros((batch, max_steps, t_src), jnp.float32)
+    complete0 = jnp.zeros((batch,), jnp.bool_)
+    prev0 = jnp.zeros((batch,), jnp.int32)
+
+    sqrt_e = math.sqrt(emb_dim)
+
+    def cond(carry):
+        step, _, _, complete, *_ = carry
+        return jnp.logical_and(step < max_steps, ~jnp.all(complete))
+
+    def body(carry):
+        step, prev, states, complete, tokens, valid, align = carry
+
+        prev_embed = tfm.embed(params, prev[:, None])  # [B, 1, E]
+        prev_embed = jnp.where(step == 0, 0.0, prev_embed)
+        position = jnp.where(decoder_position_zero, 0, step)
+        signal = tfm.sinusoidal_signal(
+            0, 1, emb_dim, positions=position[None].astype(jnp.float32)
+        )
+        x = prev_embed * sqrt_e + signal
+
+        logits, new_states, attn = tfm.decoder_step(
+            params,
+            states,
+            x,
+            mask_add,
+            kv_caches,
+            num_heads,
+            provider,
+            shortlist,
+        )
+        choice = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        if shortlist is not None:
+            word = jnp.take(shortlist, choice, axis=0).astype(jnp.int32)
+        else:
+            word = choice
+
+        active = ~complete
+        tokens = jax.lax.dynamic_update_slice_in_dim(
+            tokens, jnp.where(active, word, 0)[:, None], step, axis=1
+        )
+        valid = jax.lax.dynamic_update_slice_in_dim(
+            valid, active[:, None], step, axis=1
+        )
+        head0 = attn[:, 0, 0, :]  # [B, T_src]
+        align = jax.lax.dynamic_update_slice(
+            align,
+            jnp.where(active[:, None], head0, 0.0)[:, None, :],
+            (0, step, 0),
+        )
+        complete = complete | (word == eos_id)
+        return (step + 1, word, new_states, complete, tokens, valid, align)
+
+    carry = (0, prev0, states0, complete0, tokens0, valid0, align0)
+    _, _, _, _, tokens, valid, align = jax.lax.while_loop(cond, body, carry)
+    return GreedyResult(tokens, valid, align)
+
+
+def translate_batch(
+    params: dict,
+    indices: jax.Array,
+    mask: jax.Array,
+    eos_id: int,
+    max_steps: int,
+    num_heads: int,
+    provider: Optional[str] = None,
+    shortlist: Optional[jax.Array] = None,
+    decoder_position_zero: bool = True,
+) -> GreedyResult:
+    """Full forward: embed → encoder → greedy decode
+    (slimt/Model.cc:187-204). `indices`/`mask`: [B, T] padded batch in
+    the reference Input layout (slimt/Input.cc:20-47)."""
+    word_embedding = tfm.embed(params, indices)
+    word_embedding = tfm.transform_embedding(word_embedding)
+    mask_add = tfm.make_additive_mask(mask)
+    encoder_out = tfm.encoder_forward(
+        params, word_embedding, mask_add, num_heads, provider
+    )
+    return greedy_decode(
+        params,
+        encoder_out,
+        mask_add,
+        eos_id,
+        max_steps,
+        num_heads,
+        provider,
+        shortlist,
+        decoder_position_zero,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "eos_id",
+        "max_steps",
+        "num_heads",
+        "provider",
+        "decoder_position_zero",
+        "with_shortlist",
+    ),
+)
+def translate_batch_jit(
+    params,
+    indices,
+    mask,
+    shortlist,
+    *,
+    eos_id: int,
+    max_steps: int,
+    num_heads: int,
+    provider: Optional[str] = None,
+    decoder_position_zero: bool = True,
+    with_shortlist: bool = False,
+):
+    """Jitted entry; compile cache keyed on (B, T, S) bucket shapes."""
+    return translate_batch(
+        params,
+        indices,
+        mask,
+        eos_id,
+        max_steps,
+        num_heads,
+        provider,
+        shortlist if with_shortlist else None,
+        decoder_position_zero,
+    )

@@ -1,0 +1,306 @@
+"""Bergamot student transformer: encoder + SSRU decoder, TPU-first.
+
+Pure functions over the weight pytree from slimt_tpu.io.loader. The
+computation reproduces the reference semantics:
+
+  - embedding scale + sinusoidal signal (slimt/Transformer.cc:24-49,
+    slimt/TensorOps.cc:245-265)
+  - post-LN encoder layers: self-attention (residual + LN inside the
+    attention block) then 2-affine ReLU FFN with residual + LN
+    (slimt/Modules.cc:287-334)
+  - SSRU decoder recurrence (slimt/Modules.cc:182-235):
+        f(t) = σ(Wf·x + bf)
+        c(t) = f ⊙ c(t-1) + (1-f) ⊙ (W·x)
+        y(t) = relu(c(t));  h(t) = LN(x + y)
+  - cross-attention over encoder output; unlike the reference (which
+    recomputes K/V projections of encoder_out at every decode step —
+    the TODO at slimt/Modules.cc:248), K/V are projected once before
+    the decode loop.
+  - tied-embedding output projection with optional shortlist column
+    select (slimt/Transformer.cc:104-117,176-182)
+
+All matmuls run through slimt_tpu.ops.qmm (int8 on the MXU). Masks are
+additive: 0 for real tokens, -1e8 for padding (slimt/Input.cc:49-63).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import NamedTuple, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from slimt_tpu.ops import qmm
+
+LN_EPS = 1e-6  # slimt/TensorOps.cc:647
+MASK_MIN = -99999999.0  # slimt/Input.cc:57-58
+
+
+def layer_norm(x: jax.Array, ln: dict) -> jax.Array:
+    """y = (x - mean) / sqrt(var + eps) * scale + bias
+    (slimt/TensorOps.cc:542-580; variance is the biased /N form)."""
+    mean = jnp.mean(x, axis=-1, keepdims=True)
+    centered = x - mean
+    var = jnp.mean(centered * centered, axis=-1, keepdims=True)
+    inv = jax.lax.rsqrt(var + LN_EPS)
+    return centered * inv * ln["scale"] + ln["bias"]
+
+
+def embed(params: dict, indices: jax.Array) -> jax.Array:
+    """Token ids → f32 embeddings [.., E].
+
+    The embedding matrix is kept int8 in HBM (it doubles as the output
+    projection); rows are gathered then dequantized, matching the
+    reference's load-time unquantize of Wemb (slimt/Io.cc:182-224).
+    """
+    rows = jnp.take(params["emb"]["q"], indices, axis=0)
+    return rows.astype(jnp.float32) * (1.0 / params["emb"]["scale"])
+
+
+def sinusoidal_signal(
+    start: int, length: int, emb_dim: int, positions: Optional[jax.Array] = None
+) -> jax.Array:
+    """Marian's sin/cos positional signal (slimt/TensorOps.cc:245-265):
+    first half sin, second half cos, timescale exp(-i*ln(1e4)/(E/2-1)).
+
+    `positions` (shape [length]) overrides `start + arange(length)` so
+    the decoder can feed a traced step index.
+    """
+    half = emb_dim // 2
+    if positions is None:
+        positions = start + jnp.arange(length, dtype=jnp.float32)
+    positions = positions.astype(jnp.float32)
+    log_timescale_increment = math.log(10000.0) / (half - 1.0)
+    inv_timescales = jnp.exp(
+        jnp.arange(half, dtype=jnp.float32) * -log_timescale_increment
+    )
+    angles = positions[:, None] * inv_timescales[None, :]  # [T, half]
+    return jnp.concatenate([jnp.sin(angles), jnp.cos(angles)], axis=-1)
+
+
+def transform_embedding(
+    x: jax.Array, start: int = 0, positions: Optional[jax.Array] = None
+) -> jax.Array:
+    """x*sqrt(E) + positional signal (slimt/Transformer.cc:24-49)."""
+    emb_dim = x.shape[-1]
+    signal = sinusoidal_signal(start, x.shape[-2], emb_dim, positions)
+    return x * math.sqrt(emb_dim) + signal
+
+
+def _affine(p: dict, x: jax.Array, provider: Optional[str]) -> jax.Array:
+    return qmm.affine(x, p["q"], p["b"], p["aq"], p["bq"], provider=provider)
+
+
+def _split_heads(x: jax.Array, num_heads: int) -> jax.Array:
+    """[B, T, E] → [B, H, T, D] (slimt/Modules.cc:88-126)."""
+    b, t, e = x.shape
+    return x.reshape(b, t, num_heads, e // num_heads).transpose(0, 2, 1, 3)
+
+
+def _join_heads(x: jax.Array) -> jax.Array:
+    """[B, H, T, D] → [B, T, E]."""
+    b, h, t, d = x.shape
+    return x.transpose(0, 2, 1, 3).reshape(b, t, h * d)
+
+
+def scaled_dot_product_attention(
+    q: jax.Array, k: jax.Array, v: jax.Array, mask_add: jax.Array
+) -> Tuple[jax.Array, jax.Array]:
+    """[B,H,Tq,D] × [B,H,Tk,D] with additive mask [B,1,1,Tk].
+
+    Scaling by 1/sqrt(D) is applied to the QK^T product like the
+    reference's sgemm alpha (slimt/Modules.cc:42-51).
+    """
+    d = q.shape[-1]
+    scores = jnp.einsum(
+        "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
+    ) * (1.0 / math.sqrt(d))
+    scores = scores + mask_add
+    attn = jax.nn.softmax(scores, axis=-1)
+    out = jnp.einsum("bhqk,bhkd->bhqd", attn, v, preferred_element_type=jnp.float32)
+    return out, attn
+
+
+def attention_forward(
+    att: dict,
+    q_in: jax.Array,
+    k_in: jax.Array,
+    v_in: jax.Array,
+    mask_add: jax.Array,
+    num_heads: int,
+    provider: Optional[str] = None,
+    kv_cache: Optional[Tuple[jax.Array, jax.Array]] = None,
+) -> Tuple[jax.Array, jax.Array]:
+    """Full attention block incl. residual + post-LN
+    (slimt/Modules.cc:287-319). Returns (out, attn_weights).
+
+    `kv_cache` supplies pre-projected, pre-split K/V ([B,H,Tk,D]) for
+    cross-attention so encoder projections happen once per batch, not
+    once per decode step.
+    """
+    yq = _split_heads(_affine(att["q"], q_in, provider), num_heads)
+    if kv_cache is None:
+        yk = _split_heads(_affine(att["k"], k_in, provider), num_heads)
+        yv = _split_heads(_affine(att["v"], v_in, provider), num_heads)
+    else:
+        yk, yv = kv_cache
+    attn_out, attn = scaled_dot_product_attention(yq, yk, yv, mask_add)
+    out = _affine(att["o"], _join_heads(attn_out), provider)
+    return layer_norm(q_in + out, att["ln"]), attn
+
+
+def _ffn_block(
+    layer: dict, x: jax.Array, provider: Optional[str]
+) -> jax.Array:
+    """FFN1 → relu → FFN2 → residual → post-LN
+    (slimt/Modules.cc:321-334)."""
+    h = jax.nn.relu(_affine(layer["ffn"]["w1"], x, provider))
+    y = _affine(layer["ffn"]["w2"], h, provider)
+    return layer_norm(y + x, layer["ffn"]["ln"])
+
+
+def encoder_layer_forward(
+    layer: dict,
+    x: jax.Array,
+    mask_add: jax.Array,
+    num_heads: int,
+    provider: Optional[str] = None,
+) -> jax.Array:
+    out, _ = attention_forward(
+        layer["att"], x, x, x, mask_add, num_heads, provider
+    )
+    return _ffn_block(layer, out, provider)
+
+
+def encoder_forward(
+    params: dict,
+    word_embedding: jax.Array,
+    mask_add: jax.Array,
+    num_heads: int,
+    provider: Optional[str] = None,
+) -> jax.Array:
+    """[B,T,E] → [B,T,E] through all encoder layers
+    (slimt/Transformer.cc:57-69)."""
+    x = word_embedding
+    for layer in params["encoder"]:
+        x = encoder_layer_forward(layer, x, mask_add, num_heads, provider)
+    return x
+
+
+def ssru_forward(
+    rnn: dict, state: jax.Array, x: jax.Array, provider: Optional[str] = None
+) -> Tuple[jax.Array, jax.Array]:
+    """One SSRU step (slimt/Modules.cc:182-235).
+
+    state: cell c(t-1), [B, 1, E]. Returns (h, c(t))."""
+    f = jax.nn.sigmoid(_affine(rnn["wf"], x, provider))
+    wx = qmm.dot(
+        x, rnn["w"]["q"], rnn["w"]["aq"], rnn["w"]["bq"], provider=provider
+    )
+    # highway: c_t = σ(f)⊙c + (1-σ(f))⊙Wx (slimt/TensorOps.cc:662-682;
+    # sigmoid already applied above).
+    c_t = f * state + (1.0 - f) * wx
+    y = jax.nn.relu(c_t)
+    h = layer_norm(x + y, rnn["ln"])
+    return h, c_t
+
+
+def precompute_cross_kv(
+    params: dict,
+    encoder_out: jax.Array,
+    num_heads: int,
+    provider: Optional[str] = None,
+) -> Tuple:
+    """Per-decoder-layer (K, V) head-split projections of encoder_out.
+
+    Computed once per batch; the reference redoes this every step
+    (TODO at slimt/Modules.cc:248)."""
+    cache = []
+    for layer in params["decoder"]:
+        att = layer["att"]
+        k = _split_heads(_affine(att["k"], encoder_out, provider), num_heads)
+        v = _split_heads(_affine(att["v"], encoder_out, provider), num_heads)
+        cache.append((k, v))
+    return tuple(cache)
+
+
+def decoder_layer_forward(
+    layer: dict,
+    state: jax.Array,
+    x: jax.Array,
+    mask_add: jax.Array,
+    kv_cache: Tuple[jax.Array, jax.Array],
+    num_heads: int,
+    provider: Optional[str] = None,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """SSRU → cross-attention → FFN (slimt/Modules.cc:237-259).
+    Returns (out, new_state, cross_attn_weights)."""
+    decoder_out, new_state = ssru_forward(layer["rnn"], state, x, provider)
+    out, attn = attention_forward(
+        layer["att"],
+        decoder_out,
+        None,
+        None,
+        mask_add,
+        num_heads,
+        provider,
+        kv_cache=kv_cache,
+    )
+    return _ffn_block(layer, out, provider), new_state, attn
+
+
+def decoder_step(
+    params: dict,
+    states: Sequence[jax.Array],
+    prev_embed: jax.Array,
+    mask_add: jax.Array,
+    kv_caches: Tuple,
+    num_heads: int,
+    provider: Optional[str] = None,
+    shortlist: Optional[jax.Array] = None,
+) -> Tuple[jax.Array, Tuple, jax.Array]:
+    """One decode timestep over all decoder layers + logit projection
+    (slimt/Transformer.cc:120-183).
+
+    prev_embed: already transformed [B, 1, E]. Returns
+    (logits [B, V or S], new_states, guided_alignment [B, H, 1, Tk]
+    from the last decoder layer)."""
+    x = prev_embed
+    new_states = []
+    guided = None
+    for layer, state, kv in zip(params["decoder"], states, kv_caches):
+        x, new_state, attn = decoder_layer_forward(
+            layer, state, x, mask_add, kv, num_heads, provider
+        )
+        new_states.append(new_state)
+        guided = attn
+    logits = output_logits(params, x[:, 0, :], provider, shortlist)
+    return logits, tuple(new_states), guided
+
+
+def output_logits(
+    params: dict,
+    x: jax.Array,
+    provider: Optional[str] = None,
+    shortlist: Optional[jax.Array] = None,
+) -> jax.Array:
+    """Tied-embedding logit projection: x [B,E] @ Wemb^T [E,V]
+    (slimt/Transformer.cc:104-117). With a shortlist, only the selected
+    rows of Wemb are multiplied (affine_with_select semantics)."""
+    emb_q = params["emb"]["q"]  # [V, E]
+    aq = params["out"]["aq"]
+    bq = params["emb"]["scale"]
+    bias = params["out"]["b"]
+    if shortlist is not None:
+        w_sel = jnp.take(emb_q, shortlist, axis=0).T  # [E, S]
+        b_sel = jnp.take(bias, shortlist, axis=0)
+        return qmm.affine(x, w_sel, b_sel, aq, bq, provider=provider)
+    return qmm.affine(x, emb_q.T, bias, aq, bq, provider=provider)
+
+
+def make_additive_mask(mask: jax.Array) -> jax.Array:
+    """0/1 mask [B, T] → additive form [B, 1, 1, T]
+    ((1-m) * -1e8, slimt/Input.cc:49-63)."""
+    return ((1.0 - mask) * MASK_MIN)[:, None, None, :]

@@ -6,12 +6,20 @@ the multi-host-on-CPU fake-backend strategy from SURVEY.md §4.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force CPU even when the environment preconfigures a TPU platform.
+# The axon sitecustomize calls jax.config.update("jax_platforms",
+# "axon,cpu") at interpreter start, overriding JAX_PLATFORMS — so the
+# config must be re-overridden here, before any backend initializes.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
