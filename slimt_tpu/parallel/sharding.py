@@ -1,0 +1,128 @@
+"""Device-mesh sharding for weights and batches.
+
+The reference is single-machine CPU with thread parallelism
+(slimt/Frontend.cc:212-227); scaling here is SPMD over a
+`jax.sharding.Mesh` with two axes:
+
+  - "data":  batch dimension of every request batch (DP). Across hosts
+    this axis rides DCN; within a slice, ICI.
+  - "model": tensor parallelism (TP) over ICI — attention-head/FFN
+    hidden/vocab dimensions of the int8 weights, mirroring megatron
+    column→row sharding so each encoder block needs one collective
+    pair, and the tied-embedding logit projection is vocab-sharded.
+
+Sharding is expressed as a PartitionSpec pytree matching the weight
+pytree from slimt_tpu.io.loader; XLA inserts the collectives
+(psum/all-gather) during pjit compilation.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(
+    data: int = 1,
+    model: int = 1,
+    devices: Optional[Sequence] = None,
+) -> Mesh:
+    devices = list(devices if devices is not None else jax.devices())
+    if data * model > len(devices):
+        raise ValueError(
+            f"mesh {data}x{model} needs {data * model} devices, "
+            f"have {len(devices)}"
+        )
+    grid = np.asarray(devices[: data * model]).reshape(data, model)
+    return Mesh(grid, axis_names=("data", "model"))
+
+
+def _affine_spec(kind: str) -> dict:
+    """kind: 'col' shards the output dim, 'row' the input dim."""
+    if kind == "col":
+        return {"q": P(None, "model"), "b": P("model"), "aq": P(), "bq": P()}
+    return {"q": P("model", None), "b": P(), "aq": P(), "bq": P()}
+
+
+def _linear_spec(kind: str) -> dict:
+    spec = _affine_spec(kind)
+    del spec["b"]
+    return spec
+
+
+_LN_SPEC = {"scale": P(), "bias": P()}
+
+
+def _attention_spec() -> dict:
+    # Column-parallel QKV (heads split over "model"), row-parallel O —
+    # one psum at the O-projection per attention block.
+    return {
+        "q": _affine_spec("col"),
+        "k": _affine_spec("col"),
+        "v": _affine_spec("col"),
+        "o": _affine_spec("row"),
+        "ln": dict(_LN_SPEC),
+    }
+
+
+def _ffn_spec() -> dict:
+    return {
+        "w1": _affine_spec("col"),
+        "w2": _affine_spec("row"),
+        "ln": dict(_LN_SPEC),
+    }
+
+
+def weight_pspecs(params: dict) -> dict:
+    """PartitionSpec pytree mirroring loader.load_weights output."""
+    spec = {
+        # Vocab-sharded tied embedding: logit projection is embarrassingly
+        # parallel over "model"; the (small) embedding gather all-gathers.
+        "emb": {"q": P("model", None), "scale": P()},
+        "out": {"aq": P(), "b": P("model")},
+        "encoder": [
+            {"att": _attention_spec(), "ffn": _ffn_spec()}
+            for _ in params["encoder"]
+        ],
+        "decoder": [
+            {
+                "rnn": {
+                    # SSRU runs column-parallel: W/Wf output-sharded so
+                    # gate/highway/relu stay local; the post-LN over the
+                    # full feature dim gathers.
+                    "w": _linear_spec("col"),
+                    "wf": _affine_spec("col"),
+                    "ln": dict(_LN_SPEC),
+                },
+                "att": _attention_spec(),
+                "ffn": _ffn_spec(),
+            }
+            for _ in params["decoder"]
+        ],
+    }
+    return spec
+
+
+def batch_pspec() -> P:
+    """Request batches are data-parallel on the leading dim."""
+    return P("data", None)
+
+
+def shard_params(params: dict, mesh: Mesh) -> dict:
+    """device_put the weight pytree with its TP shardings."""
+    specs = weight_pspecs(params)
+    return jax.tree.map(
+        lambda arr, spec: jax.device_put(arr, NamedSharding(mesh, spec)),
+        params,
+        specs,
+        is_leaf=lambda x: isinstance(x, P),
+    )
+
+
+def replicate_params(params: dict, mesh: Mesh) -> dict:
+    """Fully-replicated weights (pure DP — best for tiny models)."""
+    sharding = NamedSharding(mesh, P())
+    return jax.tree.map(lambda arr: jax.device_put(arr, sharding), params)

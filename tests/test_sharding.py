@@ -1,0 +1,88 @@
+"""Multi-device sharding tests on the virtual 8-device CPU mesh."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from slimt_tpu.config import ModelConfig
+from slimt_tpu.io import load_items
+from slimt_tpu.io.loader import load_weights
+from slimt_tpu.io.synthetic import synthetic_model_bytes
+from slimt_tpu.models.decode import translate_batch
+from slimt_tpu.parallel import sharding as shd
+
+CONFIG = ModelConfig(encoder_layers=2, decoder_layers=2, num_heads=4)
+VOCAB, EMB, FFN = 128, 32, 64
+
+
+@pytest.fixture(scope="module")
+def params():
+    items = load_items(
+        synthetic_model_bytes(
+            config=CONFIG, vocab_size=VOCAB, emb_dim=EMB, ffn_dim=FFN, seed=9
+        )
+    )
+    return load_weights(items, CONFIG)
+
+
+def _batch(b, t, seed=2):
+    rng = np.random.default_rng(seed)
+    indices = rng.integers(3, VOCAB, (b, t)).astype(np.int32)
+    mask = np.ones((b, t), np.float32)
+    mask[b // 2 :, -3:] = 0.0
+    return indices, mask
+
+
+def _run(params, indices, mask):
+    return translate_batch(
+        params,
+        jnp.asarray(indices),
+        jnp.asarray(mask),
+        eos_id=1,
+        max_steps=6,
+        num_heads=CONFIG.num_heads,
+        provider="xla_int8",
+    )
+
+
+def test_mesh_creation():
+    mesh = shd.make_mesh(data=4, model=2)
+    assert mesh.shape == {"data": 4, "model": 2}
+
+
+def test_pspec_tree_matches_params(params):
+    specs = shd.weight_pspecs(params)
+    jax.tree.map(
+        lambda a, s: None, params, specs,
+        is_leaf=lambda x: isinstance(x, P),
+    )  # raises on structure mismatch
+
+
+@pytest.mark.parametrize("data,model", [(8, 1), (4, 2), (2, 4)])
+def test_sharded_translate_matches_single_device(params, data, model):
+    assert len(jax.devices()) >= 8, "conftest must provide 8 CPU devices"
+    indices, mask = _batch(b=8, t=12)
+    want = _run(params, indices, mask)
+
+    mesh = shd.make_mesh(data=data, model=model)
+    sharded = shd.shard_params(params, mesh)
+    bspec = NamedSharding(mesh, shd.batch_pspec())
+    got = _run(
+        params=sharded,
+        indices=jax.device_put(jnp.asarray(indices), bspec),
+        mask=jax.device_put(jnp.asarray(mask), bspec),
+    )
+    np.testing.assert_array_equal(np.asarray(got.valid), np.asarray(want.valid))
+    np.testing.assert_array_equal(
+        np.asarray(got.tokens), np.asarray(want.tokens)
+    )
+
+
+def test_replicated_params(params):
+    mesh = shd.make_mesh(data=8, model=1)
+    rep = shd.replicate_params(params, mesh)
+    leaf = rep["emb"]["q"]
+    assert leaf.sharding.is_fully_replicated
