@@ -1,0 +1,192 @@
+"""Byte-range token/sentence annotation over a flat string.
+
+Reimplements the reference's Annotation/AnnotatedText
+(slimt/Annotation.hh:40-261, slimt/Annotation.cc) semantics:
+
+  - text is a sequence:  gap sentence gap sentence ... gap
+    (always one more gap than sentences; gaps may be empty)
+  - `token_begin[i]` is the byte offset where token i begins; the list
+    has one trailing entry so [token_begin[i], token_begin[i+1]) is
+    always valid
+  - `gap[s]` indexes the token that is the whitespace gap before
+    sentence s
+
+Offsets are byte offsets into the UTF-8 encoding of the text
+(Encoding.BYTE) and can be converted to codepoint offsets
+(Encoding.UTF8) like the reference's `to(Encoding)`
+(slimt/Annotation.cc:83-164).
+"""
+
+from __future__ import annotations
+
+import enum
+from typing import Iterable, List, NamedTuple, Sequence, Tuple
+
+
+class Encoding(enum.Enum):
+    BYTE = "byte"
+    UTF8 = "utf8"
+
+
+class Range(NamedTuple):
+    begin: int
+    end: int
+
+    @property
+    def size(self) -> int:
+        return self.end - self.begin
+
+
+class AnnotatedText:
+    """Owns the text (as UTF-8 bytes) plus its annotation."""
+
+    def __init__(self, text: str = ""):
+        self._data = bytearray(text.encode("utf-8"))
+        # Empty text = a single (possibly whole-text) gap
+        # (slimt/Annotation.hh:43-47, Annotation.cc:15-18).
+        self.token_begin: List[int] = [0, len(self._data)]
+        self.gap: List[int] = [0]
+        self.encoding = Encoding.BYTE
+
+    # -- content access ------------------------------------------------
+
+    @property
+    def text(self) -> str:
+        return self._data.decode("utf-8", errors="replace")
+
+    @property
+    def data(self) -> bytes:
+        return bytes(self._data)
+
+    def sentence_count(self) -> int:
+        return len(self.gap) - 1
+
+    def word_count(self, sentence_id: int) -> int:
+        return self.gap[sentence_id + 1] - self.gap[sentence_id] - 1
+
+    def word_as_range(self, sentence_id: int, word_id: int) -> Range:
+        token_idx = self.gap[sentence_id] + 1 + word_id
+        return Range(self.token_begin[token_idx], self.token_begin[token_idx + 1])
+
+    def sentence_as_range(self, sentence_id: int) -> Range:
+        return Range(
+            self.token_begin[self.gap[sentence_id] + 1],
+            self.token_begin[self.gap[sentence_id + 1]],
+        )
+
+    def gap_as_range(self, gap_idx: int) -> Range:
+        token_idx = self.gap[gap_idx]
+        return Range(self.token_begin[token_idx], self.token_begin[token_idx + 1])
+
+    def _view(self, range_: Range) -> str:
+        if self.encoding == Encoding.BYTE:
+            return self._data[range_.begin : range_.end].decode(
+                "utf-8", errors="replace"
+            )
+        chars = self._data.decode("utf-8")
+        return chars[range_.begin : range_.end]
+
+    def word(self, sentence_id: int, word_id: int) -> str:
+        return self._view(self.word_as_range(sentence_id, word_id))
+
+    def sentence(self, sentence_id: int) -> str:
+        return self._view(self.sentence_as_range(sentence_id))
+
+    def gap_text(self, gap_idx: int) -> str:
+        return self._view(self.gap_as_range(gap_idx))
+
+    def words(self, sentence_id: int) -> List[str]:
+        return [
+            self.word(sentence_id, w) for w in range(self.word_count(sentence_id))
+        ]
+
+    # -- construction --------------------------------------------------
+
+    def append_sentence(self, prefix: str, tokens: Sequence[str]) -> None:
+        """Append gap text then a sentence of contiguous tokens
+        (slimt/Annotation.cc:20-43)."""
+        assert self.token_begin[-1] == len(self._data)
+        self.append_ending_whitespace(prefix)
+
+        offset = len(self._data)
+        for token in tokens:
+            encoded = token.encode("utf-8")
+            self._data += encoded
+            offset += len(encoded)
+            self.token_begin.append(offset)
+        self.gap.append(len(self.token_begin) - 1)
+        self.token_begin.append(offset)
+
+    def append_ending_whitespace(self, whitespace: str) -> None:
+        self._data += whitespace.encode("utf-8")
+        self.token_begin[-1] = len(self._data)
+
+    def record_existing_sentence(
+        self, token_ranges: Sequence[Tuple[int, int]], sentence_begin: int
+    ) -> None:
+        """Record a sentence whose tokens are already in the text, as
+        contiguous byte ranges (slimt/Annotation.cc:53-81)."""
+        assert self.token_begin[-1] == len(self._data)
+        for i, (begin, end) in enumerate(token_ranges):
+            assert 0 <= begin <= end <= len(self._data)
+            if i + 1 < len(token_ranges):
+                assert end == token_ranges[i + 1][0], "tokens must be contiguous"
+        self.token_begin.pop()
+        for begin, _ in token_ranges:
+            self.token_begin.append(begin)
+        self.gap.append(len(self.token_begin))
+        if token_ranges:
+            self.token_begin.append(token_ranges[-1][1])
+        else:
+            self.token_begin.append(sentence_begin)
+        self.token_begin.append(len(self._data))
+
+    # -- encoding conversion ------------------------------------------
+
+    def to(self, encoding: Encoding) -> None:
+        """Re-encode offsets between byte and codepoint indices
+        (slimt/Annotation.cc:83-164)."""
+        if encoding == self.encoding:
+            return
+        # Build byte-offset → codepoint-offset maps over UTF-8 starts.
+        starts = [
+            i
+            for i, b in enumerate(self._data)
+            if (b & 0xC0) != 0x80  # not a continuation byte
+        ]
+        starts.append(len(self._data))
+        if self.encoding == Encoding.BYTE:
+            byte_to_cp = {b: cp for cp, b in enumerate(starts)}
+            self.token_begin = [byte_to_cp[b] for b in self.token_begin]
+            self.encoding = Encoding.UTF8
+        else:
+            self.token_begin = [starts[cp] for cp in self.token_begin]
+            self.encoding = Encoding.BYTE
+
+    # -- transformation ------------------------------------------------
+
+    def apply(self, fun) -> "AnnotatedText":
+        """Token-rewriter used by HTML restore
+        (slimt/Annotation.hh:218-254): fun(range, text, is_last) → new
+        token text; returns a rebuilt AnnotatedText."""
+        out = AnnotatedText()
+        for s in range(self.sentence_count()):
+            prefix = fun(self.gap_as_range(s), self.gap_text(s), False)
+            tokens = [
+                fun(self.word_as_range(s, w), self.word(s, w), False)
+                for w in range(self.word_count(s))
+            ]
+            out.append_sentence(prefix, tokens)
+        out.append_ending_whitespace(
+            fun(
+                self.gap_as_range(self.sentence_count()),
+                self.gap_text(self.sentence_count()),
+                True,
+            )
+        )
+        return out
+
+    def __repr__(self) -> str:
+        return (
+            f"AnnotatedText({self.text!r}, sentences={self.sentence_count()})"
+        )

@@ -1,0 +1,125 @@
+"""TextProcessor: input string → sentences → tokens → wrapped segments.
+
+Reproduces the reference pipeline (slimt/TextProcessor.cc:96-199):
+
+  - sentence-stream the input in the configured split mode;
+  - sentencepiece-encode each sentence with byte-range views;
+  - hard-wrap long sentences at `wrap_length` tokens, reserving one
+    slot for the EOS appended to every wrapped segment
+    (wrap step = wrap_length - 1);
+  - record each wrapped segment as a sentence in the source
+    AnnotatedText (with a zero-width trailing token range standing in
+    for EOS).
+
+The second entry point re-tokenizes an existing AnnotatedText
+preserving its sentence boundaries — used for the second leg of pivot
+translation (slimt/TextProcessor.cc:159-199).
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Tuple
+
+from slimt_tpu.text.annotation import AnnotatedText
+from slimt_tpu.text.splitter import SentenceStream, Splitter, SplitMode
+from slimt_tpu.text.vocabulary import Vocabulary
+
+Segment = List[int]
+Segments = List[Segment]
+
+
+class TextProcessor:
+    def __init__(
+        self,
+        mode: str,
+        vocabulary: Vocabulary,
+        splitter_data: Optional[str] = None,
+    ):
+        self.mode = SplitMode(mode)
+        self.vocabulary = vocabulary
+        self.splitter = Splitter(splitter_data)
+
+    def process(
+        self, text: str, wrap_length: int
+    ) -> Tuple[AnnotatedText, Segments]:
+        """(AnnotatedText, Segments) — segments carry EOS; annotation
+        records one sentence per wrapped segment."""
+        source = AnnotatedText(text)
+        segments: Segments = []
+        stream = SentenceStream(text, self.splitter, self.mode)
+
+        # Spans are char offsets; annotation wants byte offsets.
+        prefix_bytes = [0]
+        for ch in text:
+            prefix_bytes.append(prefix_bytes[-1] + len(ch.encode("utf-8")))
+
+        for sentence, begin, end in stream:
+            if not sentence:
+                continue  # paragraph-boundary marker
+            ids, char_ranges = self.vocabulary.encode(sentence, add_eos=False)
+            if not ids:
+                continue
+            byte_ranges = [
+                (prefix_bytes[begin] + b, prefix_bytes[begin] + e)
+                for b, e in self._to_byte_ranges(sentence, char_ranges)
+            ]
+            self._wrap(ids, byte_ranges, segments, source, wrap_length)
+        return source, segments
+
+    @staticmethod
+    def _to_byte_ranges(sentence: str, ranges):
+        # Vocabulary.encode already returns byte ranges into `sentence`.
+        return ranges
+
+    def _wrap(
+        self,
+        ids: Segment,
+        byte_ranges: List[Tuple[int, int]],
+        segments: Segments,
+        source: AnnotatedText,
+        wrap_length: int,
+    ) -> None:
+        """Wrap at wrap_length-1 tokens + EOS
+        (slimt/TextProcessor.cc:123-157)."""
+        eos = self.vocabulary.eos_id
+        step = wrap_length - 1
+        for offset in range(0, len(ids), step):
+            chunk = ids[offset : offset + step]
+            segments.append(chunk + [eos])
+            chunk_ranges = list(byte_ranges[offset : offset + step])
+            # zero-width EOS range at the end of the last token
+            last_end = chunk_ranges[-1][1]
+            chunk_ranges.append((last_end, last_end))
+            source.record_existing_sentence(
+                chunk_ranges, chunk_ranges[0][0]
+            )
+
+    def process_annotated(
+        self, source: AnnotatedText
+    ) -> Tuple[AnnotatedText, Segments]:
+        """Re-tokenize an AnnotatedText keeping sentence boundaries
+        (pivot leg 2; slimt/TextProcessor.cc:159-199)."""
+        segments: Segments = []
+        replacement = AnnotatedText(source.text)
+        eos = self.vocabulary.eos_id
+        data = source.data
+        for s in range(source.sentence_count()):
+            srange = source.sentence_as_range(s)
+            sentence = data[srange.begin : srange.end].decode(
+                "utf-8", errors="replace"
+            )
+            ids, ranges = self.vocabulary.encode(sentence, add_eos=False)
+            ids = ids + [eos]
+            abs_ranges = [
+                (srange.begin + b, srange.begin + e) for b, e in ranges
+            ]
+            if abs_ranges:
+                end = abs_ranges[-1][1]
+            else:
+                end = srange.end
+            abs_ranges.append((end, end))
+            segments.append(ids)
+            replacement.record_existing_sentence(
+                abs_ranges, abs_ranges[0][0]
+            )
+        return replacement, segments

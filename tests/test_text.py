@@ -1,0 +1,164 @@
+"""Tests for annotation, spm proto, and vocabulary."""
+
+import numpy as np
+import pytest
+
+from slimt_tpu.text import spm_proto
+from slimt_tpu.text.annotation import AnnotatedText, Encoding, Range
+from slimt_tpu.text.synthetic_vocab import build_spm_model, build_vocabulary
+from slimt_tpu.text.vocabulary import SPACE, Vocabulary
+
+
+# --- Annotation ------------------------------------------------------
+
+
+def test_annotation_empty():
+    a = AnnotatedText()
+    assert a.sentence_count() == 0
+    assert a.gap_text(0) == ""
+
+
+def test_append_sentence_and_gaps():
+    a = AnnotatedText()
+    a.append_sentence("", ["Hello", " world"])
+    a.append_sentence(" ", ["Good", "bye"])
+    a.append_ending_whitespace("\n")
+    assert a.text == "Hello world Goodbye\n"
+    assert a.sentence_count() == 2
+    assert a.sentence(0) == "Hello world"
+    assert a.sentence(1) == "Goodbye"
+    assert a.word(0, 0) == "Hello"
+    assert a.word(0, 1) == " world"
+    assert a.word(1, 1) == "bye"
+    assert a.gap_text(0) == ""
+    assert a.gap_text(1) == " "
+    assert a.gap_text(2) == "\n"
+
+
+def test_record_existing_sentence():
+    text = "  One two.  "
+    a = AnnotatedText(text)
+    # tokens "One", " two", "." at byte offsets
+    a.record_existing_sentence([(2, 5), (5, 9), (9, 10)], 2)
+    assert a.sentence_count() == 1
+    assert a.sentence(0) == "One two."
+    assert a.gap_text(0) == "  "
+    assert a.gap_text(1) == "  "
+    assert a.words(0) == ["One", " two", "."]
+
+
+def test_encoding_conversion():
+    text = "héllo wörld"
+    a = AnnotatedText(text)
+    data = text.encode("utf-8")
+    # tokens: "héllo" (6 bytes), " wörld" (7 bytes)
+    a.record_existing_sentence([(0, 6), (6, 13)], 0)
+    assert a.word(0, 0) == "héllo"
+    byte_range = a.word_as_range(0, 0)
+    assert byte_range == Range(0, 6)
+    a.to(Encoding.UTF8)
+    assert a.word_as_range(0, 0) == Range(0, 5)  # codepoints
+    assert a.word(0, 0) == "héllo"
+    a.to(Encoding.BYTE)
+    assert a.word_as_range(0, 0) == Range(0, 6)
+
+
+def test_apply_rewrites_tokens():
+    a = AnnotatedText()
+    a.append_sentence("", ["ab", "cd"])
+    out = a.apply(lambda r, text, last: text.upper())
+    assert out.text == "ABCD"
+    assert out.word(0, 0) == "AB"
+
+
+# --- spm proto -------------------------------------------------------
+
+
+def test_spm_proto_round_trip():
+    model = build_spm_model(["hello", "world"])
+    blob = spm_proto.serialize_model(model)
+    parsed = spm_proto.parse_model(blob)
+    assert [p.piece for p in parsed.pieces] == [p.piece for p in model.pieces]
+    assert parsed.eos_id == 0
+    assert parsed.unk_id == 1
+    assert parsed.pad_id == -1  # negative varint round-trips
+    assert parsed.normalizer.add_dummy_prefix is True
+
+
+# --- Vocabulary ------------------------------------------------------
+
+
+@pytest.fixture(scope="module", params=["py", "hf"])
+def vocab(request):
+    if request.param == "py":
+        return build_vocabulary(
+            ["hello", "world", "test", "quick", "brown"], backend="none"
+        )
+    return build_vocabulary(
+        ["hello", "world", "test", "quick", "brown"], backend="hf"
+    )
+
+
+def test_encode_known_words(vocab):
+    ids, ranges = vocab.encode("hello world")
+    pieces = [vocab.pieces[i].piece for i in ids]
+    assert pieces == [SPACE + "hello", SPACE + "world"]
+    # byte ranges tile the source line
+    assert ranges[0] == (0, 5)
+    assert ranges[1] == (5, 11)
+
+
+def test_encode_add_eos(vocab):
+    ids, ranges = vocab.encode("hello", add_eos=True)
+    assert ids[-1] == vocab.eos_id
+    assert len(ranges) == len(ids) - 1
+
+
+def test_encode_unknown_chars_fallback(vocab):
+    ids, ranges = vocab.encode("hello zzz")
+    assert all(0 <= i < len(vocab) for i in ids)
+    # ranges must cover the line contiguously
+    assert ranges[0][0] == 0
+    for (b0, e0), (b1, e1) in zip(ranges, ranges[1:]):
+        assert e0 == b1
+    assert ranges[-1][1] == len("hello zzz")
+
+
+def test_decode_round_trip(vocab):
+    ids, _ = vocab.encode("hello world test", add_eos=True)
+    text, views = vocab.decode(ids)
+    assert text == "hello world test"
+    assert len(views) == len(ids)
+    assert views[-1][0] == views[-1][1]  # EOS surfaces as empty range
+
+
+def test_decode_views_tile_text(vocab):
+    ids, _ = vocab.encode("quick brown test")
+    text, views = vocab.decode(ids)
+    rebuilt = "".join(
+        text.encode("utf-8")[b:e].decode("utf-8") for b, e in views
+    )
+    assert rebuilt == text
+
+
+def test_batch_encode_matches_single(vocab):
+    lines = ["hello world", "quick brown test", ""]
+    batch = vocab.encode_batch(lines, add_eos=True)
+    for line, (ids, ranges) in zip(lines, batch):
+        want_ids, want_ranges = vocab.encode(line, add_eos=True)
+        assert ids == want_ids
+        assert ranges == want_ranges
+
+
+def test_py_and_hf_backends_agree():
+    words = ["hello", "world", "test", "quick", "brown"]
+    py = build_vocabulary(words, backend="none")
+    try:
+        hf = build_vocabulary(words, backend="hf")
+    except Exception:
+        pytest.skip("hf tokenizers backend unavailable")
+    for line in ["hello world", "a quick brown test!", "unknown zzz qq"]:
+        py_ids, py_ranges = py.encode(line)
+        hf_ids, hf_ranges = hf.encode(line)
+        assert py_ids == hf_ids, line
+        assert py_ranges == hf_ranges, line
