@@ -1,0 +1,171 @@
+"""Model: vocabulary + text processor + transformer weights + shortlist.
+
+The user-facing model object (reference slimt/Model.{hh,cc}): built
+from a Package of artifacts (paths or bytes), owns the loaded weight
+pytree on device, and turns batches of token segments into Histories
+via the jitted encoder + greedy-decode step.
+
+TPU adaptations over the reference forward (slimt/Model.cc:111-204):
+
+  - (B, T) shapes are bucketed (T to multiples of 16, B to powers of
+    two) so the XLA compile cache stays small; padded rows carry a
+    zero mask and their outputs are discarded;
+  - the shortlist is padded to a static bucket size (multiples of 64)
+    with unused target ids, keeping the logit matmul shape stable;
+  - the whole decode loop runs on device (lax.while_loop with early
+    exit), not one host step per token.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import itertools
+import threading
+from typing import List, Optional, Sequence, Union
+
+import numpy as np
+
+from slimt_tpu.config import ModelConfig
+from slimt_tpu.io import load_items
+from slimt_tpu.io.loader import load_weights, model_dims
+from slimt_tpu.io.shortlist import ShortlistGenerator
+from slimt_tpu.runtime.request import Hypothesis
+from slimt_tpu.text.processor import TextProcessor
+from slimt_tpu.text.vocabulary import Vocabulary
+
+_model_ids = itertools.count()
+
+SHORTLIST_BUCKET = 64
+SEQ_BUCKET = 16
+
+
+def _bucket_seq(t: int) -> int:
+    return max(SEQ_BUCKET, -(-t // SEQ_BUCKET) * SEQ_BUCKET)
+
+
+def _bucket_batch(b: int) -> int:
+    out = 1
+    while out < b:
+        out *= 2
+    return out
+
+
+@dataclasses.dataclass
+class Package:
+    """Artifact bundle (reference slimt/Model.hh:23-44): each field is
+    a filesystem path or raw bytes."""
+
+    model: Union[str, bytes]
+    vocabulary: Union[str, bytes]
+    shortlist: Union[str, bytes, None] = None
+    ssplit: Union[str, bytes, None] = None
+
+    @staticmethod
+    def _bytes(source: Union[str, bytes, None]) -> Optional[bytes]:
+        if source is None:
+            return None
+        if isinstance(source, (bytes, bytearray)):
+            return bytes(source)
+        with open(source, "rb") as f:
+            return f.read()
+
+
+class Model:
+    def __init__(
+        self,
+        config: ModelConfig,
+        package: Package,
+        tgt_length_limit_factor: float = 1.5,
+    ):
+        import jax
+
+        self.id = next(_model_ids)
+        self.config = config
+        self.limit_factor = tgt_length_limit_factor
+
+        model_bytes = Package._bytes(package.model)
+        items = load_items(model_bytes)
+        host_params = load_weights(items, config)
+        self.vocab_size, self.emb_dim, self.ffn_dim = model_dims(host_params)
+        self.params = jax.device_put(host_params)
+
+        self.vocabulary = Vocabulary(Package._bytes(package.vocabulary))
+        ssplit = Package._bytes(package.ssplit)
+        self.processor = TextProcessor(
+            config.split_mode,
+            self.vocabulary,
+            ssplit.decode("utf-8") if ssplit else None,
+        )
+
+        self.shortlist_generator: Optional[ShortlistGenerator] = None
+        shortlist_bytes = Package._bytes(package.shortlist)
+        if shortlist_bytes:
+            self.shortlist_generator = ShortlistGenerator(
+                shortlist_bytes, vocab_size=self.vocab_size
+            )
+
+        self._forward_lock = threading.Lock()
+
+    # -- device forward ------------------------------------------------
+
+    def forward(self, segments: Sequence[Sequence[int]]) -> List[Hypothesis]:
+        """Translate a batch of token segments (each ending in EOS)
+        into Histories (reference slimt/Model.cc:187-204)."""
+        import jax
+        import jax.numpy as jnp
+
+        from slimt_tpu.models.decode import translate_batch_jit
+
+        batch = len(segments)
+        lengths = [len(s) for s in segments]
+        b_pad = _bucket_batch(batch)
+        t_pad = _bucket_seq(max(lengths))
+
+        pad_id = self.vocabulary.pad_id
+        indices = np.full((b_pad, t_pad), pad_id, np.int32)
+        mask = np.zeros((b_pad, t_pad), np.float32)
+        for i, segment in enumerate(segments):
+            indices[i, : len(segment)] = segment
+            mask[i, : len(segment)] = 1.0
+
+        shortlist = None
+        if self.shortlist_generator is not None:
+            words = [w for s in segments for w in s]
+            shortlist = self.shortlist_generator.generate_padded(
+                words, SHORTLIST_BUCKET
+            ).astype(np.int32)
+
+        max_steps = max(1, int(self.limit_factor * t_pad))
+        result = translate_batch_jit(
+            self.params,
+            jnp.asarray(indices),
+            jnp.asarray(mask),
+            jnp.asarray(shortlist) if shortlist is not None else jnp.zeros(
+                (SHORTLIST_BUCKET,), jnp.int32
+            ),
+            eos_id=self.vocabulary.eos_id,
+            max_steps=max_steps,
+            num_heads=self.config.num_heads,
+            provider=self.config.qmm_provider,
+            decoder_position_zero=self.config.decoder_position_zero,
+            with_shortlist=shortlist is not None,
+        )
+        tokens = np.asarray(result.tokens)
+        valid = np.asarray(result.valid)
+        align = np.asarray(result.alignment)
+
+        histories = []
+        for i in range(batch):
+            steps = int(valid[i].sum())
+            target = tokens[i, :steps].tolist()
+            alignment = [
+                align[i, t, : lengths[i]].tolist() for t in range(steps)
+            ]
+            histories.append(Hypothesis(target=target, alignment=alignment))
+        return histories
+
+    def __repr__(self):
+        return (
+            f"Model(id={self.id}, vocab={self.vocab_size}, "
+            f"emb={self.emb_dim}, ffn={self.ffn_dim})"
+        )

@@ -1,0 +1,194 @@
+"""Length-bucketed batching of segments across requests.
+
+Mirrors slimt/Batcher.{hh,cc}:
+
+  - SegmentRef: (index, request) proxy ordered by (request id, index);
+  - Batcher: per-token-length buckets, greedy shortest-first packing
+    while (batch_size+1) * length <= max_words
+    (slimt/Batcher.cc:95-120);
+  - AggregateBatcher: per-model Batcher map plus a pending-model queue
+    for multi-model serving (slimt/Batcher.cc:155-202);
+  - Threadsafe: the monitor wrapper (mutex + condition + empty-batch
+    shutdown poison) that workers block on
+    (slimt/Batcher.hh:203-259).
+"""
+
+from __future__ import annotations
+
+import heapq
+import threading
+from typing import Dict, List, Optional, Tuple
+
+from slimt_tpu.runtime.request import History, Request
+
+
+class SegmentRef:
+    __slots__ = ("index", "request")
+
+    def __init__(self, index: int, request: Request):
+        self.index = index
+        self.request = request
+
+    def size(self) -> int:
+        return self.request.word_count(self.index)
+
+    def get(self) -> List[int]:
+        return self.request.segment(self.index)
+
+    def complete(self, history: History) -> None:
+        self.request.process(self.index, history)
+
+    def _key(self) -> Tuple[int, int]:
+        return (self.request.id, self.index)
+
+    def __lt__(self, other: "SegmentRef") -> bool:
+        return self._key() < other._key()
+
+
+class Batch:
+    def __init__(self):
+        self.segment_refs: List[SegmentRef] = []
+        self.token_count = 0
+        self.max_length = 0
+
+    def __len__(self) -> int:
+        return len(self.segment_refs)
+
+    def empty(self) -> bool:
+        return not self.segment_refs
+
+    def add(self, ref: SegmentRef) -> None:
+        self.segment_refs.append(ref)
+        self.token_count += ref.size()
+        self.max_length = max(self.max_length, ref.size())
+
+    def complete(self, histories: List[History]) -> None:
+        assert len(histories) == len(self.segment_refs)
+        for ref, history in zip(self.segment_refs, histories):
+            ref.complete(history)
+
+
+class Batcher:
+    def __init__(
+        self,
+        max_words: int,
+        wrap_length: int,
+        tgt_length_limit_factor: float = 3.0,
+    ):
+        self.max_words = max_words
+        slack = int(wrap_length * tgt_length_limit_factor) - wrap_length
+        size = wrap_length + slack + 1
+        if size - 1 > max_words:
+            raise ValueError(
+                "wrap_length > max_words would produce sentences longer "
+                "than a batch can fit"
+            )
+        self._buckets: List[List[SegmentRef]] = [[] for _ in range(size)]
+        self._running_max = 0
+
+    def enqueue(self, request: Request) -> int:
+        """Insert all uncached segments; returns how many."""
+        enqueued = 0
+        for i in range(request.size()):
+            if request.cached(i):
+                continue
+            ref = SegmentRef(i, request)
+            length = ref.size()
+            while length >= len(self._buckets):
+                self._buckets.append([])
+            heapq.heappush(self._buckets[length], ref)
+            self._running_max = max(self._running_max, length)
+            enqueued += 1
+        return enqueued
+
+    def generate(self) -> Batch:
+        """Greedy shortest-first packing under the max_words budget."""
+        batch = Batch()
+        for length in range(self._running_max + 1):
+            bucket = self._buckets[length]
+            while bucket:
+                if (len(batch) + 1) * max(length, 1) <= self.max_words:
+                    batch.add(heapq.heappop(bucket))
+                else:
+                    assert not batch.empty()
+                    return batch
+        return batch
+
+    def clear(self) -> None:
+        for bucket in self._buckets:
+            bucket.clear()
+
+
+class AggregateBatcher:
+    """Per-model batchers + pending-model set; generate() returns
+    (batch, model) pairs round-robin over pending models."""
+
+    def __init__(
+        self,
+        max_words: int,
+        wrap_length: int,
+        tgt_length_limit_factor: float = 3.0,
+    ):
+        self.max_words = max_words
+        self.wrap_length = wrap_length
+        self.tgt_length_limit_factor = tgt_length_limit_factor
+        self._batchers: Dict[int, Batcher] = {}
+        self._models: Dict[int, object] = {}
+        self._queue: List[int] = []  # pending model ids, insertion order
+
+    def enqueue(self, model, request: Request) -> int:
+        model_id = model.id
+        if model_id not in self._batchers:
+            self._batchers[model_id] = Batcher(
+                self.max_words, self.wrap_length, self.tgt_length_limit_factor
+            )
+        if model_id not in self._queue:
+            self._queue.append(model_id)
+        self._models[model_id] = model
+        return self._batchers[model_id].enqueue(request)
+
+    def generate(self) -> Tuple[Batch, Optional[object]]:
+        while self._queue:
+            model_id = self._queue[0]
+            batch = self._batchers[model_id].generate()
+            if not batch.empty():
+                return batch, self._models[model_id]
+            self._queue.pop(0)
+        return Batch(), None
+
+    def clear(self) -> None:
+        self._queue.clear()
+
+
+class Threadsafe:
+    """Monitor wrapper over a batcher: enqueue notifies, generate
+    blocks until work or shutdown; an empty batch is the shutdown
+    poison (slimt/Batcher.hh:203-259)."""
+
+    def __init__(self, inner):
+        self._inner = inner
+        self._cond = threading.Condition()
+        self._enqueued = 0
+        self._shutdown = False
+
+    def enqueue(self, *args) -> int:
+        with self._cond:
+            assert not self._shutdown
+            count = self._inner.enqueue(*args)
+            self._enqueued += count
+            self._cond.notify_all()
+            return count
+
+    def generate(self):
+        with self._cond:
+            while self._enqueued == 0 and not self._shutdown:
+                self._cond.wait()
+            result = self._inner.generate()
+            batch = result[0] if isinstance(result, tuple) else result
+            self._enqueued -= len(batch)
+            return result
+
+    def shutdown(self) -> None:
+        with self._cond:
+            self._shutdown = True
+            self._cond.notify_all()

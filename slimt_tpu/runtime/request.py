@@ -1,0 +1,152 @@
+"""Request: the unit of work after text processing.
+
+Mirrors slimt/Request.{hh,cc}: a request owns the source AnnotatedText
+and its token segments; workers complete segments concurrently
+(`process`), an atomic countdown fires the continuation with the
+assembled Response when the last segment lands. The translation cache
+is probed at construction and updated per fresh translation
+(slimt/Request.cc:29-85,114-134).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import threading
+from typing import Callable, List, Optional, Sequence
+
+from slimt_tpu.io.shortlist import hash_combine
+from slimt_tpu.runtime.cache import AtomicCache
+from slimt_tpu.runtime.response import Response
+from slimt_tpu.text.annotation import AnnotatedText
+
+Alignment = List[List[float]]  # [target_token][source_token]
+
+
+@dataclasses.dataclass
+class Hypothesis:
+    """The decode result for one segment (reference Types.hh:44-52)."""
+
+    target: List[int]
+    alignment: List[List[float]]  # per-step distribution over source
+
+
+History = Hypothesis  # reference: History = Ptr<Hypothesis>
+
+
+def cache_key(model_id: int, words: Sequence[int]) -> int:
+    """hash_combine fold over the segment words, seeded by model id
+    (slimt/Request.cc:20-26)."""
+    seed = model_id
+    for word in words:
+        seed = hash_combine(seed, int(word))
+    return seed
+
+
+class Request:
+    Continuation = Callable[[Response], Optional["Request"]]
+
+    def __init__(
+        self,
+        id_: int,
+        model_id: int,
+        source: AnnotatedText,
+        segments: List[List[int]],
+        vocabulary,
+        cache: Optional[AtomicCache],
+        continuation: "Request.Continuation",
+    ):
+        self.id = id_
+        self.model_id = model_id
+        self.source = source
+        self.segments = segments
+        self.vocabulary = vocabulary
+        self.cache = cache
+        self.continuation = continuation
+        self.next: Optional["Request"] = None
+
+        self._lock = threading.Lock()
+        self.histories: List[Optional[History]] = [None] * len(segments)
+        self._counter = len(segments)
+        self.words_total = sum(len(s) for s in segments)
+        self._words_complete = 0
+
+        if not segments:
+            self._complete()
+            return
+
+        if cache is not None:
+            prefilled = 0
+            for idx, segment in enumerate(segments):
+                found, history = cache.find(cache_key(model_id, segment))
+                if found:
+                    self.histories[idx] = history
+                    prefilled += 1
+                    self._words_complete += len(segment)
+            self._counter -= prefilled
+            if self._counter == 0:
+                self._complete()
+
+    # -- batching interface -------------------------------------------
+
+    def size(self) -> int:
+        return len(self.segments)
+
+    def cached(self, index: int) -> bool:
+        return self.histories[index] is not None
+
+    def word_count(self, index: int) -> int:
+        return len(self.segments[index])
+
+    def segment(self, index: int) -> List[int]:
+        return self.segments[index]
+
+    def progress(self):
+        """((words done, words total), (segments done, segments total))."""
+        with self._lock:
+            words = (self._words_complete, self.words_total)
+            segments = (len(self.segments) - self._counter, len(self.segments))
+        return words, segments
+
+    # -- completion ----------------------------------------------------
+
+    def process(self, index: int, history: History) -> None:
+        """Record one finished segment; may fire completion
+        (slimt/Request.cc:114-134)."""
+        finished = False
+        with self._lock:
+            self.histories[index] = history
+            self._words_complete += len(self.segments[index])
+            self._counter -= 1
+            finished = self._counter == 0
+        if self.cache is not None:
+            self.cache.store(
+                cache_key(self.model_id, self.segments[index]), history
+            )
+        if finished:
+            self._complete()
+
+    def _complete(self) -> None:
+        """Assemble the Response: decode every history, rebuild the
+        target AnnotatedText preserving inter-sentence gaps
+        (slimt/Request.cc:136-170)."""
+        assert self.source.sentence_count() == len(self.histories)
+        response = Response()
+        response.source = self.source
+        target = response.target
+
+        for sentence_id, history in enumerate(self.histories):
+            words = history.target
+            decoded, views = self.vocabulary.decode(words, ignore_eos=False)
+            tokens = [
+                decoded.encode("utf-8")[b:e].decode("utf-8", errors="replace")
+                for b, e in views
+            ]
+            prefix = self.source.gap_text(sentence_id)
+            target.append_sentence(prefix, tokens)
+            if sentence_id + 1 == len(self.histories):
+                target.append_ending_whitespace(
+                    self.source.gap_text(sentence_id + 1)
+                )
+            response.alignments.append(history.alignment)
+
+        self.next = self.continuation(response)

@@ -1,0 +1,271 @@
+"""Service frontends: Blocking and Async translation.
+
+Mirrors slimt/Frontend.{hh,cc}:
+
+  - Blocking: per-call local Batcher; enqueue all requests, then an
+    exhaust loop (generate → forward → complete) on the caller thread
+    (slimt/Frontend.cc:42-60,91-145).
+  - Async: shared Threadsafe[AggregateBatcher] + N worker threads; the
+    caller gets a Handle (future + progress); pivot chains a second
+    request from the first leg's continuation (CPS)
+    (slimt/Frontend.cc:207-314).
+
+The device forward releases the GIL while XLA executes, so worker
+threads overlap host batching with TPU compute.
+"""
+
+from __future__ import annotations
+
+import itertools
+import threading
+from concurrent.futures import Future
+from typing import List, Optional
+
+from slimt_tpu.config import Config
+from slimt_tpu.runtime.batcher import AggregateBatcher, Batch, Batcher, Threadsafe
+from slimt_tpu.runtime.cache import make_cache
+from slimt_tpu.runtime.request import Request
+from slimt_tpu.runtime.response import Handle, Options, Response, combine
+
+
+def _make_request(ids, model, cache, annotated, segments, continuation):
+    return Request(
+        next(ids),
+        model.id,
+        annotated,
+        segments,
+        model.vocabulary,
+        cache,
+        continuation,
+    )
+
+
+def _exhaust(model, batcher: Batcher) -> None:
+    """Translate until the batcher runs dry (slimt/Frontend.cc:42-60)."""
+    batch = batcher.generate()
+    while not batch.empty():
+        histories = model.forward([ref.get() for ref in batch.segment_refs])
+        batch.complete(histories)
+        batch = batcher.generate()
+
+
+class Blocking:
+    def __init__(self, config: Optional[Config] = None):
+        self.config = config or Config()
+        self.cache = make_cache(self.config.cache_size)
+        self._ids = itertools.count()
+
+    def translate(
+        self,
+        model,
+        sources: List[str],
+        options: Optional[Options] = None,
+    ) -> List[Response]:
+        options = options or Options()
+        batcher = Batcher(
+            self.config.max_words,
+            self.config.wrap_length,
+            self.config.tgt_length_limit_factor,
+        )
+
+        htmls = []
+        texts = list(sources)
+        if options.html:
+            from slimt_tpu.html.html import HTML
+
+            for i, source in enumerate(texts):
+                html = HTML(source)
+                htmls.append(html)
+                texts[i] = html.source
+
+        responses: List[Optional[Response]] = [None] * len(texts)
+
+        def make_continuation(i):
+            def continuation(response: Response):
+                if options.html:
+                    htmls[i].restore(response)
+                responses[i] = response
+                return None
+
+            return continuation
+
+        for i, text in enumerate(texts):
+            annotated, segments = model.processor.process(
+                text, self.config.wrap_length
+            )
+            request = _make_request(
+                self._ids, model, self.cache, annotated, segments,
+                make_continuation(i),
+            )
+            batcher.enqueue(request)
+
+        _exhaust(model, batcher)
+        assert all(r is not None for r in responses)
+        return responses
+
+    def pivot(
+        self,
+        first,
+        second,
+        sources: List[str],
+        options: Optional[Options] = None,
+    ) -> List[Response]:
+        """source → pivot → target with alignment remapping
+        (slimt/Frontend.cc:147-205)."""
+        options = options or Options()
+
+        htmls = []
+        texts = list(sources)
+        if options.html:
+            from slimt_tpu.html.html import HTML
+
+            for i, source in enumerate(texts):
+                html = HTML(source)
+                htmls.append(html)
+                texts[i] = html.source
+
+        raw = Options(alignment=options.alignment, html=False)
+        source_to_pivots = self.translate(first, texts, raw)
+
+        batcher = Batcher(
+            self.config.max_words,
+            self.config.wrap_length,
+            self.config.tgt_length_limit_factor,
+        )
+        responses: List[Optional[Response]] = [None] * len(source_to_pivots)
+
+        def make_continuation(i, first_leg):
+            def continuation(pivot_to_target: Response):
+                responses[i] = combine(first_leg, pivot_to_target)
+                return None
+
+            return continuation
+
+        for i, source_to_pivot in enumerate(source_to_pivots):
+            annotated, segments = second.processor.process_annotated(
+                source_to_pivot.target
+            )
+            request = _make_request(
+                self._ids, second, self.cache, annotated, segments,
+                make_continuation(i, source_to_pivot),
+            )
+            batcher.enqueue(request)
+
+        _exhaust(second, batcher)
+
+        if options.html:
+            for html, response in zip(htmls, responses):
+                html.restore(response)
+        return responses
+
+
+class Async:
+    def __init__(self, config: Optional[Config] = None):
+        self.config = config or Config()
+        self.cache = make_cache(self.config.cache_size)
+        self._ids = itertools.count()
+        self.batcher = Threadsafe(
+            AggregateBatcher(
+                self.config.max_words,
+                self.config.wrap_length,
+                self.config.tgt_length_limit_factor,
+            )
+        )
+        self._workers = [
+            threading.Thread(target=self._work, daemon=True)
+            for _ in range(self.config.workers)
+        ]
+        for worker in self._workers:
+            worker.start()
+
+    def _work(self) -> None:
+        """Worker loop (slimt/Frontend.cc:212-227); empty batch =
+        shutdown poison."""
+        while True:
+            batch, model = self.batcher.generate()
+            if batch.empty():
+                return
+            histories = model.forward(
+                [ref.get() for ref in batch.segment_refs]
+            )
+            batch.complete(histories)
+
+    def translate(
+        self, model, source: str, options: Optional[Options] = None
+    ) -> Handle:
+        options = options or Options()
+        html = None
+        if options.html:
+            from slimt_tpu.html.html import HTML
+
+            html = HTML(source)
+            source = html.source
+
+        future: Future = Future()
+
+        def continuation(response: Response):
+            if html is not None:
+                html.restore(response)
+            future.set_result(response)
+            return None
+
+        annotated, segments = model.processor.process(
+            source, self.config.wrap_length
+        )
+        request = _make_request(
+            self._ids, model, self.cache, annotated, segments, continuation
+        )
+        self.batcher.enqueue(model, request)
+        return Handle(request, parts=1, future=future)
+
+    def pivot(
+        self, first, second, source: str, options: Optional[Options] = None
+    ) -> Handle:
+        """CPS-chained two-leg translation
+        (slimt/Frontend.cc:259-314)."""
+        options = options or Options()
+        html = None
+        if options.html:
+            from slimt_tpu.html.html import HTML
+
+            html = HTML(source)
+            source = html.source
+
+        future: Future = Future()
+
+        def continuation(partial: Response):
+            def joining(pivot_to_target: Response):
+                response = combine(partial, pivot_to_target)
+                if html is not None:
+                    html.restore(response)
+                future.set_result(response)
+                return None
+
+            annotated, segments = second.processor.process_annotated(
+                partial.target
+            )
+            request = _make_request(
+                self._ids, second, self.cache, annotated, segments, joining
+            )
+            self.batcher.enqueue(second, request)
+            return request
+
+        annotated, segments = first.processor.process(
+            source, self.config.wrap_length
+        )
+        request = _make_request(
+            self._ids, first, self.cache, annotated, segments, continuation
+        )
+        self.batcher.enqueue(first, request)
+        return Handle(request, parts=2, future=future)
+
+    def close(self) -> None:
+        self.batcher.shutdown()
+        for worker in self._workers:
+            worker.join(timeout=5.0)
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()

@@ -1,0 +1,193 @@
+"""Unit tests for cache, request, and batcher."""
+
+import threading
+
+import pytest
+
+from slimt_tpu.runtime.batcher import (
+    AggregateBatcher,
+    Batcher,
+    SegmentRef,
+    Threadsafe,
+)
+from slimt_tpu.runtime.cache import AtomicCache, make_cache
+from slimt_tpu.runtime.request import Hypothesis, Request, cache_key
+from slimt_tpu.text.annotation import AnnotatedText
+
+from .helpers import make_model
+
+
+class FakeVocab:
+    eos_id = 0
+    pad_id = 0
+
+    def decode(self, words, ignore_eos=False):
+        text = " ".join(f"w{w}" for w in words if w != 0)
+        ranges = []
+        pos = 0
+        for i, w in enumerate(words):
+            token = ("" if i == 0 or w == 0 else " ") + (
+                f"w{w}" if w != 0 else ""
+            )
+            ranges.append((pos, pos + len(token)))
+            pos += len(token)
+        return text, ranges
+
+
+def _make_request(segments, continuation=None, cache=None, id_=0):
+    source = AnnotatedText()
+    for seg in segments:
+        source.append_sentence("", [f"t{w}" for w in seg])
+    return Request(
+        id_,
+        model_id=7,
+        source=source,
+        segments=segments,
+        vocabulary=FakeVocab(),
+        cache=cache,
+        continuation=continuation or (lambda r: None),
+    )
+
+
+def test_cache_store_find():
+    cache = AtomicCache(8, 2)
+    cache.store(42, "x")
+    assert cache.find(42) == (True, "x")
+    assert cache.find(43)[0] is False
+    # collision overwrites (42 % 8 == 50 % 8)
+    cache.store(50, "y")
+    assert cache.find(42)[0] is False
+    assert cache.find(50) == (True, "y")
+
+
+def test_make_cache_disabled():
+    assert make_cache(0) is None
+    assert make_cache(4) is not None
+
+
+def test_cache_key_deterministic():
+    assert cache_key(1, [2, 3]) == cache_key(1, [2, 3])
+    assert cache_key(1, [2, 3]) != cache_key(2, [2, 3])
+    assert cache_key(1, [2, 3]) != cache_key(1, [3, 2])
+
+
+def test_request_completion_fires_continuation():
+    done = []
+    request = _make_request(
+        [[5, 0], [6, 0]], continuation=lambda r: done.append(r)
+    )
+    assert not done
+    request.process(0, Hypothesis([5, 0], []))
+    assert not done
+    request.process(1, Hypothesis([6, 0], []))
+    assert len(done) == 1
+    response = done[0]
+    assert response.target.sentence_count() == 2
+    assert "w5" in response.target.text and "w6" in response.target.text
+
+
+def test_request_empty_completes_immediately():
+    done = []
+    _make_request([], continuation=lambda r: done.append(r))
+    assert len(done) == 1
+
+
+def test_request_cache_prefill():
+    cache = AtomicCache(64, 4)
+    done = []
+    first = _make_request(
+        [[9, 0]], continuation=lambda r: done.append(r), cache=cache
+    )
+    first.process(0, Hypothesis([1, 0], []))
+    assert len(done) == 1
+    # Same segment again: prefilled from cache, completes in constructor.
+    second = _make_request(
+        [[9, 0]], continuation=lambda r: done.append(r), cache=cache
+    )
+    assert len(done) == 2
+    assert second.cached(0)
+
+
+def test_batcher_packs_shortest_first():
+    batcher = Batcher(max_words=8, wrap_length=4, tgt_length_limit_factor=1.5)
+    request = _make_request([[1, 2], [1, 2, 3, 4], [1]], id_=0)
+    assert batcher.enqueue(request) == 3
+    batch = batcher.generate()
+    sizes = [ref.size() for ref in batch.segment_refs]
+    assert sizes == sorted(sizes)
+    # budget: (n+1)*len <= 8
+    assert batch.token_count <= 8
+
+
+def test_batcher_respects_budget():
+    batcher = Batcher(max_words=4, wrap_length=4, tgt_length_limit_factor=1.0)
+    request = _make_request([[1, 2, 3, 4], [5, 6, 7, 8]], id_=0)
+    batcher.enqueue(request)
+    first = batcher.generate()
+    assert len(first) == 1  # 2 segments * 4 tokens > 4 budget
+    second = batcher.generate()
+    assert len(second) == 1
+    assert batcher.generate().empty()
+
+
+def test_batcher_skips_cached():
+    cache = AtomicCache(64, 4)
+    seg = [3, 0]
+    done = []
+    warm = _make_request([seg], continuation=lambda r: done.append(r), cache=cache)
+    warm.process(0, Hypothesis([1, 0], []))
+    request = _make_request(
+        [seg, [4, 0]], continuation=lambda r: done.append(r), cache=cache
+    )
+    batcher = Batcher(max_words=64, wrap_length=8)
+    assert batcher.enqueue(request) == 1  # cached segment not enqueued
+
+
+class FakeModel:
+    def __init__(self, id_):
+        self.id = id_
+
+
+def test_aggregate_batcher_multi_model():
+    agg = AggregateBatcher(max_words=64, wrap_length=8)
+    model_a, model_b = FakeModel(0), FakeModel(1)
+    agg.enqueue(model_a, _make_request([[1, 2]], id_=0))
+    agg.enqueue(model_b, _make_request([[3, 4]], id_=1))
+    batch1, m1 = agg.generate()
+    batch2, m2 = agg.generate()
+    assert {m1.id, m2.id} == {0, 1}
+    assert not batch1.empty() and not batch2.empty()
+    batch3, m3 = agg.generate()
+    assert batch3.empty() and m3 is None
+
+
+def test_threadsafe_shutdown_unblocks():
+    ts = Threadsafe(AggregateBatcher(max_words=64, wrap_length=8))
+    results = []
+
+    def worker():
+        batch, model = ts.generate()
+        results.append(batch.empty())
+
+    t = threading.Thread(target=worker)
+    t.start()
+    ts.shutdown()
+    t.join(timeout=5)
+    assert results == [True]
+
+
+def test_threadsafe_delivers_work():
+    ts = Threadsafe(AggregateBatcher(max_words=64, wrap_length=8))
+    model = FakeModel(0)
+    results = []
+
+    def worker():
+        batch, m = ts.generate()
+        results.append((len(batch), m.id if m else None))
+
+    t = threading.Thread(target=worker)
+    t.start()
+    ts.enqueue(model, _make_request([[1, 2]], id_=0))
+    t.join(timeout=5)
+    assert results == [(1, 0)]
+    ts.shutdown()
