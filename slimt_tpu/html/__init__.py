@@ -1,0 +1,1 @@
+from slimt_tpu.html.html import HTML  # noqa: F401

@@ -1,0 +1,163 @@
+"""HTML scanner, extraction, and restore tests."""
+
+import pytest
+
+from slimt_tpu.config import Config
+from slimt_tpu.html import HTML
+from slimt_tpu.html import scanner as xh
+from slimt_tpu.runtime.response import Options
+from slimt_tpu.runtime.service import Blocking
+
+from .helpers import make_model
+
+
+# --- scanner ---------------------------------------------------------
+
+
+def test_scan_text_and_tags():
+    tokens = list(xh.scan("<b>Hello</b> world"))
+    assert tokens == [
+        ("tag_start", "b", ""),
+        ("text", "Hello"),
+        ("tag_end", "b"),
+        ("text", " world"),
+    ]
+
+
+def test_scan_attributes():
+    tokens = list(xh.scan('<a href="x" id=\'y\' checked>z</a>'))
+    assert tokens[0] == ("tag_start", "a", ' href="x" id="y" checked=""')
+
+
+def test_scan_entities():
+    (token,) = xh.scan("a &amp; b &lt;c&gt; &#65; &unknown;")
+    assert token == ("text", "a & b <c> A &unknown;")
+
+
+def test_scan_comment_and_pi():
+    tokens = list(xh.scan("<!-- note -->x<?php hi ?>"))
+    assert tokens == [("comment", " note "), ("text", "x"), ("pi", "php hi ")]
+
+
+def test_scan_self_closing():
+    tokens = list(xh.scan("a<br/>b"))
+    assert tokens == [
+        ("text", "a"),
+        ("tag_start", "br", ""),
+        ("tag_end", "br"),
+        ("text", "b"),
+    ]
+
+
+def test_scan_script_raw():
+    tokens = list(xh.scan("<script>if (a<b) x();</script>after"))
+    assert tokens == [
+        ("tag_start", "script", ""),
+        ("data", "if (a<b) x();"),
+        ("tag_end", "script"),
+        ("text", "after"),
+    ]
+
+
+def test_scan_raw_nested():
+    tokens = list(
+        xh.scan("<code>a<code>b</code>c</code>d", raw_nested=frozenset(["code"]))
+    )
+    assert tokens == [
+        ("tag_start", "code", ""),
+        ("data", "a<code>b</code>c"),
+        ("tag_end", "code"),
+        ("text", "d"),
+    ]
+
+
+# --- extraction ------------------------------------------------------
+
+
+def test_extract_plain_text():
+    html = HTML("<b>hello</b> <i>world</i>")
+    assert html.source == "hello world"
+
+
+def test_extract_block_tags_insert_breaks():
+    html = HTML("<p>one</p><p>two</p>")
+    assert html.source == "one\n\ntwo"
+
+
+def test_extract_word_break_spaces():
+    html = HTML("un<u>der</u>line")
+    # inline <u> substitutes spaces inside words
+    assert html.source == "un der line"
+
+
+def test_extract_no_space_before_punctuation():
+    html = HTML("<strong>word</strong>. next")
+    assert html.source == "word. next"
+
+
+def test_extract_keeps_void_elements_in_spans():
+    html = HTML("a<img src='x'>b")
+    # img is inline → word-break space is substituted between a and b
+    assert html.source == "a b"
+    img_spans = [
+        s for s in html.spans if any(t.name == "img" for t in s.tags)
+    ]
+    assert len(img_spans) == 1
+    assert img_spans[0].size() == 0
+
+
+def test_extract_unbalanced_raises():
+    with pytest.raises(ValueError):
+        HTML("<b>never closed")
+    with pytest.raises(ValueError):
+        HTML("no opening</b>")
+
+
+def test_extract_ignored_tag_content_not_translated():
+    html = HTML("run <code>x &lt; y</code> now")
+    assert "x" not in html.source.replace("run", "").replace("now", "")
+    code_tags = [
+        t
+        for s in html.spans
+        for t in s.tags
+        if t.name.lower() == "code"
+    ]
+    assert code_tags and "x &lt; y" in code_tags[0].data
+
+
+# --- end-to-end restore ----------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def model():
+    return make_model()
+
+
+def test_restore_through_service(model):
+    service = Blocking(Config(cache_size=0))
+    responses = service.translate(
+        model, ["<b>hello</b> world"], Options(html=True)
+    )
+    response = responses[0]
+    # source got its markup back
+    assert "<b>" in response.source.text and "</b>" in response.source.text
+    # target output contains balanced markup
+    target = response.target.text
+    assert target.count("<b>") == target.count("</b>")
+
+
+def test_restore_void_element_stragglers(model):
+    service = Blocking(Config(cache_size=0))
+    response = service.translate(
+        model, ["hello <img src='x.png'> world"], Options(html=True)
+    )[0]
+    assert "<img" in response.source.text
+    assert "<img" in response.target.text
+
+
+def test_restore_entity_encoding(model):
+    service = Blocking(Config(cache_size=0))
+    response = service.translate(
+        model, ["five &lt; six"], Options(html=True)
+    )[0]
+    assert "&lt;" in response.source.text
