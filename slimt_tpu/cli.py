@@ -1,0 +1,202 @@
+"""Command-line interface.
+
+Mirrors the reference CLI surfaces:
+  - `slimt-cli` flags --root/--model/--vocabulary/--shortlist/--html/
+    --async/--workers/--poll, reads stdin, prints translations
+    (app/main.cc:25-185), pivot via --follow-* second model;
+  - the python package's `slimt {translate,ls,download}` subcommands
+    (bindings/python/cmds.py); `download` is stubbed out in this
+    offline build, `synth` generates a synthetic demo package instead.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+
+def _add_model_args(parser, prefix=""):
+    flag = lambda name: f"--{prefix}{name}"
+    # follow-* (pivot second model) defaults stay None so pivot only
+    # engages when explicitly requested (app/main.cc --follow-* flags).
+    default = (lambda v: v) if not prefix else (lambda v: None)
+    parser.add_argument(flag("root"), default=default(""), help="artifact dir")
+    parser.add_argument(flag("model"), default=default("model.bin"))
+    parser.add_argument(flag("vocabulary"), default=default("vocab.spm"))
+    parser.add_argument(flag("shortlist"), default=None)
+    parser.add_argument(flag("ssplit"), default=None)
+
+
+def _package(args, prefix=""):
+    from slimt_tpu.models.model import Package
+
+    get = lambda name: getattr(args, (prefix + name).replace("-", "_"))
+    root = get("root")
+    join = lambda p: os.path.join(root, p) if root else p
+    return Package(
+        model=join(get("model")),
+        vocabulary=join(get("vocabulary")),
+        shortlist=join(get("shortlist")) if get("shortlist") else None,
+        ssplit=join(get("ssplit")) if get("ssplit") else None,
+    )
+
+
+def cmd_translate(args) -> int:
+    from slimt_tpu.config import Config, preset
+    from slimt_tpu.models.model import Model
+    from slimt_tpu.runtime.response import Options
+    from slimt_tpu.runtime.service import Async, Blocking
+
+    config = Config(
+        max_words=args.max_words,
+        cache_size=args.cache_size,
+        workers=args.workers,
+        wrap_length=args.wrap_length,
+    )
+    model_config = getattr(preset, args.preset)()
+    model = Model(model_config, _package(args))
+    follow = None
+    if args.follow_model and args.follow_vocabulary:
+        follow = Model(model_config, _package(args, "follow-"))
+
+    options = Options(html=args.html, alignment=args.html or args.alignment)
+    text = sys.stdin.read() if args.text is None else args.text
+
+    if args.use_async:
+        with Async(config) as service:
+            if follow is not None:
+                handle = service.pivot(model, follow, text, options)
+            else:
+                handle = service.translate(model, text, options)
+            if args.poll:
+                while not handle.future.done():
+                    info = handle.info()
+                    print(
+                        f"\r[{info.parts.p}/{info.parts.q}] "
+                        f"{info.words.percent():5.1f}% words "
+                        f"({info.wps:8.1f} wps)",
+                        end="",
+                        file=sys.stderr,
+                    )
+                    time.sleep(args.poll)
+                print(file=sys.stderr)
+            response = handle.result()
+    else:
+        service = Blocking(config)
+        if follow is not None:
+            response = service.pivot(model, follow, [text], options)[0]
+        else:
+            response = service.translate(model, [text], options)[0]
+    print(response.target.text)
+    return 0
+
+
+def cmd_synth(args) -> int:
+    """Generate a synthetic demo package into --out."""
+    from slimt_tpu.config import preset
+    from slimt_tpu.io.shortlist import build_synthetic_shortlist
+    from slimt_tpu.io.synthetic import synthetic_model_bytes
+    from slimt_tpu.text import spm_proto
+    from slimt_tpu.text.synthetic_vocab import DEFAULT_WORDS, build_spm_model
+
+    os.makedirs(args.out, exist_ok=True)
+    config = getattr(preset, args.preset)()
+    spm = build_spm_model(DEFAULT_WORDS)
+    vocab_size = max(len(spm.pieces), 64)
+    spm = build_spm_model(DEFAULT_WORDS, target_size=vocab_size)
+    with open(os.path.join(args.out, "model.bin"), "wb") as f:
+        f.write(
+            synthetic_model_bytes(
+                config=config,
+                vocab_size=vocab_size,
+                emb_dim=args.emb_dim,
+                ffn_dim=args.ffn_dim,
+            )
+        )
+    with open(os.path.join(args.out, "vocab.spm"), "wb") as f:
+        f.write(spm_proto.serialize_model(spm))
+    with open(os.path.join(args.out, "shortlist.bin"), "wb") as f:
+        f.write(build_synthetic_shortlist(vocab_size))
+    print(f"synthetic package written to {args.out}")
+    return 0
+
+
+def cmd_ls(args) -> int:
+    root = args.root or os.path.expanduser("~/.local/share/slimt_tpu/models")
+    if not os.path.isdir(root):
+        print(f"no models under {root}")
+        return 0
+    for entry in sorted(os.listdir(root)):
+        print(entry)
+    return 0
+
+
+def cmd_download(args) -> int:
+    print(
+        "model download requires network access, which this build does not "
+        "bundle; place translateLocally/OPUS packages under --root and use "
+        "`translate` directly",
+        file=sys.stderr,
+    )
+    return 1
+
+
+def _honor_jax_platforms_env() -> None:
+    """Re-assert JAX_PLATFORMS over site hooks that force a platform
+    via jax.config.update at interpreter start."""
+    requested = os.environ.get("JAX_PLATFORMS")
+    if not requested:
+        return
+    try:
+        import jax
+
+        jax.config.update("jax_platforms", requested)
+    except Exception:
+        pass
+
+
+def main(argv=None) -> int:
+    _honor_jax_platforms_env()
+    parser = argparse.ArgumentParser(
+        prog="slimt_tpu", description="TPU-native slimt translation engine"
+    )
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    t = sub.add_parser("translate", help="translate stdin or --text")
+    _add_model_args(t)
+    _add_model_args(t, "follow-")
+    t.add_argument("--preset", default="tiny", choices=["tiny", "base", "nano"])
+    t.add_argument("--text", default=None)
+    t.add_argument("--html", action="store_true")
+    t.add_argument("--alignment", action="store_true")
+    t.add_argument("--async", dest="use_async", action="store_true")
+    t.add_argument("--workers", type=int, default=1)
+    t.add_argument("--poll", type=float, default=0.0)
+    t.add_argument("--max-words", type=int, default=1024)
+    t.add_argument("--cache-size", type=int, default=1024)
+    t.add_argument("--wrap-length", type=int, default=128)
+    t.set_defaults(fn=cmd_translate)
+
+    s = sub.add_parser("synth", help="generate a synthetic demo package")
+    s.add_argument("--out", default="./synthetic-package")
+    s.add_argument("--preset", default="tiny", choices=["tiny", "base", "nano"])
+    s.add_argument("--emb-dim", type=int, default=64)
+    s.add_argument("--ffn-dim", type=int, default=128)
+    s.set_defaults(fn=cmd_synth)
+
+    ls = sub.add_parser("ls", help="list local model packages")
+    ls.add_argument("--root", default=None)
+    ls.set_defaults(fn=cmd_ls)
+
+    d = sub.add_parser("download", help="(offline stub)")
+    d.set_defaults(fn=cmd_download)
+
+    args = parser.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,68 @@
+"""CLI smoke tests (subprocess, like the reference's test_cmdline.py)."""
+
+import os
+import subprocess
+import sys
+
+import pytest
+
+ENV = dict(
+    os.environ,
+    JAX_PLATFORMS="cpu",
+    PYTHONPATH=os.pathsep.join(
+        [os.path.dirname(os.path.dirname(__file__))]
+        + os.environ.get("PYTHONPATH", "").split(os.pathsep)
+    ),
+)
+
+
+def _run(*argv, input_text=""):
+    return subprocess.run(
+        [sys.executable, "-m", "slimt_tpu", *argv],
+        input=input_text,
+        capture_output=True,
+        text=True,
+        env=ENV,
+        timeout=300,
+    )
+
+
+def test_synth_and_translate(tmp_path):
+    out = str(tmp_path / "pkg")
+    result = _run("synth", "--out", out)
+    assert result.returncode == 0, result.stderr
+    assert os.path.exists(os.path.join(out, "model.bin"))
+
+    result = _run(
+        "translate",
+        "--root", out,
+        "--shortlist", "shortlist.bin",
+        "--preset", "tiny",
+        input_text="hello world\n",
+    )
+    assert result.returncode == 0, result.stderr
+    assert result.stdout.endswith("\n")
+
+
+def test_translate_async(tmp_path):
+    out = str(tmp_path / "pkg")
+    assert _run("synth", "--out", out).returncode == 0
+    result = _run(
+        "translate",
+        "--root", out,
+        "--async",
+        "--workers", "2",
+        "--text", "hello world",
+    )
+    assert result.returncode == 0, result.stderr
+
+
+def test_download_stub():
+    result = _run("download")
+    assert result.returncode == 1
+    assert "network" in result.stderr
+
+
+def test_ls_empty(tmp_path):
+    result = _run("ls", "--root", str(tmp_path))
+    assert result.returncode == 0
