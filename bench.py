@@ -1,17 +1,17 @@
-"""Headline benchmark: decode throughput (tokens/sec/chip) on the
-flagship tiny11-shaped INT8 model.
+"""Benchmarks.
 
-Prints ONE JSON line:
+Default (driver) mode prints ONE JSON line:
     {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+vs_baseline = measured tokens/sec/chip ÷ the 1e4 target from
+BASELINE.md (the reference publishes no numbers of its own).
 
-vs_baseline is measured tokens/sec/chip divided by the driver target of
-1e4 (BASELINE.md — the reference publishes no numbers of its own).
-
-The workload mirrors the reference's instrumented words-per-second
-meter (slimt/Frontend.cc:44-59): batched greedy decode at the service
-defaults' batch budget. EOS is set to an id the synthetic model never
-emits so every sentence decodes the full `limit_factor * T` steps —
-worst-case full-occupancy throughput, no early-exit flattery.
+Modes (BASELINE.json configs):
+    python bench.py            # headline: tiny11 INT8 batched decode
+    python bench.py batch1     # tiny11 greedy batch=1 latency
+    python bench.py shortlist  # tiny11 with shortlist projection
+    python bench.py base       # base model (emb 512 / ffn 2048)
+    python bench.py e2e        # full service pipeline (host + device)
+    python bench.py providers  # xla_int8 vs pallas vs f32
 """
 
 import json
@@ -20,64 +20,212 @@ import time
 
 import numpy as np
 
+TARGET = 1e4  # tokens/sec/chip (BASELINE.md)
 
-def main():
+
+def _model(vocab=32000, emb=256, ffn=1536, enc=6, dec=2, with_shortlist=False):
+    from slimt_tpu.config import ModelConfig
+    from slimt_tpu.io.shortlist import build_synthetic_shortlist
+    from slimt_tpu.io.synthetic import synthetic_model_bytes
+    from slimt_tpu.models.model import Model, Package
+    from slimt_tpu.text import spm_proto
+    from slimt_tpu.text.synthetic_vocab import DEFAULT_WORDS, build_spm_model
+
+    config = ModelConfig(encoder_layers=enc, decoder_layers=dec)
+    spm = build_spm_model(DEFAULT_WORDS, target_size=vocab)
+    package = Package(
+        model=synthetic_model_bytes(
+            config=config, vocab_size=vocab, emb_dim=emb, ffn_dim=ffn, seed=0
+        ),
+        vocabulary=spm_proto.serialize_model(spm),
+        shortlist=(
+            build_synthetic_shortlist(vocab, best=20, frequent=100)
+            if with_shortlist
+            else None
+        ),
+    )
+    return Model(config, package)
+
+
+def _decode_bench(
+    batch=64, seq=64, vocab=32000, emb=256, ffn=1536, enc=6, dec=2,
+    provider=None, iters=5, metric="decode_tokens_per_sec_per_chip_tiny11_int8",
+):
     import jax
     import jax.numpy as jnp
 
-    from __graft_entry__ import _example_batch, _flagship_params
+    from slimt_tpu.config import ModelConfig
+    from slimt_tpu.io import load_items
+    from slimt_tpu.io.loader import load_weights
+    from slimt_tpu.io.synthetic import synthetic_model_bytes
     from slimt_tpu.models.decode import translate_batch
 
-    params, config = _flagship_params()
+    config = ModelConfig(encoder_layers=enc, decoder_layers=dec)
+    items = load_items(
+        synthetic_model_bytes(
+            config=config, vocab_size=vocab, emb_dim=emb, ffn_dim=ffn, seed=0
+        )
+    )
+    params = jax.device_put(load_weights(items, config))
+    provider = provider or config.qmm_provider
 
-    # Batch shaped by the service defaults: max_words=1024 budget at
-    # wrap_length-ish sequences (slimt/Frontend.hh:23-27) — scaled up
-    # batch for TPU occupancy (the reference budget targets 1 CPU core;
-    # one TPU chip replaces many workers).
-    batch, seq = 64, 64
     rng = np.random.default_rng(0)
-    indices = rng.integers(3, 32000, (batch, seq)).astype(np.int32)
+    indices = rng.integers(3, vocab, (batch, seq)).astype(np.int32)
     mask = np.ones((batch, seq), np.float32)
     max_steps = int(1.5 * seq)
-
-    provider = config.qmm_provider
-    if len(sys.argv) > 1:
-        provider = sys.argv[1]
 
     fn = jax.jit(
         lambda p, i, m: translate_batch(
             p, i, m,
-            eos_id=-1,  # never emitted: full-length decode
+            eos_id=-1,  # never emitted: full-length decode, no early exit
             max_steps=max_steps,
             num_heads=config.num_heads,
             provider=provider,
         )
     )
-    args = (params, jnp.asarray(indices), jnp.asarray(mask))
-
-    # Warmup/compile.
-    out = fn(*args)
-    jax.block_until_ready(out)
-
-    iters = 5
+    # Distinct inputs per iteration: identical dispatches can be
+    # deduplicated by the runtime and flatter the numbers.
+    variants = [
+        jnp.asarray(
+            rng.integers(3, vocab, (batch, seq)).astype(np.int32)
+        )
+        for _ in range(iters)
+    ]
+    mask_j = jnp.asarray(mask)
+    np.asarray(fn(params, variants[0], mask_j).tokens)  # warmup/compile
     t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(*args)
-    jax.block_until_ready(out)
+    checksum = 0
+    for idx in variants:
+        out = fn(params, idx, mask_j)
+        # Materialize results on host every call: what serving does.
+        checksum += int(np.asarray(out.tokens)[0, 0]) + int(
+            np.asarray(out.valid).sum()
+        )
     elapsed = time.perf_counter() - t0
+    tps = batch * max_steps * iters / elapsed
+    return {
+        "metric": metric,
+        "value": round(tps, 1),
+        "unit": "tokens/s",
+        "vs_baseline": round(tps / TARGET, 3),
+    }
 
-    tokens = batch * max_steps * iters
+
+def bench_headline():
+    print(json.dumps(_decode_bench()))
+
+
+def bench_batch1():
+    result = _decode_bench(
+        batch=1, seq=24, iters=20,
+        metric="decode_tokens_per_sec_batch1_tiny11_int8",
+    )
+    # Also report p50-ish sentence latency (36 decode steps).
+    result["sentence_latency_ms"] = round(36 / result["value"] * 1000, 2)
+    print(json.dumps(result))
+
+
+def bench_shortlist():
+    """Shortlisted output projection via the full Model.forward path."""
+    model = _model(with_shortlist=True)
+    rng = np.random.default_rng(1)
+    segments = [
+        rng.integers(3, 32000, rng.integers(8, 48)).tolist() + [0]
+        for _ in range(64)
+    ]
+    model.forward(segments)  # warmup/compile
+    t0 = time.perf_counter()
+    iters = 3
+    tokens = 0
+    for _ in range(iters):
+        histories = model.forward(segments)
+        tokens += sum(len(h.target) for h in histories)
+    elapsed = time.perf_counter() - t0
     tps = tokens / elapsed
     print(
         json.dumps(
             {
-                "metric": "decode_tokens_per_sec_per_chip_tiny11_int8",
+                "metric": "shortlist_decode_tokens_per_sec_tiny11_int8",
                 "value": round(tps, 1),
                 "unit": "tokens/s",
-                "vs_baseline": round(tps / 1e4, 3),
+                "vs_baseline": round(tps / TARGET, 3),
             }
         )
     )
+
+
+def bench_base():
+    print(
+        json.dumps(
+            _decode_bench(
+                emb=512, ffn=2048,
+                metric="decode_tokens_per_sec_per_chip_base_int8",
+            )
+        )
+    )
+
+
+def bench_e2e(lines=2048, workers=4):
+    """Full pipeline: split → tokenize → batch → decode → detokenize."""
+    from slimt_tpu.config import Config
+    from slimt_tpu.runtime.service import Blocking
+
+    model = _model()
+    rng = np.random.default_rng(2)
+    words = (
+        "hello world goodbye this is a test of the translation engine "
+        "quick brown fox jumps over lazy dog sentence splitting works"
+    ).split()
+    corpus = [
+        " ".join(rng.choice(words, rng.integers(6, 24)))
+        for _ in range(lines)
+    ]
+    service = Blocking(Config(cache_size=0, max_words=4096))
+    # Full warmup pass compiles every (B, T) shape bucket this corpus
+    # hits; the measured pass is steady-state serving.
+    service.translate(model, corpus)
+
+    t0 = time.perf_counter()
+    responses = service.translate(model, corpus)
+    elapsed = time.perf_counter() - t0
+    source_words = sum(len(line.split()) for line in corpus)
+    target_tokens = sum(
+        r.target.word_count(s)
+        for r in responses
+        for s in range(r.target.sentence_count())
+    )
+    print(
+        json.dumps(
+            {
+                "metric": "e2e_target_tokens_per_sec_tiny11_int8",
+                "value": round(target_tokens / elapsed, 1),
+                "unit": "tokens/s",
+                "vs_baseline": round(target_tokens / elapsed / TARGET, 3),
+                "source_words_per_sec": round(source_words / elapsed, 1),
+                "lines": lines,
+                "elapsed_s": round(elapsed, 2),
+            }
+        )
+    )
+
+
+def bench_providers():
+    for provider in ("xla_int8", "pallas", "f32"):
+        result = _decode_bench(provider=provider, iters=3)
+        result["provider"] = provider
+        print(json.dumps(result))
+
+
+def main():
+    mode = sys.argv[1] if len(sys.argv) > 1 else "headline"
+    {
+        "headline": bench_headline,
+        "batch1": bench_batch1,
+        "shortlist": bench_shortlist,
+        "base": bench_base,
+        "e2e": bench_e2e,
+        "providers": bench_providers,
+    }[mode]()
 
 
 if __name__ == "__main__":

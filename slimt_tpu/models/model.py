@@ -108,9 +108,20 @@ class Model:
 
     # -- device forward ------------------------------------------------
 
-    def forward(self, segments: Sequence[Sequence[int]]) -> List[Hypothesis]:
+    def forward(
+        self,
+        segments: Sequence[Sequence[int]],
+        need_alignment: bool = True,
+    ) -> List[Hypothesis]:
         """Translate a batch of token segments (each ending in EOS)
-        into Histories (reference slimt/Model.cc:187-204)."""
+        into Histories (reference slimt/Model.cc:187-204).
+
+        `need_alignment=False` skips the device→host transfer of the
+        per-step cross-attention matrices ([B, steps, T] — by far the
+        largest result buffer); hypotheses then carry empty
+        alignments. The reference always materializes them
+        (slimt/Model.cc:84-108); here the transfer is the cost, not
+        the compute."""
         import jax
         import jax.numpy as jnp
 
@@ -152,15 +163,18 @@ class Model:
         )
         tokens = np.asarray(result.tokens)
         valid = np.asarray(result.valid)
-        align = np.asarray(result.alignment)
+        align = np.asarray(result.alignment) if need_alignment else None
 
         histories = []
         for i in range(batch):
             steps = int(valid[i].sum())
             target = tokens[i, :steps].tolist()
-            alignment = [
-                align[i, t, : lengths[i]].tolist() for t in range(steps)
-            ]
+            if align is not None:
+                alignment = [
+                    align[i, t, : lengths[i]].tolist() for t in range(steps)
+                ]
+            else:
+                alignment = []
             histories.append(Hypothesis(target=target, alignment=alignment))
         return histories
 

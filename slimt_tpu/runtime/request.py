@@ -54,6 +54,7 @@ class Request:
         vocabulary,
         cache: Optional[AtomicCache],
         continuation: "Request.Continuation",
+        needs_alignment: bool = True,
     ):
         self.id = id_
         self.model_id = model_id
@@ -62,6 +63,7 @@ class Request:
         self.vocabulary = vocabulary
         self.cache = cache
         self.continuation = continuation
+        self.needs_alignment = needs_alignment
         self.next: Optional["Request"] = None
 
         self._lock = threading.Lock()

@@ -28,7 +28,10 @@ from slimt_tpu.runtime.request import Request
 from slimt_tpu.runtime.response import Handle, Options, Response, combine
 
 
-def _make_request(ids, model, cache, annotated, segments, continuation):
+def _make_request(
+    ids, model, cache, annotated, segments, continuation,
+    needs_alignment=True,
+):
     return Request(
         next(ids),
         model.id,
@@ -37,14 +40,22 @@ def _make_request(ids, model, cache, annotated, segments, continuation):
         model.vocabulary,
         cache,
         continuation,
+        needs_alignment=needs_alignment,
     )
+
+
+def _needs_alignment(batch: Batch) -> bool:
+    return any(ref.request.needs_alignment for ref in batch.segment_refs)
 
 
 def _exhaust(model, batcher: Batcher) -> None:
     """Translate until the batcher runs dry (slimt/Frontend.cc:42-60)."""
     batch = batcher.generate()
     while not batch.empty():
-        histories = model.forward([ref.get() for ref in batch.segment_refs])
+        histories = model.forward(
+            [ref.get() for ref in batch.segment_refs],
+            need_alignment=_needs_alignment(batch),
+        )
         batch.complete(histories)
         batch = batcher.generate()
 
@@ -96,6 +107,7 @@ class Blocking:
             request = _make_request(
                 self._ids, model, self.cache, annotated, segments,
                 make_continuation(i),
+                needs_alignment=options.alignment or options.html,
             )
             batcher.enqueue(request)
 
@@ -124,7 +136,9 @@ class Blocking:
                 htmls.append(html)
                 texts[i] = html.source
 
-        raw = Options(alignment=options.alignment, html=False)
+        raw = Options(
+            alignment=options.alignment or options.html, html=False
+        )
         source_to_pivots = self.translate(first, texts, raw)
 
         batcher = Batcher(
@@ -148,6 +162,7 @@ class Blocking:
             request = _make_request(
                 self._ids, second, self.cache, annotated, segments,
                 make_continuation(i, source_to_pivot),
+                needs_alignment=options.alignment or options.html,
             )
             batcher.enqueue(request)
 
@@ -186,7 +201,8 @@ class Async:
             if batch.empty():
                 return
             histories = model.forward(
-                [ref.get() for ref in batch.segment_refs]
+                [ref.get() for ref in batch.segment_refs],
+                need_alignment=_needs_alignment(batch),
             )
             batch.complete(histories)
 
@@ -213,7 +229,8 @@ class Async:
             source, self.config.wrap_length
         )
         request = _make_request(
-            self._ids, model, self.cache, annotated, segments, continuation
+            self._ids, model, self.cache, annotated, segments, continuation,
+            needs_alignment=options.alignment or options.html,
         )
         self.batcher.enqueue(model, request)
         return Handle(request, parts=1, future=future)

@@ -87,7 +87,9 @@ def test_wrap_length_produces_multiple_segments(model):
 
 def test_alignment_shapes(model):
     service = Blocking(Config(cache_size=0))
-    response = service.translate(model, ["hello world"])[0]
+    response = service.translate(
+        model, ["hello world"], Options(alignment=True)
+    )[0]
     n_src = response.source.word_count(0)
     for row in response.alignments[0]:
         assert len(row) == n_src
@@ -127,7 +129,9 @@ def test_async_matches_blocking(model):
 def test_blocking_pivot(model):
     # pivot through the same synthetic model (en->X->en shape-wise)
     service = Blocking(Config(cache_size=0))
-    responses = service.pivot(model, model, ["hello world"])
+    responses = service.pivot(
+        model, model, ["hello world"], Options(alignment=True)
+    )
     assert len(responses) == 1
     response = responses[0]
     assert response.source.text == "hello world"
