@@ -76,18 +76,40 @@ class Model:
         config: ModelConfig,
         package: Package,
         tgt_length_limit_factor: float = 1.5,
+        mesh=None,
+        sharding: str = "tp",
     ):
+        """`mesh` (a jax.sharding.Mesh with axes "data"/"model") turns
+        the model multi-chip: weights are tensor-parallel sharded over
+        "model" (or replicated with sharding="replicate" — usually
+        faster for these tiny models) and request batches data-parallel
+        over "data". Single chip when mesh is None."""
         import jax
 
         self.id = next(_model_ids)
         self.config = config
         self.limit_factor = tgt_length_limit_factor
+        self.mesh = mesh
 
         model_bytes = Package._bytes(package.model)
         items = load_items(model_bytes)
         host_params = load_weights(items, config)
         self.vocab_size, self.emb_dim, self.ffn_dim = model_dims(host_params)
-        self.params = jax.device_put(host_params)
+        if mesh is not None:
+            from slimt_tpu.parallel import sharding as shd
+
+            if sharding == "replicate":
+                self.params = shd.replicate_params(host_params, mesh)
+            else:
+                self.params = shd.shard_params(host_params, mesh)
+            self._batch_sharding = jax.sharding.NamedSharding(
+                mesh, shd.batch_pspec()
+            )
+            self._data_size = mesh.shape.get("data", 1)
+        else:
+            self.params = jax.device_put(host_params)
+            self._batch_sharding = None
+            self._data_size = 1
 
         self.vocabulary = Vocabulary(Package._bytes(package.vocabulary))
         ssplit = Package._bytes(package.ssplit)
@@ -129,7 +151,7 @@ class Model:
 
         batch = len(segments)
         lengths = [len(s) for s in segments]
-        b_pad = _bucket_batch(batch)
+        b_pad = max(_bucket_batch(batch), self._data_size)
         t_pad = _bucket_seq(max(lengths))
 
         pad_id = self.vocabulary.pad_id
@@ -147,10 +169,16 @@ class Model:
             ).astype(np.int32)
 
         max_steps = max(1, int(self.limit_factor * t_pad))
+        if self._batch_sharding is not None:
+            indices_j = jax.device_put(indices, self._batch_sharding)
+            mask_j = jax.device_put(mask, self._batch_sharding)
+        else:
+            indices_j = jnp.asarray(indices)
+            mask_j = jnp.asarray(mask)
         result = translate_batch_jit(
             self.params,
-            jnp.asarray(indices),
-            jnp.asarray(mask),
+            indices_j,
+            mask_j,
             jnp.asarray(shortlist) if shortlist is not None else jnp.zeros(
                 (SHORTLIST_BUCKET,), jnp.int32
             ),

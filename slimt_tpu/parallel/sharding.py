@@ -111,14 +111,34 @@ def batch_pspec() -> P:
     return P("data", None)
 
 
+def _divisible(arr, spec: P, mesh: Mesh) -> bool:
+    shape = np.shape(arr)
+    for dim, axes in enumerate(spec):
+        if axes is None:
+            continue
+        names = axes if isinstance(axes, tuple) else (axes,)
+        factor = 1
+        for name in names:
+            factor *= mesh.shape[name]
+        if dim >= len(shape) or shape[dim] % factor != 0:
+            return False
+    return True
+
+
 def shard_params(params: dict, mesh: Mesh) -> dict:
-    """device_put the weight pytree with its TP shardings."""
+    """device_put the weight pytree with its TP shardings.
+
+    Leaves whose dimensions don't divide the mesh axis (e.g. an odd
+    vocab size) fall back to replication rather than failing."""
     specs = weight_pspecs(params)
+
+    def place(arr, spec):
+        if not _divisible(arr, spec, mesh):
+            spec = P()
+        return jax.device_put(arr, NamedSharding(mesh, spec))
+
     return jax.tree.map(
-        lambda arr, spec: jax.device_put(arr, NamedSharding(mesh, spec)),
-        params,
-        specs,
-        is_leaf=lambda x: isinstance(x, P),
+        place, params, specs, is_leaf=lambda x: isinstance(x, P)
     )
 
 

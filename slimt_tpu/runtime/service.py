@@ -48,23 +48,37 @@ def _needs_alignment(batch: Batch) -> bool:
     return any(ref.request.needs_alignment for ref in batch.segment_refs)
 
 
-def _exhaust(model, batcher: Batcher) -> None:
-    """Translate until the batcher runs dry (slimt/Frontend.cc:42-60)."""
+def _exhaust(model, batcher: Batcher, meters=None) -> None:
+    """Translate until the batcher runs dry, recording wps/occupancy
+    (slimt/Frontend.cc:42-60)."""
+    from slimt_tpu.utils import Timer
+
     batch = batcher.generate()
     while not batch.empty():
+        timer = Timer()
+        segments = [ref.get() for ref in batch.segment_refs]
         histories = model.forward(
-            [ref.get() for ref in batch.segment_refs],
-            need_alignment=_needs_alignment(batch),
+            segments, need_alignment=_needs_alignment(batch)
         )
         batch.complete(histories)
+        if meters is not None:
+            meters.record_batch(
+                words=batch.token_count,
+                elapsed=timer.elapsed(),
+                used=batch.token_count,
+                capacity=len(segments) * max(batch.max_length, 1),
+            )
         batch = batcher.generate()
 
 
 class Blocking:
     def __init__(self, config: Optional[Config] = None):
+        from slimt_tpu.utils import ServiceMeters
+
         self.config = config or Config()
         self.cache = make_cache(self.config.cache_size)
         self._ids = itertools.count()
+        self.meters = ServiceMeters()
 
     def translate(
         self,
@@ -111,7 +125,7 @@ class Blocking:
             )
             batcher.enqueue(request)
 
-        _exhaust(model, batcher)
+        _exhaust(model, batcher, self.meters)
         assert all(r is not None for r in responses)
         return responses
 
@@ -166,7 +180,7 @@ class Blocking:
             )
             batcher.enqueue(request)
 
-        _exhaust(second, batcher)
+        _exhaust(second, batcher, self.meters)
 
         if options.html:
             for html, response in zip(htmls, responses):

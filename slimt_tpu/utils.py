@@ -1,0 +1,103 @@
+"""Utilities: timing, running averages, profiling, debug printing.
+
+Parity with the reference's Utils.hh: `Timer` (Utils.hh:69-99),
+`AverageMeter` (Utils.hh:101-112), `argsort` (Utils.hh:114-130),
+`hash_combine/hash_bytes` (Utils.hh:47-67 — in io.shortlist). The
+tracing equivalent of the reference's SLIMT_TRACE/gprof hooks
+(Macros.hh:7-28, CMakeLists.txt:171-182) is `jax.profiler` via
+`trace()`.
+
+Env knobs (reference: SLIMT_DEBUG / SLIMT_EPS, Tensor.cc:172-228):
+  SLIMT_TPU_DEBUG=1      enable debug tensor printing
+  SLIMT_TPU_PROFILE=dir  write a jax profiler trace to dir
+"""
+
+from __future__ import annotations
+
+import contextlib
+import os
+import time
+from typing import Iterator, List, Optional, Sequence
+
+
+class Timer:
+    def __init__(self):
+        self.start = time.perf_counter()
+
+    def elapsed(self) -> float:
+        return time.perf_counter() - self.start
+
+    def reset(self) -> None:
+        self.start = time.perf_counter()
+
+
+class AverageMeter:
+    """Running average (reference Utils.hh:101-112)."""
+
+    def __init__(self):
+        self.sum = 0.0
+        self.count = 0
+
+    def record(self, value: float) -> None:
+        self.sum += value
+        self.count += 1
+
+    def average(self) -> float:
+        return self.sum / self.count if self.count else 0.0
+
+
+def argsort(values: Sequence) -> List[int]:
+    return sorted(range(len(values)), key=values.__getitem__)
+
+
+def debug_enabled() -> bool:
+    return os.environ.get("SLIMT_TPU_DEBUG", "") not in ("", "0")
+
+
+def debug_print(name: str, array) -> None:
+    """numpy-ish tensor dump behind SLIMT_TPU_DEBUG (reference
+    Utils.cc:28-96 print_ndarray)."""
+    if not debug_enabled():
+        return
+    import sys
+
+    import numpy as np
+
+    arr = np.asarray(array)
+    print(
+        f"{name}: shape={arr.shape} dtype={arr.dtype} "
+        f"mean={arr.mean():.6g} std={arr.std():.6g}\n{arr}",
+        file=sys.stderr,
+    )
+
+
+@contextlib.contextmanager
+def trace(name: str = "slimt_tpu", directory: Optional[str] = None):
+    """jax.profiler trace scope; no-op unless a directory is given or
+    SLIMT_TPU_PROFILE is set."""
+    directory = directory or os.environ.get("SLIMT_TPU_PROFILE")
+    if not directory:
+        yield
+        return
+    import jax
+
+    with jax.profiler.trace(directory):
+        with jax.profiler.TraceAnnotation(name):
+            yield
+
+
+class ServiceMeters:
+    """Words-per-second + batch occupancy meters, the reference's
+    exhaust-loop instrumentation (slimt/Frontend.cc:44-59)."""
+
+    def __init__(self):
+        self.wps = AverageMeter()
+        self.occupancy = AverageMeter()
+
+    def record_batch(
+        self, words: int, elapsed: float, used: int, capacity: int
+    ) -> None:
+        if elapsed > 0:
+            self.wps.record(words / elapsed)
+        if capacity > 0:
+            self.occupancy.record(used / capacity)

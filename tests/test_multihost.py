@@ -1,0 +1,56 @@
+"""Mesh-backed Model + multihost helpers on the 8-device CPU mesh."""
+
+import numpy as np
+import pytest
+
+import jax
+
+from slimt_tpu.config import Config
+from slimt_tpu.parallel import multihost
+from slimt_tpu.parallel.sharding import make_mesh
+from slimt_tpu.runtime.service import Blocking
+
+from .helpers import TINY_TEST_CONFIG, make_package
+from slimt_tpu.models.model import Model
+
+
+@pytest.fixture(scope="module")
+def package():
+    return make_package()
+
+
+def test_model_on_mesh_matches_single_device(package):
+    single = Model(TINY_TEST_CONFIG, package)
+    mesh = make_mesh(data=4, model=2)
+    sharded = Model(TINY_TEST_CONFIG, package, mesh=mesh)
+
+    service = Blocking(Config(cache_size=0))
+    sources = ["hello world", "goodbye test", "quick brown fox jumps"]
+    want = service.translate(single, sources)
+    got = service.translate(sharded, sources)
+    assert [r.target.text for r in got] == [r.target.text for r in want]
+
+
+def test_model_replicated_mesh(package):
+    mesh = make_mesh(data=8, model=1)
+    model = Model(TINY_TEST_CONFIG, package, mesh=mesh, sharding="replicate")
+    service = Blocking(Config(cache_size=0))
+    responses = service.translate(model, ["hello world"])
+    assert responses[0].target.sentence_count() == 1
+
+
+def test_shard_lines():
+    lines = [f"l{i}" for i in range(10)]
+    parts = [multihost.shard_lines(lines, p, 3) for p in range(3)]
+    assert sorted(sum(parts, [])) == sorted(lines)
+    assert parts[0] == ["l0", "l3", "l6", "l9"]
+
+
+def test_global_mesh_all_devices():
+    mesh = multihost.global_mesh(model=2)
+    assert mesh.shape["model"] == 2
+    assert mesh.shape["data"] == len(jax.devices()) // 2
+
+
+def test_initialize_single_process_noop():
+    multihost.initialize(num_processes=1)  # must not raise
