@@ -1,0 +1,321 @@
+// slimt_host — native host-side hot paths for the TPU engine.
+//
+// The reference implements its entire host runtime in C++ (tokenizer
+// via sentencepiece, hashing in Utils.hh:47-67, request/batcher in
+// Request.cc/Batcher.cc). This library provides the measured hot
+// paths natively for the Python runtime, loaded via ctypes:
+//
+//   - unigram-LM Viterbi segmentation (sentencepiece-compatible: NFC-
+//     free normalization with whitespace escaping to U+2581, dummy
+//     prefix, extra-whitespace removal, byte-range surface alignment)
+//   - detokenization (ids -> text + per-token byte ranges)
+//   - the boost-style hash fold used for cache keys and shortlist
+//     checksums
+//
+// Exact behavioral parity with slimt_tpu.text.vocabulary's pure
+// Python backend is enforced by tests/test_native.py.
+
+#include <algorithm>
+#include <cstdint>
+#include <cstring>
+#include <string>
+#include <string_view>
+#include <unordered_map>
+#include <vector>
+
+namespace {
+
+constexpr const char* kSpace = "\xe2\x96\x81";  // U+2581 ▁
+constexpr int kSpaceLen = 3;
+
+enum PieceType : uint8_t {
+  kNormal = 1,
+  kUnknown = 2,
+  kControl = 3,
+  kUserDefined = 4,
+  kUnused = 5,
+  kByte = 6,
+};
+
+struct Vocab {
+  std::string blob;                   // concatenated piece bytes
+  std::vector<uint32_t> offsets;      // n+1
+  std::vector<float> scores;          // n
+  std::vector<uint8_t> types;         // n
+  uint32_t unk_id = 0;
+  float unk_score = 0.0F;
+  size_t max_piece_len = 1;
+  std::unordered_map<std::string_view, uint32_t> ids;
+
+  std::string_view piece(uint32_t id) const {
+    return std::string_view(blob).substr(offsets[id],
+                                         offsets[id + 1] - offsets[id]);
+  }
+};
+
+// Length in bytes of the UTF-8 sequence starting at c; 1 for invalid.
+inline int utf8_len(unsigned char c) {
+  if (c < 0x80) return 1;
+  if ((c & 0xE0) == 0xC0) return 2;
+  if ((c & 0xF0) == 0xE0) return 3;
+  if ((c & 0xF8) == 0xF0) return 4;
+  return 1;
+}
+
+struct Normalized {
+  std::string text;              // normalized utf8
+  std::vector<uint32_t> align;   // per normalized byte: original byte pos
+};
+
+// Mirrors Vocabulary._normalize (python) / sentencepiece preprocessing:
+// strip + collapse spaces, escape ' ' to U+2581, optional dummy prefix.
+Normalized normalize(const char* text, int len, bool add_dummy_prefix,
+                     bool escape_ws, bool remove_extra_ws) {
+  Normalized out;
+  out.text.reserve(len + kSpaceLen);
+  out.align.reserve(len + kSpaceLen);
+
+  // Identify kept characters.
+  int begin = 0;
+  int end = len;
+  if (remove_extra_ws) {
+    while (begin < len && text[begin] == ' ') begin++;
+    while (end > begin && text[end - 1] == ' ') end--;
+  }
+
+  bool first = true;
+  bool prev_space = false;
+  for (int i = begin; i < end;) {
+    int n = utf8_len(static_cast<unsigned char>(text[i]));
+    if (i + n > end) n = 1;
+    bool is_space = (n == 1 && text[i] == ' ');
+    if (is_space && remove_extra_ws && prev_space) {
+      i += n;
+      continue;
+    }
+    prev_space = is_space;
+    if (first && add_dummy_prefix) {
+      const char* prefix = escape_ws ? kSpace : " ";
+      int plen = escape_ws ? kSpaceLen : 1;
+      for (int k = 0; k < plen; k++) {
+        out.text.push_back(prefix[k]);
+        out.align.push_back(static_cast<uint32_t>(i));
+      }
+    }
+    first = false;
+    if (is_space && escape_ws) {
+      for (int k = 0; k < kSpaceLen; k++) {
+        out.text.push_back(kSpace[k]);
+        out.align.push_back(static_cast<uint32_t>(i));
+      }
+    } else {
+      for (int k = 0; k < n; k++) {
+        out.text.push_back(text[i + k]);
+        out.align.push_back(static_cast<uint32_t>(i));
+      }
+    }
+    i += n;
+  }
+  out.align.push_back(static_cast<uint32_t>(len));
+  return out;
+}
+
+}  // namespace
+
+extern "C" {
+
+void* slimt_vocab_create(const char* blob, const uint32_t* offsets,
+                         const float* scores, const uint8_t* types,
+                         uint32_t n, uint32_t unk_id) {
+  auto* v = new Vocab();
+  v->offsets.assign(offsets, offsets + n + 1);
+  v->blob.assign(blob, offsets[n]);
+  v->scores.assign(scores, scores + n);
+  v->types.assign(types, types + n);
+  v->unk_id = unk_id;
+  float min_score = 0.0F;
+  bool seen = false;
+  for (uint32_t i = 0; i < n; i++) {
+    std::string_view piece = v->piece(i);
+    v->max_piece_len = std::max(v->max_piece_len, piece.size());
+    v->ids.emplace(piece, i);
+    if (types[i] == kNormal || types[i] == kUserDefined) {
+      if (!seen || scores[i] < min_score) min_score = scores[i];
+      seen = true;
+    }
+  }
+  v->unk_score = min_score - 10.0F;  // sentencepiece kUnkPenalty
+  return v;
+}
+
+void slimt_vocab_destroy(void* handle) { delete static_cast<Vocab*>(handle); }
+
+// Viterbi segmentation over normalized UTF-8 *characters* (the lattice
+// steps by codepoint like sentencepiece). Returns the token count, or
+// -1 if `cap` is too small. Outputs: ids, and byte ranges into the
+// ORIGINAL text.
+int slimt_vocab_encode(void* handle, const char* text, int len,
+                       int add_dummy_prefix, int escape_ws,
+                       int remove_extra_ws, uint32_t* out_ids,
+                       uint32_t* out_begin, uint32_t* out_end, int cap) {
+  const Vocab& v = *static_cast<Vocab*>(handle);
+  Normalized norm = normalize(text, len, add_dummy_prefix != 0,
+                              escape_ws != 0, remove_extra_ws != 0);
+  const std::string& s = norm.text;
+  const int nbytes = static_cast<int>(s.size());
+  if (nbytes == 0) return 0;
+
+  // Character starts (in bytes) of the normalized string.
+  std::vector<int> starts;
+  starts.reserve(nbytes + 1);
+  for (int i = 0; i < nbytes;
+       i += utf8_len(static_cast<unsigned char>(s[i]))) {
+    starts.push_back(i);
+  }
+  starts.push_back(nbytes);
+  const int nchars = static_cast<int>(starts.size()) - 1;
+
+  constexpr float kNegInf = -1e30F;
+  std::vector<float> best(nchars + 1, kNegInf);
+  std::vector<int> back_start(nchars + 1, -1);
+  std::vector<uint32_t> back_id(nchars + 1, 0);
+  best[0] = 0.0F;
+
+  for (int start = 0; start < nchars; start++) {
+    if (best[start] == kNegInf) continue;
+    const float base = best[start];
+    bool found_single = false;
+    for (int end = start + 1; end <= nchars; end++) {
+      size_t span = static_cast<size_t>(starts[end] - starts[start]);
+      if (span > v.max_piece_len) break;
+      std::string_view cand =
+          std::string_view(s).substr(starts[start], span);
+      auto it = v.ids.find(cand);
+      if (it == v.ids.end()) continue;
+      uint8_t type = v.types[it->second];
+      if (type == kControl || type == kUnknown || type == kUnused) continue;
+      if (end == start + 1) found_single = true;
+      float score = base + v.scores[it->second];
+      if (score > best[end]) {
+        best[end] = score;
+        back_start[end] = start;
+        back_id[end] = it->second;
+      }
+    }
+    if (!found_single) {
+      float score = base + v.unk_score;
+      if (score > best[start + 1]) {
+        best[start + 1] = score;
+        back_start[start + 1] = start;
+        back_id[start + 1] = v.unk_id;
+      }
+    }
+  }
+
+  // Backtrack (reversed), merging adjacent unknowns.
+  std::vector<uint32_t> ids;
+  std::vector<int> seg_start, seg_end;
+  int pos = nchars;
+  while (pos > 0) {
+    int start = back_start[pos];
+    ids.push_back(back_id[pos]);
+    seg_start.push_back(start);
+    seg_end.push_back(pos);
+    pos = start;
+  }
+  std::reverse(ids.begin(), ids.end());
+  std::reverse(seg_start.begin(), seg_start.end());
+  std::reverse(seg_end.begin(), seg_end.end());
+
+  int count = 0;
+  for (size_t i = 0; i < ids.size(); i++) {
+    if (count > 0 && ids[i] == v.unk_id && out_ids[count - 1] == v.unk_id &&
+        seg_start[i] == static_cast<int>(/*prev end*/ seg_end[i - 1]) &&
+        /*ensure merged only when contiguous*/ true) {
+      // extend previous unknown token
+      int nb = starts[seg_end[i]];
+      out_end[count - 1] =
+          (nb < static_cast<int>(norm.align.size())) ? norm.align[nb]
+                                                     : norm.align.back();
+      continue;
+    }
+    if (count >= cap) return -1;
+    out_ids[count] = ids[i];
+    int b0 = starts[seg_start[i]];
+    int b1 = starts[seg_end[i]];
+    out_begin[count] = norm.align[b0];
+    out_end[count] = (b1 < static_cast<int>(norm.align.size()))
+                         ? norm.align[b1]
+                         : norm.align.back();
+    count++;
+  }
+  return count;
+}
+
+// ids -> utf8 text + per-token byte ranges; control pieces surface
+// empty, unknowns as sentencepiece's " ⁇ ". Returns text length in
+// bytes, or -1 if caps are insufficient.
+int slimt_vocab_decode(void* handle, const uint32_t* ids, int n,
+                       char* out_text, int text_cap, uint32_t* out_begin,
+                       uint32_t* out_end) {
+  const Vocab& v = *static_cast<Vocab*>(handle);
+  static const std::string kUnkSurface = " \xe2\x81\x87 ";  // " ⁇ "
+  int pos = 0;
+  bool first_real = true;
+  const uint32_t count = v.offsets.size() - 1;
+  for (int i = 0; i < n; i++) {
+    std::string surface;
+    if (ids[i] < count) {
+      uint8_t type = v.types[ids[i]];
+      if (type == kControl || type == kByte) {
+        // empty
+      } else if (type == kUnknown) {
+        surface = kUnkSurface;
+      } else {
+        std::string_view piece = v.piece(ids[i]);
+        surface.reserve(piece.size());
+        for (size_t k = 0; k < piece.size();) {
+          if (piece.size() - k >= kSpaceLen &&
+              std::memcmp(piece.data() + k, kSpace, kSpaceLen) == 0) {
+            surface.push_back(' ');
+            k += kSpaceLen;
+          } else {
+            surface.push_back(piece[k]);
+            k += 1;
+          }
+        }
+        if (first_real && !surface.empty() && surface[0] == ' ') {
+          surface.erase(surface.begin());
+        }
+        first_real = false;
+      }
+    } else {
+      surface = kUnkSurface;
+    }
+    if (pos + static_cast<int>(surface.size()) > text_cap) return -1;
+    std::memcpy(out_text + pos, surface.data(), surface.size());
+    out_begin[i] = static_cast<uint32_t>(pos);
+    pos += static_cast<int>(surface.size());
+    out_end[i] = static_cast<uint32_t>(pos);
+  }
+  return pos;
+}
+
+// boost-style hash_combine fold with identity hash
+// (reference slimt/Utils.hh:47-67).
+uint64_t slimt_hash_words(uint64_t seed, const uint32_t* words, int n) {
+  for (int i = 0; i < n; i++) {
+    uint64_t value = words[i];
+    seed ^= value + 0x9e3779b9ULL + (seed << 6) + (seed >> 2);
+  }
+  return seed;
+}
+
+uint64_t slimt_hash_u64(uint64_t seed, const uint64_t* words, int n) {
+  for (int i = 0; i < n; i++) {
+    seed ^= words[i] + 0x9e3779b9ULL + (seed << 6) + (seed >> 2);
+  }
+  return seed;
+}
+
+}  // extern "C"

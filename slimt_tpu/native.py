@@ -1,0 +1,185 @@
+"""ctypes loader for the native host library (native/slimt_host.cpp).
+
+Builds on demand with the in-tree Makefile (g++); all callers fall
+back to the pure-Python implementations when the toolchain or library
+is unavailable.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+_NATIVE_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "native"
+)
+_LIB_PATH = os.path.join(_NATIVE_DIR, "libslimt_host.so")
+
+_lib = None
+_lock = threading.Lock()
+_build_failed = False
+
+
+def _load():
+    global _lib, _build_failed
+    with _lock:
+        if _lib is not None or _build_failed:
+            return _lib
+        if not os.path.exists(_LIB_PATH):
+            try:
+                subprocess.run(
+                    ["make", "-s", "-C", _NATIVE_DIR],
+                    check=True,
+                    capture_output=True,
+                    timeout=120,
+                )
+            except Exception:
+                _build_failed = True
+                return None
+        try:
+            lib = ctypes.CDLL(_LIB_PATH)
+        except OSError:
+            _build_failed = True
+            return None
+
+        lib.slimt_vocab_create.restype = ctypes.c_void_p
+        lib.slimt_vocab_create.argtypes = [
+            ctypes.c_char_p,
+            ctypes.POINTER(ctypes.c_uint32),
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.c_uint32,
+            ctypes.c_uint32,
+        ]
+        lib.slimt_vocab_destroy.argtypes = [ctypes.c_void_p]
+        lib.slimt_vocab_encode.restype = ctypes.c_int
+        lib.slimt_vocab_encode.argtypes = [
+            ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_uint32),
+            ctypes.POINTER(ctypes.c_uint32),
+            ctypes.POINTER(ctypes.c_uint32),
+            ctypes.c_int,
+        ]
+        lib.slimt_vocab_decode.restype = ctypes.c_int
+        lib.slimt_vocab_decode.argtypes = [
+            ctypes.c_void_p,
+            ctypes.POINTER(ctypes.c_uint32), ctypes.c_int,
+            ctypes.c_char_p, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_uint32),
+            ctypes.POINTER(ctypes.c_uint32),
+        ]
+        lib.slimt_hash_words.restype = ctypes.c_uint64
+        lib.slimt_hash_words.argtypes = [
+            ctypes.c_uint64, ctypes.POINTER(ctypes.c_uint32), ctypes.c_int
+        ]
+        _lib = lib
+        return _lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def hash_words(seed: int, words: Sequence[int]) -> Optional[int]:
+    lib = _load()
+    if lib is None:
+        return None
+    arr = np.asarray(list(words), dtype=np.uint32)
+    return int(
+        lib.slimt_hash_words(
+            ctypes.c_uint64(seed),
+            arr.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+            len(arr),
+        )
+    )
+
+
+class NativeVocab:
+    """Native unigram segmenter over a piece table."""
+
+    def __init__(self, pieces, unk_id: int, normalizer):
+        lib = _load()
+        if lib is None:
+            raise RuntimeError("native library unavailable")
+        self._lib = lib
+        blob = b"".join(p.piece.encode("utf-8") for p in pieces)
+        offsets = np.zeros(len(pieces) + 1, np.uint32)
+        np.cumsum(
+            [len(p.piece.encode("utf-8")) for p in pieces], out=offsets[1:]
+        )
+        scores = np.asarray([p.score for p in pieces], np.float32)
+        types = np.asarray([p.type for p in pieces], np.uint8)
+        self._handle = ctypes.c_void_p(
+            lib.slimt_vocab_create(
+                blob,
+                offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+                scores.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                types.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                len(pieces),
+                unk_id,
+            )
+        )
+        self._norm = normalizer
+
+    def __del__(self):
+        handle = getattr(self, "_handle", None)
+        if handle:
+            self._lib.slimt_vocab_destroy(handle)
+
+    def encode(self, line: str) -> Tuple[List[int], List[Tuple[int, int]]]:
+        data = line.encode("utf-8")
+        cap = 2 * len(data) + 8
+        ids = np.empty(cap, np.uint32)
+        begin = np.empty(cap, np.uint32)
+        end = np.empty(cap, np.uint32)
+        count = self._lib.slimt_vocab_encode(
+            self._handle, data, len(data),
+            int(self._norm.add_dummy_prefix),
+            int(self._norm.escape_whitespaces),
+            int(self._norm.remove_extra_whitespaces),
+            ids.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+            begin.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+            end.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+            cap,
+        )
+        if count < 0:
+            raise RuntimeError("encode capacity exceeded")
+        return (
+            ids[:count].astype(int).tolist(),
+            [
+                (int(b), int(e))
+                for b, e in zip(begin[:count], end[:count])
+            ],
+        )
+
+    def decode(
+        self, words: Sequence[int]
+    ) -> Tuple[str, List[Tuple[int, int]]]:
+        n = len(words)
+        ids = np.asarray(list(words), np.uint32)
+        # worst case each token is " ⁇ " (5 bytes) or a long piece
+        cap = 16 * (n + 1) + 1024
+        text = ctypes.create_string_buffer(cap)
+        begin = np.empty(max(n, 1), np.uint32)
+        end = np.empty(max(n, 1), np.uint32)
+        length = self._lib.slimt_vocab_decode(
+            self._handle,
+            ids.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+            n,
+            text,
+            cap,
+            begin.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+            end.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        )
+        if length < 0:
+            raise RuntimeError("decode capacity exceeded")
+        return (
+            text.raw[:length].decode("utf-8", errors="replace"),
+            [(int(b), int(e)) for b, e in zip(begin[:n], end[:n])],
+        )

@@ -76,6 +76,26 @@ class Vocabulary:
                 if backend == "hf":
                     raise
                 self._hf = None
+        # Native C++ segmenter (native/slimt_host.cpp): used for single
+        # encode/decode when the precompiled charsmap is absent (it
+        # implements the same normalization as the pure-py backend).
+        self._native = None
+        if backend in ("auto", "native") and not (
+            self.model.normalizer.precompiled_charsmap
+        ):
+            try:
+                from slimt_tpu import native
+
+                if native.available():
+                    self._native = native.NativeVocab(
+                        self.pieces, self._unk_id, self.model.normalizer
+                    )
+                elif backend == "native":
+                    raise RuntimeError("native library unavailable")
+            except Exception:
+                if backend == "native":
+                    raise
+                self._native = None
 
     # -- basic ids ----------------------------------------------------
 
@@ -250,7 +270,9 @@ class Vocabulary:
     ) -> Tuple[List[int], List[Tuple[int, int]]]:
         """line → (ids, byte ranges into `line`); views do NOT cover the
         appended EOS (slimt/Vocabulary.cc:34-75)."""
-        if self._hf is not None:
+        if self._native is not None:
+            ids, ranges = self._native.encode(line)
+        elif self._hf is not None:
             ids, ranges = self._encode_hf(line)
         else:
             ids, ranges = self._encode_py(line)
@@ -304,6 +326,15 @@ class Vocabulary:
         """ids → (text, per-token byte ranges into text)
         (slimt/Vocabulary.cc:77-104). Control pieces surface as empty
         ranges; unknown ids as sentencepiece's unk_surface."""
+        if self._native is not None:
+            text, ranges = self._native.decode(words)
+            if ignore_eos and ranges:
+                last_begin = ranges[-1][0]
+                ranges = ranges[:-1]
+                text = text.encode("utf-8")[:last_begin].decode(
+                    "utf-8", errors="replace"
+                )
+            return text, ranges
         out = []
         ranges = []
         byte_pos = 0
