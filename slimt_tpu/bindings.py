@@ -1,0 +1,136 @@
+"""Python-API conveniences mirroring the reference's python package.
+
+The reference wraps its C++ service in pybind11 plus a pure-python
+layer (bindings/python/): a `Service` facade, `to_json`, and
+word/sentence iterators (bindings/python/utils.py:54-75,
+iterators.py). Since this framework is Python-native those just live
+here.
+
+Config patching for marian-training YAMLs
+(utils.py patch_marian_for_slimt) and network model repositories are
+out of scope offline; `package_from_config` reads translateLocally
+`config.*.yml` manifests to locate artifact files when present.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Iterator, Optional, Tuple
+
+from slimt_tpu.models.model import Package
+from slimt_tpu.runtime.response import Response
+from slimt_tpu.text.annotation import AnnotatedText, Range
+
+
+class Service:
+    """Facade matching the reference pybind surface
+    (bindings/python/slimt.cpp:144-221): Service(workers, cache_size)
+    with list-in/list-out translate and pivot."""
+
+    def __init__(self, workers: int = 1, cache_size: int = 1024):
+        from slimt_tpu.config import Config
+        from slimt_tpu.runtime.response import Options
+        from slimt_tpu.runtime.service import Async
+
+        self._options_cls = Options
+        self._service = Async(
+            Config(workers=workers, cache_size=cache_size)
+        )
+
+    def translate(self, model, texts, html: bool = False):
+        options = self._options_cls(html=html, alignment=html)
+        handles = [
+            self._service.translate(model, text, options) for text in texts
+        ]
+        return [handle.result() for handle in handles]
+
+    def pivot(self, first, second, texts, html: bool = False):
+        options = self._options_cls(html=html, alignment=True)
+        handles = [
+            self._service.pivot(first, second, text, options)
+            for text in texts
+        ]
+        return [handle.result() for handle in handles]
+
+    def close(self):
+        self._service.close()
+
+
+def to_json(response: Response, *args, **kwargs) -> str:
+    """Response → JSON (reference bindings/python/utils.py:54-75)."""
+
+    def annotated(text: AnnotatedText):
+        result = []
+        for sid in range(text.sentence_count()):
+            result.append(
+                [
+                    tuple(text.word_as_range(sid, wid))
+                    for wid in range(text.word_count(sid))
+                ]
+            )
+        return {"text": text.text, "annotation": result}
+
+    return json.dumps(
+        {
+            "source": annotated(response.source),
+            "target": annotated(response.target),
+            "alignments": list(response.alignments),
+        },
+        *args,
+        **kwargs,
+    )
+
+
+def words(text: AnnotatedText, sentence_id: Optional[int] = None):
+    """Iterate (sentence_id, word_id, range, surface) like the
+    reference WordIterator (bindings/python/iterators.py)."""
+    sentences = (
+        range(text.sentence_count())
+        if sentence_id is None
+        else [sentence_id]
+    )
+    for sid in sentences:
+        for wid in range(text.word_count(sid)):
+            yield sid, wid, text.word_as_range(sid, wid), text.word(sid, wid)
+
+
+def sentences(text: AnnotatedText):
+    """Iterate (sentence_id, range, surface)."""
+    for sid in range(text.sentence_count()):
+        yield sid, text.sentence_as_range(sid), text.sentence(sid)
+
+
+def package_from_config(path: str) -> Package:
+    """Build a Package from a translateLocally-style config.*.yml
+    manifest next to the artifact files (reference
+    bindings/python/utils.py package_from_config_path)."""
+    keys = {}
+    with open(path, encoding="utf-8") as f:
+        for line in f:
+            line = line.strip()
+            if ":" in line and not line.startswith("#"):
+                key, _, value = line.partition(":")
+                keys[key.strip()] = value.strip().strip("\"'")
+
+    root = os.path.dirname(os.path.abspath(path))
+
+    def resolve(key):
+        name = keys.get(key)
+        if not name:
+            return None
+        value = name.split()[0] if " " in name else name
+        candidate = os.path.join(root, value)
+        return candidate if os.path.exists(candidate) else None
+
+    models = keys.get("models", "") or keys.get("model", "")
+    model = resolve("model") or os.path.join(
+        root, models.strip("[] ").split(",")[0].strip()
+    )
+    vocab = resolve("vocab") or resolve("vocabs") or resolve("srcvocab")
+    return Package(
+        model=model,
+        vocabulary=vocab,
+        shortlist=resolve("shortlist"),
+        ssplit=resolve("ssplit-prefix-file"),
+    )

@@ -53,6 +53,8 @@ def greedy_decode(
     kv_caches = tfm.precompute_cross_kv(
         params, encoder_out, num_heads, provider
     )
+    # Loop-invariant output projection (incl. shortlist select).
+    projection = tfm.prepare_output_projection(params, shortlist)
     states0 = tuple(
         jnp.zeros((batch, 1, emb_dim), jnp.float32)
         for _ in params["decoder"]
@@ -90,6 +92,7 @@ def greedy_decode(
             num_heads,
             provider,
             shortlist,
+            projection=projection,
         )
         choice = jnp.argmax(logits, axis=-1).astype(jnp.int32)
         if shortlist is not None:

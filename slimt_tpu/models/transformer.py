@@ -260,6 +260,7 @@ def decoder_step(
     num_heads: int,
     provider: Optional[str] = None,
     shortlist: Optional[jax.Array] = None,
+    projection: Optional[Tuple[jax.Array, jax.Array]] = None,
 ) -> Tuple[jax.Array, Tuple, jax.Array]:
     """One decode timestep over all decoder layers + logit projection
     (slimt/Transformer.cc:120-183).
@@ -276,8 +277,25 @@ def decoder_step(
         )
         new_states.append(new_state)
         guided = attn
-    logits = output_logits(params, x[:, 0, :], provider, shortlist)
+    logits = output_logits(params, x[:, 0, :], provider, shortlist, projection)
     return logits, tuple(new_states), guided
+
+
+def prepare_output_projection(
+    params: dict, shortlist: Optional[jax.Array] = None
+) -> Tuple[jax.Array, jax.Array]:
+    """(W [E, V or S], b) for the tied-embedding logit projection,
+    with the shortlist column-select applied once — hoisted out of the
+    decode loop (the gather+transpose is loop-invariant; the reference
+    re-selects per call, qmm/Gemmology.inl.cc:83-98)."""
+    emb_q = params["emb"]["q"]  # [V, E]
+    bias = params["out"]["b"]
+    if shortlist is not None:
+        return (
+            jnp.take(emb_q, shortlist, axis=0).T,
+            jnp.take(bias, shortlist, axis=0),
+        )
+    return emb_q.T, bias
 
 
 def output_logits(
@@ -285,19 +303,18 @@ def output_logits(
     x: jax.Array,
     provider: Optional[str] = None,
     shortlist: Optional[jax.Array] = None,
+    projection: Optional[Tuple[jax.Array, jax.Array]] = None,
 ) -> jax.Array:
     """Tied-embedding logit projection: x [B,E] @ Wemb^T [E,V]
     (slimt/Transformer.cc:104-117). With a shortlist, only the selected
-    rows of Wemb are multiplied (affine_with_select semantics)."""
-    emb_q = params["emb"]["q"]  # [V, E]
+    rows of Wemb are multiplied (affine_with_select semantics).
+    `projection` supplies a precomputed (W, b) pair."""
+    if projection is None:
+        projection = prepare_output_projection(params, shortlist)
+    w, b = projection
     aq = params["out"]["aq"]
     bq = params["emb"]["scale"]
-    bias = params["out"]["b"]
-    if shortlist is not None:
-        w_sel = jnp.take(emb_q, shortlist, axis=0).T  # [E, S]
-        b_sel = jnp.take(bias, shortlist, axis=0)
-        return qmm.affine(x, w_sel, b_sel, aq, bq, provider=provider)
-    return qmm.affine(x, emb_q.T, bias, aq, bq, provider=provider)
+    return qmm.affine(x, w, b, aq, bq, provider=provider)
 
 
 def make_additive_mask(mask: jax.Array) -> jax.Array:

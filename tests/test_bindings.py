@@ -1,0 +1,65 @@
+"""Python binding-surface tests (Service facade, to_json, iterators)."""
+
+import json
+
+import pytest
+
+from slimt_tpu.bindings import Service, sentences, to_json, words
+from slimt_tpu.text.annotation import Encoding
+
+from .helpers import make_model
+
+
+@pytest.fixture(scope="module")
+def model():
+    return make_model()
+
+
+def test_service_facade(model):
+    service = Service(workers=2, cache_size=64)
+    try:
+        responses = service.translate(model, ["hello world", "goodbye test"])
+        assert len(responses) == 2
+        assert responses[0].source.text == "hello world"
+    finally:
+        service.close()
+
+
+def test_to_json(model):
+    service = Service(workers=1, cache_size=0)
+    try:
+        response = service.translate(model, ["hello world"])[0]
+    finally:
+        service.close()
+    data = json.loads(to_json(response))
+    assert data["source"]["text"] == "hello world"
+    assert isinstance(data["source"]["annotation"][0], list)
+    assert "target" in data and "alignments" in data
+
+
+def test_iterators(model):
+    service = Service(workers=1, cache_size=0)
+    try:
+        response = service.translate(model, ["hello world\ngoodbye"])[0]
+    finally:
+        service.close()
+    sids = [sid for sid, _, _ in sentences(response.source)]
+    assert sids == [0, 1]
+    surfaces = [surface for _, _, _, surface in words(response.source)]
+    assert "".join(surfaces).startswith("hello world")
+
+
+def test_response_encoding_round_trip(model):
+    """byte ↔ utf8 annotation ranges reconstruct identical words
+    (reference test_encoding.py)."""
+    service = Service(workers=1, cache_size=0)
+    try:
+        response = service.translate(model, ["héllo wörld"])[0]
+    finally:
+        service.close()
+    byte_words = [w for _, _, _, w in words(response.source)]
+    response.to(Encoding.UTF8)
+    utf8_words = [w for _, _, _, w in words(response.source)]
+    assert byte_words == utf8_words
+    response.to(Encoding.BYTE)
+    assert byte_words == [w for _, _, _, w in words(response.source)]
