@@ -1,0 +1,181 @@
+"""Translation-parity validation harness.
+
+Modes (SURVEY.md §6: BLEU parity should be validated by running the
+reference and the new engine on identical inputs):
+
+  oracle     — decode a corpus with the JAX engine AND the independent
+               NumPy oracle (tests/reference_impl.py, written from the
+               reference C++ semantics); report exact-token agreement.
+  providers  — xla_int8 vs pallas vs f32 output agreement.
+  bleu       — sacrebleu between two output files and a reference file
+               (for when real models + reference-CLI outputs exist).
+
+Usage:
+    python scripts/parity.py oracle [--lines 64]
+    python scripts/parity.py providers [--lines 64]
+    python scripts/parity.py bleu hyp.txt ref.txt
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+import numpy as np
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+
+if os.environ.get("JAX_PLATFORMS"):
+    # Honor the env var over site hooks that force a platform.
+    try:
+        import jax
+
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+    except Exception:
+        pass
+
+
+def _build(provider="xla_int8", seed=0):
+    import jax
+
+    from slimt_tpu.config import ModelConfig
+    from slimt_tpu.io import load_items
+    from slimt_tpu.io.loader import load_weights
+    from slimt_tpu.io.synthetic import synthetic_model_bytes
+
+    config = ModelConfig(encoder_layers=3, decoder_layers=2, num_heads=4)
+    config.qmm_provider = provider
+    items = load_items(
+        synthetic_model_bytes(
+            config=config, vocab_size=512, emb_dim=64, ffn_dim=128, seed=seed
+        )
+    )
+    params = load_weights(items, config)
+    return config, params
+
+
+def _corpus(lines, vocab=512, seed=1):
+    rng = np.random.default_rng(seed)
+    out = []
+    for _ in range(lines):
+        n = int(rng.integers(4, 20))
+        out.append(rng.integers(3, vocab, n).astype(np.int32))
+    return out
+
+
+def _decode_jax(config, params, batch_tokens, eos, max_steps, provider):
+    import jax.numpy as jnp
+
+    from slimt_tpu.models.decode import translate_batch
+
+    b = len(batch_tokens)
+    t = max(len(x) for x in batch_tokens)
+    indices = np.zeros((b, t), np.int32)
+    mask = np.zeros((b, t), np.float32)
+    for i, toks in enumerate(batch_tokens):
+        indices[i, : len(toks)] = toks
+        mask[i, : len(toks)] = 1.0
+    result = translate_batch(
+        params,
+        jnp.asarray(indices),
+        jnp.asarray(mask),
+        eos_id=eos,
+        max_steps=max_steps,
+        num_heads=config.num_heads,
+        provider=provider,
+    )
+    tokens = np.asarray(result.tokens)
+    valid = np.asarray(result.valid)
+    return [
+        tokens[i][valid[i]].tolist() for i in range(b)
+    ]
+
+
+def mode_oracle(args):
+    from tests import reference_impl as ref
+
+    config, params = _build()
+    corpus = _corpus(args.lines)
+    eos, max_steps = 2, 24
+
+    got = _decode_jax(config, params, corpus, eos, max_steps, "xla_int8")
+
+    agree = total = 0
+    for i, toks in enumerate(corpus):
+        indices = np.asarray(toks)[None, :]
+        mask = np.ones_like(indices, np.float32)
+        mask_add = ref.make_additive_mask(mask)
+        enc = ref.encoder_forward(
+            params,
+            ref.transform_embedding(ref.embed(params, indices)),
+            mask_add,
+            config.num_heads,
+        )
+        want_tokens, want_valid, _ = ref.greedy_decode(
+            params, enc, mask_add, eos, max_steps, config.num_heads
+        )
+        want = want_tokens[0][want_valid[0]].tolist()
+        total += 1
+        if want == got[i]:
+            agree += 1
+        elif args.verbose:
+            print(f"line {i}: jax={got[i]} oracle={want}")
+    print(f"oracle agreement: {agree}/{total} sentences exact-match")
+    return 0 if agree == total else 1
+
+
+def mode_providers(args):
+    corpus = _corpus(args.lines)
+    eos, max_steps = 2, 24
+    outputs = {}
+    for provider in ("xla_int8", "pallas"):
+        config, params = _build(provider)
+        outputs[provider] = _decode_jax(
+            config, params, corpus, eos, max_steps, provider
+        )
+    mismatches = sum(
+        1
+        for a, b in zip(outputs["xla_int8"], outputs["pallas"])
+        if a != b
+    )
+    print(
+        f"provider agreement (xla_int8 vs pallas): "
+        f"{len(corpus) - mismatches}/{len(corpus)}"
+    )
+    return 0 if mismatches == 0 else 1
+
+
+def mode_bleu(args):
+    import sacrebleu
+
+    with open(args.hypothesis) as f:
+        hyp = [line.rstrip("\n") for line in f]
+    with open(args.reference) as f:
+        refs = [line.rstrip("\n") for line in f]
+    score = sacrebleu.corpus_bleu(hyp, [refs])
+    print(score)
+    return 0
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    sub = parser.add_subparsers(dest="mode", required=True)
+    o = sub.add_parser("oracle")
+    o.add_argument("--lines", type=int, default=64)
+    o.add_argument("--verbose", action="store_true")
+    o.set_defaults(fn=mode_oracle)
+    p = sub.add_parser("providers")
+    p.add_argument("--lines", type=int, default=64)
+    p.set_defaults(fn=mode_providers)
+    b = sub.add_parser("bleu")
+    b.add_argument("hypothesis")
+    b.add_argument("reference")
+    b.set_defaults(fn=mode_bleu)
+    args = parser.parse_args()
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,162 @@
+"""Minimal HTTP serving frontend.
+
+The reference embeds via pybind11/JNI (bindings/); this framework is
+Python-native, so the cross-language embedding story is a JSON/HTTP
+endpoint over the Async service instead — the natural TPU-serving
+shape (one process per host, each serving its chips).
+
+    POST /translate   {"text": "...", "model": "<name>", "html": false,
+                       "pivot": "<name>"?}
+    GET  /health      {"status": "ok", "models": [...]}
+
+Run: python -m slimt_tpu.server --root pkg/ --port 8080
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Dict, Optional
+
+from slimt_tpu.bindings import to_json
+from slimt_tpu.config import Config
+from slimt_tpu.runtime.response import Options
+from slimt_tpu.runtime.service import Async
+
+
+class TranslationServer:
+    def __init__(self, config: Optional[Config] = None):
+        self.service = Async(config or Config(workers=2))
+        self.models: Dict[str, object] = {}
+
+    def add_model(self, name: str, model) -> None:
+        self.models[name] = model
+
+    def handle(self, payload: dict) -> dict:
+        name = payload.get("model")
+        if name is None and len(self.models) == 1:
+            name = next(iter(self.models))
+        if name not in self.models:
+            raise KeyError(f"unknown model {name!r}")
+        model = self.models[name]
+        options = Options(
+            html=bool(payload.get("html", False)),
+            alignment=bool(payload.get("alignment", False)),
+        )
+        pivot_name = payload.get("pivot")
+        if pivot_name:
+            if pivot_name not in self.models:
+                raise KeyError(f"unknown pivot model {pivot_name!r}")
+            handle = self.service.pivot(
+                model, self.models[pivot_name], payload["text"], options
+            )
+        else:
+            handle = self.service.translate(model, payload["text"], options)
+        response = handle.result(timeout=payload.get("timeout", 300))
+        return {
+            "target": response.target.text,
+            "source": response.source.text,
+            "detail": json.loads(to_json(response))
+            if payload.get("detail")
+            else None,
+        }
+
+    def close(self):
+        self.service.close()
+
+
+def make_handler(server: TranslationServer):
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *args):
+            pass
+
+        def _reply(self, code: int, body: dict):
+            data = json.dumps(body).encode("utf-8")
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(data)))
+            self.end_headers()
+            self.wfile.write(data)
+
+        def do_GET(self):
+            if self.path == "/health":
+                self._reply(
+                    200,
+                    {"status": "ok", "models": sorted(server.models)},
+                )
+            else:
+                self._reply(404, {"error": "not found"})
+
+        def do_POST(self):
+            if self.path != "/translate":
+                self._reply(404, {"error": "not found"})
+                return
+            try:
+                length = int(self.headers.get("Content-Length", 0))
+                payload = json.loads(self.rfile.read(length) or b"{}")
+                self._reply(200, server.handle(payload))
+            except KeyError as e:
+                self._reply(404, {"error": str(e)})
+            except Exception as e:  # noqa: BLE001
+                self._reply(500, {"error": f"{type(e).__name__}: {e}"})
+
+    return Handler
+
+
+def serve(server: TranslationServer, host: str = "127.0.0.1", port: int = 8080):
+    httpd = ThreadingHTTPServer((host, port), make_handler(server))
+    thread = threading.Thread(target=httpd.serve_forever, daemon=True)
+    thread.start()
+    return httpd
+
+
+def main(argv=None) -> int:
+    from slimt_tpu.cli import _honor_jax_platforms_env
+    from slimt_tpu.config import preset
+    from slimt_tpu.models.model import Model, Package
+
+    _honor_jax_platforms_env()
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--root", required=True)
+    parser.add_argument("--name", default="default")
+    parser.add_argument("--model", default="model.bin")
+    parser.add_argument("--vocabulary", default="vocab.spm")
+    parser.add_argument("--shortlist", default=None)
+    parser.add_argument("--preset", default="tiny")
+    parser.add_argument("--host", default="127.0.0.1")
+    parser.add_argument("--port", type=int, default=8080)
+    parser.add_argument("--workers", type=int, default=2)
+    args = parser.parse_args(argv)
+
+    import os
+
+    join = lambda p: os.path.join(args.root, p) if p else None
+    model = Model(
+        getattr(preset, args.preset)(),
+        Package(
+            model=join(args.model),
+            vocabulary=join(args.vocabulary),
+            shortlist=join(args.shortlist),
+        ),
+    )
+    server = TranslationServer(Config(workers=args.workers))
+    server.add_model(args.name, model)
+    httpd = ThreadingHTTPServer(
+        (args.host, args.port), make_handler(server)
+    )
+    print(f"serving {args.name} on {args.host}:{args.port}")
+    try:
+        httpd.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        server.close()
+    return 0
+
+
+if __name__ == "__main__":
+    import sys
+
+    sys.exit(main())

@@ -1,0 +1,76 @@
+"""HTTP serving endpoint tests (in-process)."""
+
+import json
+import urllib.request
+
+import pytest
+
+from slimt_tpu.config import Config
+from slimt_tpu.server import TranslationServer, serve
+
+from .helpers import make_model
+
+
+@pytest.fixture(scope="module")
+def endpoint():
+    server = TranslationServer(Config(workers=1, cache_size=0))
+    server.add_model("en-de", make_model(seed=0))
+    server.add_model("de-en", make_model(seed=1))
+    httpd = serve(server, host="127.0.0.1", port=0)
+    port = httpd.server_address[1]
+    yield f"http://127.0.0.1:{port}", server
+    httpd.shutdown()
+    server.close()
+
+
+def _post(url, payload):
+    request = urllib.request.Request(
+        url + "/translate",
+        data=json.dumps(payload).encode("utf-8"),
+        headers={"Content-Type": "application/json"},
+    )
+    try:
+        with urllib.request.urlopen(request, timeout=120) as resp:
+            return resp.status, json.loads(resp.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+def test_health(endpoint):
+    url, _ = endpoint
+    with urllib.request.urlopen(url + "/health", timeout=30) as resp:
+        body = json.loads(resp.read())
+    assert body["status"] == "ok"
+    assert body["models"] == ["de-en", "en-de"]
+
+
+def test_translate(endpoint):
+    url, _ = endpoint
+    status, body = _post(url, {"text": "hello world", "model": "en-de"})
+    assert status == 200
+    assert body["source"] == "hello world"
+    assert isinstance(body["target"], str)
+
+
+def test_translate_detail(endpoint):
+    url, _ = endpoint
+    status, body = _post(
+        url, {"text": "hello world", "model": "en-de", "detail": True}
+    )
+    assert status == 200
+    assert body["detail"]["source"]["text"] == "hello world"
+
+
+def test_pivot(endpoint):
+    url, _ = endpoint
+    status, body = _post(
+        url, {"text": "hello world", "model": "en-de", "pivot": "de-en"}
+    )
+    assert status == 200
+    assert body["source"] == "hello world"
+
+
+def test_unknown_model(endpoint):
+    url, _ = endpoint
+    status, body = _post(url, {"text": "x", "model": "nope"})
+    assert status == 404
