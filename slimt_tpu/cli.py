@@ -195,7 +195,15 @@ def main(argv=None) -> int:
     d.set_defaults(fn=cmd_download)
 
     args = parser.parse_args(argv)
-    return args.fn(args)
+    try:
+        return args.fn(args)
+    except FileNotFoundError as e:
+        print(
+            f"error: {e.filename or e}: no such file — check --root/--model/"
+            "--vocabulary paths (generate a demo package with `synth`)",
+            file=sys.stderr,
+        )
+        return 1
 
 
 if __name__ == "__main__":

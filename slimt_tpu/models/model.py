@@ -206,6 +206,24 @@ class Model:
             histories.append(Hypothesis(target=target, alignment=alignment))
         return histories
 
+    def warmup(
+        self,
+        batch_buckets: Sequence[int] = (1, 8, 64),
+        seq_buckets: Sequence[int] = (16, 32, 64, 128),
+    ) -> int:
+        """Pre-compile the (B, T) shape buckets a serving workload will
+        hit, so no request pays XLA compile latency. Returns the number
+        of variants compiled. No reference equivalent (the CPU path
+        has no compile step)."""
+        compiled = 0
+        for b in batch_buckets:
+            for t in seq_buckets:
+                segment = [1] * (t - 1) + [self.vocabulary.eos_id]
+                # alignment transfer is host-side; one compile per bucket
+                self.forward([segment] * b, need_alignment=False)
+                compiled += 1
+        return compiled
+
     def __repr__(self):
         return (
             f"Model(id={self.id}, vocab={self.vocab_size}, "

@@ -95,7 +95,15 @@ def make_handler(server: TranslationServer):
                 return
             try:
                 length = int(self.headers.get("Content-Length", 0))
-                payload = json.loads(self.rfile.read(length) or b"{}")
+                raw = self.rfile.read(length) or b"{}"
+                try:
+                    payload = json.loads(raw)
+                except json.JSONDecodeError as e:
+                    self._reply(400, {"error": f"invalid JSON body: {e}"})
+                    return
+                if "text" not in payload:
+                    self._reply(400, {"error": "missing required field 'text'"})
+                    return
                 self._reply(200, server.handle(payload))
             except KeyError as e:
                 self._reply(404, {"error": str(e)})
