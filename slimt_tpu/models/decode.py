@@ -72,15 +72,24 @@ def greedy_decode(
         step, _, _, complete, *_ = carry
         return jnp.logical_and(step < max_steps, ~jnp.all(complete))
 
+    # With the reference's position-0 behavior the decoder positional
+    # signal is a constant — computed once, not per step.
+    signal0 = tfm.sinusoidal_signal(0, 1, emb_dim)
+
     def body(carry):
         step, prev, states, complete, tokens, valid, align = carry
 
         prev_embed = tfm.embed(params, prev[:, None])  # [B, 1, E]
         prev_embed = jnp.where(step == 0, 0.0, prev_embed)
-        position = jnp.where(decoder_position_zero, 0, step)
-        signal = tfm.sinusoidal_signal(
-            0, 1, emb_dim, positions=position[None].astype(jnp.float32)
-        )
+        if decoder_position_zero:
+            signal = signal0
+        else:
+            signal = tfm.sinusoidal_signal(
+                0, 1, emb_dim,
+                positions=step[None].astype(jnp.float32)
+                if hasattr(step, "astype")
+                else jnp.asarray([step], jnp.float32),
+            )
         x = prev_embed * sqrt_e + signal
 
         logits, new_states, attn = tfm.decoder_step(

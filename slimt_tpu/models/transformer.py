@@ -94,14 +94,20 @@ def _affine(p: dict, x: jax.Array, provider: Optional[str]) -> jax.Array:
 
 
 def _split_heads(x: jax.Array, num_heads: int) -> jax.Array:
-    """[B, T, E] → [B, H, T, D] (slimt/Modules.cc:88-126)."""
+    """[B, T, E] → [B, H, T, D] (slimt/Modules.cc:88-126).
+
+    T == 1 (decode steps) needs no data movement — pure reshape."""
     b, t, e = x.shape
+    if t == 1:
+        return x.reshape(b, num_heads, 1, e // num_heads)
     return x.reshape(b, t, num_heads, e // num_heads).transpose(0, 2, 1, 3)
 
 
 def _join_heads(x: jax.Array) -> jax.Array:
     """[B, H, T, D] → [B, T, E]."""
     b, h, t, d = x.shape
+    if t == 1:
+        return x.reshape(b, 1, h * d)
     return x.transpose(0, 2, 1, 3).reshape(b, t, h * d)
 
 
