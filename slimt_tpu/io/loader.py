@@ -218,5 +218,27 @@ def load_weights(items: Sequence[Item], config: ModelConfig) -> dict:
 def model_dims(params: dict) -> tuple:
     """(vocab_size, emb_dim, ffn_dim) from a loaded pytree."""
     vocab, emb = params["emb"]["q"].shape
-    ffn = params["encoder"][0]["ffn"]["w1"]["q"].shape[-1]
+    encoder = params["encoder"]
+    if isinstance(encoder, list):
+        ffn = encoder[0]["ffn"]["w1"]["q"].shape[-1]
+    else:  # stacked: leading layer axis
+        ffn = encoder["ffn"]["w1"]["q"].shape[-1]
     return vocab, emb, ffn
+
+
+def _stack(layers: List[dict]) -> dict:
+    import jax
+
+    return jax.tree.map(lambda *xs: np.stack(xs), *layers)
+
+
+def stack_layers(params: dict) -> dict:
+    """Convert the per-layer lists into stacked pytrees (leading layer
+    axis) so the encoder/decoder run as `lax.scan` over layers — much
+    smaller HLO (one layer body instead of N unrolled), faster
+    compiles, and the natural substrate for pipeline-stage splits.
+    Numerics identical to the unrolled form."""
+    out = dict(params)
+    out["encoder"] = _stack(params["encoder"])
+    out["decoder"] = _stack(params["decoder"])
+    return out

@@ -55,10 +55,14 @@ def greedy_decode(
     )
     # Loop-invariant output projection (incl. shortlist select).
     projection = tfm.prepare_output_projection(params, shortlist)
-    states0 = tuple(
-        jnp.zeros((batch, 1, emb_dim), jnp.float32)
-        for _ in params["decoder"]
-    )
+    if isinstance(params["decoder"], list):
+        states0 = tuple(
+            jnp.zeros((batch, 1, emb_dim), jnp.float32)
+            for _ in params["decoder"]
+        )
+    else:  # stacked layers: one [L, B, 1, E] state array
+        n_layers = params["decoder"]["rnn"]["ln"]["scale"].shape[0]
+        states0 = jnp.zeros((n_layers, batch, 1, emb_dim), jnp.float32)
 
     tokens0 = jnp.zeros((batch, max_steps), jnp.int32)
     valid0 = jnp.zeros((batch, max_steps), jnp.bool_)

@@ -27,7 +27,7 @@ import numpy as np
 
 from slimt_tpu.config import ModelConfig
 from slimt_tpu.io import load_items
-from slimt_tpu.io.loader import load_weights, model_dims
+from slimt_tpu.io.loader import load_weights, model_dims, stack_layers
 from slimt_tpu.io.shortlist import ShortlistGenerator
 from slimt_tpu.runtime.request import Hypothesis
 from slimt_tpu.text.processor import TextProcessor
@@ -95,6 +95,9 @@ class Model:
         items = load_items(model_bytes)
         host_params = load_weights(items, config)
         self.vocab_size, self.emb_dim, self.ffn_dim = model_dims(host_params)
+        # Stacked layers (lax.scan): ~100x faster XLA compiles per
+        # shape bucket and slightly faster steady-state than unrolled.
+        host_params = stack_layers(host_params)
         if mesh is not None:
             from slimt_tpu.parallel import sharding as shd
 

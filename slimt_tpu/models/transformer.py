@@ -188,10 +188,26 @@ def encoder_forward(
     provider: Optional[str] = None,
 ) -> jax.Array:
     """[B,T,E] → [B,T,E] through all encoder layers
-    (slimt/Transformer.cc:57-69)."""
-    x = word_embedding
-    for layer in params["encoder"]:
-        x = encoder_layer_forward(layer, x, mask_add, num_heads, provider)
+    (slimt/Transformer.cc:57-69).
+
+    Layers come either as a Python list (unrolled under jit) or as a
+    stacked pytree with a leading layer axis (loader.stack_layers),
+    which runs as one `lax.scan` — identical numerics, much smaller
+    compiled program."""
+    layers = params["encoder"]
+    if isinstance(layers, list):
+        x = word_embedding
+        for layer in layers:
+            x = encoder_layer_forward(layer, x, mask_add, num_heads, provider)
+        return x
+
+    def step(x, layer):
+        return (
+            encoder_layer_forward(layer, x, mask_add, num_heads, provider),
+            None,
+        )
+
+    x, _ = jax.lax.scan(step, word_embedding, layers)
     return x
 
 
@@ -223,13 +239,17 @@ def precompute_cross_kv(
 
     Computed once per batch; the reference redoes this every step
     (TODO at slimt/Modules.cc:248)."""
-    cache = []
-    for layer in params["decoder"]:
+    layers = params["decoder"]
+
+    def project(layer):
         att = layer["att"]
         k = _split_heads(_affine(att["k"], encoder_out, provider), num_heads)
         v = _split_heads(_affine(att["v"], encoder_out, provider), num_heads)
-        cache.append((k, v))
-    return tuple(cache)
+        return k, v
+
+    if isinstance(layers, list):
+        return tuple(project(layer) for layer in layers)
+    return jax.lax.map(project, layers)  # stacked: [L, B, H, T, D] pair
 
 
 def decoder_layer_forward(
@@ -275,16 +295,32 @@ def decoder_step(
     (logits [B, V or S], new_states, guided_alignment [B, H, 1, Tk]
     from the last decoder layer)."""
     x = prev_embed
-    new_states = []
-    guided = None
-    for layer, state, kv in zip(params["decoder"], states, kv_caches):
-        x, new_state, attn = decoder_layer_forward(
-            layer, state, x, mask_add, kv, num_heads, provider
+    layers = params["decoder"]
+    if isinstance(layers, list):
+        new_states = []
+        guided = None
+        for layer, state, kv in zip(layers, states, kv_caches):
+            x, new_state, attn = decoder_layer_forward(
+                layer, state, x, mask_add, kv, num_heads, provider
+            )
+            new_states.append(new_state)
+            guided = attn
+        new_states = tuple(new_states)
+    else:
+        # stacked form: scan over the layer axis of (layers, states, kv)
+        def step(x, inputs):
+            layer, state, kv = inputs
+            y, new_state, attn = decoder_layer_forward(
+                layer, state, x, mask_add, kv, num_heads, provider
+            )
+            return y, (new_state, attn)
+
+        x, (new_states, attns) = jax.lax.scan(
+            step, x, (layers, states, kv_caches)
         )
-        new_states.append(new_state)
-        guided = attn
+        guided = attns[-1]
     logits = output_logits(params, x[:, 0, :], provider, shortlist, projection)
-    return logits, tuple(new_states), guided
+    return logits, new_states, guided
 
 
 def prepare_output_projection(

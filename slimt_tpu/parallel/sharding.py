@@ -76,33 +76,54 @@ def _ffn_spec() -> dict:
     }
 
 
+def _encoder_layer_spec() -> dict:
+    return {"att": _attention_spec(), "ffn": _ffn_spec()}
+
+
+def _decoder_layer_spec() -> dict:
+    return {
+        "rnn": {
+            # SSRU runs column-parallel: W/Wf output-sharded so
+            # gate/highway/relu stay local; the post-LN over the
+            # full feature dim gathers.
+            "w": _linear_spec("col"),
+            "wf": _affine_spec("col"),
+            "ln": dict(_LN_SPEC),
+        },
+        "att": _attention_spec(),
+        "ffn": _ffn_spec(),
+    }
+
+
+def _prepend_none(spec_tree):
+    """Stacked layers carry a leading layer axis: replicate it."""
+    return jax.tree.map(
+        lambda p: P(None, *p),
+        spec_tree,
+        is_leaf=lambda x: isinstance(x, P),
+    )
+
+
 def weight_pspecs(params: dict) -> dict:
-    """PartitionSpec pytree mirroring loader.load_weights output."""
+    """PartitionSpec pytree mirroring loader.load_weights output
+    (list-form layers) or loader.stack_layers output (stacked)."""
+    stacked = not isinstance(params["encoder"], list)
     spec = {
         # Vocab-sharded tied embedding: logit projection is embarrassingly
         # parallel over "model"; the (small) embedding gather all-gathers.
         "emb": {"q": P("model", None), "scale": P()},
         "out": {"aq": P(), "b": P("model")},
-        "encoder": [
-            {"att": _attention_spec(), "ffn": _ffn_spec()}
-            for _ in params["encoder"]
-        ],
-        "decoder": [
-            {
-                "rnn": {
-                    # SSRU runs column-parallel: W/Wf output-sharded so
-                    # gate/highway/relu stay local; the post-LN over the
-                    # full feature dim gathers.
-                    "w": _linear_spec("col"),
-                    "wf": _affine_spec("col"),
-                    "ln": dict(_LN_SPEC),
-                },
-                "att": _attention_spec(),
-                "ffn": _ffn_spec(),
-            }
-            for _ in params["decoder"]
-        ],
     }
+    if stacked:
+        spec["encoder"] = _prepend_none(_encoder_layer_spec())
+        spec["decoder"] = _prepend_none(_decoder_layer_spec())
+    else:
+        spec["encoder"] = [
+            _encoder_layer_spec() for _ in params["encoder"]
+        ]
+        spec["decoder"] = [
+            _decoder_layer_spec() for _ in params["decoder"]
+        ]
     return spec
 
 

@@ -1,0 +1,70 @@
+"""Stacked-layer (lax.scan) form matches the unrolled form exactly."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from slimt_tpu.config import ModelConfig
+from slimt_tpu.io import load_items
+from slimt_tpu.io.loader import load_weights, stack_layers
+from slimt_tpu.io.synthetic import synthetic_model_bytes
+from slimt_tpu.models import decode as dec
+
+CONFIG = ModelConfig(encoder_layers=3, decoder_layers=2, num_heads=4)
+VOCAB, EMB, FFN = 96, 32, 64
+
+
+@pytest.fixture(scope="module")
+def params():
+    items = load_items(
+        synthetic_model_bytes(
+            config=CONFIG, vocab_size=VOCAB, emb_dim=EMB, ffn_dim=FFN, seed=7
+        )
+    )
+    return load_weights(items, CONFIG)
+
+
+def _batch(seed=3):
+    rng = np.random.default_rng(seed)
+    b, t = 3, 10
+    indices = rng.integers(1, VOCAB, (b, t)).astype(np.int32)
+    mask = np.ones((b, t), np.float32)
+    mask[1, -3:] = 0.0
+    return indices, mask
+
+
+def _run(params, indices, mask, shortlist=None):
+    return dec.translate_batch(
+        params,
+        jnp.asarray(indices),
+        jnp.asarray(mask),
+        eos_id=2,
+        max_steps=12,
+        num_heads=CONFIG.num_heads,
+        provider="xla_int8",
+        shortlist=jnp.asarray(shortlist) if shortlist is not None else None,
+    )
+
+
+def test_stacked_matches_unrolled(params):
+    indices, mask = _batch()
+    want = _run(params, indices, mask)
+    got = _run(stack_layers(params), indices, mask)
+    np.testing.assert_array_equal(np.asarray(got.valid), np.asarray(want.valid))
+    np.testing.assert_array_equal(
+        np.asarray(got.tokens), np.asarray(want.tokens)
+    )
+    np.testing.assert_allclose(
+        np.asarray(got.alignment), np.asarray(want.alignment), atol=1e-5
+    )
+
+
+def test_stacked_with_shortlist(params):
+    indices, mask = _batch(seed=5)
+    shortlist = np.arange(0, VOCAB, 2, dtype=np.int32)
+    want = _run(params, indices, mask, shortlist)
+    got = _run(stack_layers(params), indices, mask, shortlist)
+    np.testing.assert_array_equal(
+        np.asarray(got.tokens), np.asarray(want.tokens)
+    )
