@@ -124,6 +124,19 @@ def cmd_synth(args) -> int:
     return 0
 
 
+def cmd_convert(args) -> int:
+    from slimt_tpu.config import preset
+    from slimt_tpu.io.checkpoint import convert_marian
+
+    with open(args.input, "rb") as f:
+        model_bytes = f.read()
+    converted = convert_marian(model_bytes, getattr(preset, args.preset)())
+    with open(args.output, "wb") as f:
+        f.write(converted)
+    print(f"wrote {args.output} ({len(converted) / 1e6:.1f} MB)")
+    return 0
+
+
 def cmd_ls(args) -> int:
     root = args.root or os.path.expanduser("~/.local/share/slimt_tpu/models")
     if not os.path.isdir(root):
@@ -193,6 +206,14 @@ def main(argv=None) -> int:
 
     d = sub.add_parser("download", help="(offline stub)")
     d.set_defaults(fn=cmd_download)
+
+    c = sub.add_parser(
+        "convert", help="marian .bin → native TPU checkpoint (.npz)"
+    )
+    c.add_argument("input")
+    c.add_argument("output")
+    c.add_argument("--preset", default="tiny", choices=["tiny", "base", "nano"])
+    c.set_defaults(fn=cmd_convert)
 
     args = parser.parse_args(argv)
     try:

@@ -92,12 +92,25 @@ class Model:
         self.mesh = mesh
 
         model_bytes = Package._bytes(package.model)
-        items = load_items(model_bytes)
-        host_params = load_weights(items, config)
-        self.vocab_size, self.emb_dim, self.ffn_dim = model_dims(host_params)
-        # Stacked layers (lax.scan): ~100x faster XLA compiles per
-        # shape bucket and slightly faster steady-state than unrolled.
-        host_params = stack_layers(host_params)
+        from slimt_tpu.io import checkpoint as ckpt
+
+        if ckpt.is_native(model_bytes):
+            import io as _io
+
+            host_params, meta = ckpt.load_native(_io.BytesIO(model_bytes))
+            self.vocab_size = meta["vocab_size"]
+            self.emb_dim = meta["emb_dim"]
+            self.ffn_dim = meta["ffn_dim"]
+        else:
+            items = load_items(model_bytes)
+            host_params = load_weights(items, config)
+            self.vocab_size, self.emb_dim, self.ffn_dim = model_dims(
+                host_params
+            )
+            # Stacked layers (lax.scan): ~100x faster XLA compiles per
+            # shape bucket and slightly faster steady-state than
+            # unrolled.
+            host_params = stack_layers(host_params)
         if mesh is not None:
             from slimt_tpu.parallel import sharding as shd
 
