@@ -38,6 +38,10 @@ class ModelConfig:
     decoder_position_zero: bool = True
     # Activation dtype inside the network ("float32" or "bfloat16").
     compute_dtype: str = "float32"
+    # Blockwise Pallas encoder self-attention: O(T·block) memory,
+    # lifts the reference's hard 128-token wrap constraint for long
+    # inputs. Default off (einsum SDPA is fine at wrap_length).
+    flash_attention: bool = False
 
 
 @dataclasses.dataclass

@@ -144,6 +144,7 @@ def translate_batch(
     provider: Optional[str] = None,
     shortlist: Optional[jax.Array] = None,
     decoder_position_zero: bool = True,
+    flash_attention: bool = False,
 ) -> GreedyResult:
     """Full forward: embed → encoder → greedy decode
     (slimt/Model.cc:187-204). `indices`/`mask`: [B, T] padded batch in
@@ -152,7 +153,8 @@ def translate_batch(
     word_embedding = tfm.transform_embedding(word_embedding)
     mask_add = tfm.make_additive_mask(mask)
     encoder_out = tfm.encoder_forward(
-        params, word_embedding, mask_add, num_heads, provider
+        params, word_embedding, mask_add, num_heads, provider,
+        flash=flash_attention,
     )
     return greedy_decode(
         params,
@@ -176,6 +178,7 @@ def translate_batch(
         "provider",
         "decoder_position_zero",
         "with_shortlist",
+        "flash_attention",
     ),
 )
 def translate_batch_jit(
@@ -190,6 +193,7 @@ def translate_batch_jit(
     provider: Optional[str] = None,
     decoder_position_zero: bool = True,
     with_shortlist: bool = False,
+    flash_attention: bool = False,
 ):
     """Jitted entry; compile cache keyed on (B, T, S) bucket shapes."""
     return translate_batch(
@@ -202,4 +206,5 @@ def translate_batch_jit(
         provider,
         shortlist if with_shortlist else None,
         decoder_position_zero,
+        flash_attention,
     )

@@ -204,6 +204,7 @@ class Model:
             provider=self.config.qmm_provider,
             decoder_position_zero=self.config.decoder_position_zero,
             with_shortlist=shortlist is not None,
+            flash_attention=self.config.flash_attention,
         )
         tokens = np.asarray(result.tokens)
         valid = np.asarray(result.valid)

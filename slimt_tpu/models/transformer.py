@@ -138,13 +138,16 @@ def attention_forward(
     num_heads: int,
     provider: Optional[str] = None,
     kv_cache: Optional[Tuple[jax.Array, jax.Array]] = None,
+    flash: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
     """Full attention block incl. residual + post-LN
     (slimt/Modules.cc:287-319). Returns (out, attn_weights).
 
     `kv_cache` supplies pre-projected, pre-split K/V ([B,H,Tk,D]) for
     cross-attention so encoder projections happen once per batch, not
-    once per decode step.
+    once per decode step. `flash=True` uses the blockwise Pallas
+    kernel (O(T·block) memory; attn weights not materialized — returns
+    None for them).
     """
     yq = _split_heads(_affine(att["q"], q_in, provider), num_heads)
     if kv_cache is None:
@@ -152,7 +155,13 @@ def attention_forward(
         yv = _split_heads(_affine(att["v"], v_in, provider), num_heads)
     else:
         yk, yv = kv_cache
-    attn_out, attn = scaled_dot_product_attention(yq, yk, yv, mask_add)
+    if flash:
+        from slimt_tpu.ops.attention import blockwise_attention
+
+        attn_out = blockwise_attention(yq, yk, yv, mask_add)
+        attn = None
+    else:
+        attn_out, attn = scaled_dot_product_attention(yq, yk, yv, mask_add)
     out = _affine(att["o"], _join_heads(attn_out), provider)
     return layer_norm(q_in + out, att["ln"]), attn
 
@@ -173,9 +182,10 @@ def encoder_layer_forward(
     mask_add: jax.Array,
     num_heads: int,
     provider: Optional[str] = None,
+    flash: bool = False,
 ) -> jax.Array:
     out, _ = attention_forward(
-        layer["att"], x, x, x, mask_add, num_heads, provider
+        layer["att"], x, x, x, mask_add, num_heads, provider, flash=flash
     )
     return _ffn_block(layer, out, provider)
 
@@ -186,6 +196,7 @@ def encoder_forward(
     mask_add: jax.Array,
     num_heads: int,
     provider: Optional[str] = None,
+    flash: bool = False,
 ) -> jax.Array:
     """[B,T,E] → [B,T,E] through all encoder layers
     (slimt/Transformer.cc:57-69).
@@ -198,12 +209,16 @@ def encoder_forward(
     if isinstance(layers, list):
         x = word_embedding
         for layer in layers:
-            x = encoder_layer_forward(layer, x, mask_add, num_heads, provider)
+            x = encoder_layer_forward(
+                layer, x, mask_add, num_heads, provider, flash=flash
+            )
         return x
 
     def step(x, layer):
         return (
-            encoder_layer_forward(layer, x, mask_add, num_heads, provider),
+            encoder_layer_forward(
+                layer, x, mask_add, num_heads, provider, flash=flash
+            ),
             None,
         )
 
