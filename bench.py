@@ -211,6 +211,57 @@ def bench_e2e(lines=2048, workers=4):
     )
 
 
+def bench_multipair(lines_per_model=512):
+    """Two resident models (en-de + de-en analog) served through one
+    Async service — the multi-pair serving config (BASELINE.json #5,
+    reference AggregateBatcher slimt/Batcher.hh:130-180)."""
+    from slimt_tpu.config import Config
+    from slimt_tpu.runtime.service import Async
+
+    model_a = _model()
+    model_b = _model()
+    rng = np.random.default_rng(3)
+    words = (
+        "hello world goodbye this is a test of the translation engine "
+        "quick brown fox jumps over lazy dog"
+    ).split()
+    corpus = [
+        " ".join(rng.choice(words, rng.integers(6, 20)))
+        for _ in range(lines_per_model)
+    ]
+
+    def run():
+        with Async(Config(cache_size=0, max_words=4096, workers=2, batch_latency=0.05)) as svc:
+            handles = []
+            for line in corpus:
+                handles.append((svc.translate(model_a, line)))
+                handles.append((svc.translate(model_b, line)))
+            responses = [h.result(600) for h in handles]
+        return responses
+
+    run()  # warmup: compile both models' buckets
+    t0 = time.perf_counter()
+    responses = run()
+    elapsed = time.perf_counter() - t0
+    tokens = sum(
+        r.target.word_count(s)
+        for r in responses
+        for s in range(r.target.sentence_count())
+    )
+    print(
+        json.dumps(
+            {
+                "metric": "multipair_async_tokens_per_sec_two_models",
+                "value": round(tokens / elapsed, 1),
+                "unit": "tokens/s",
+                "vs_baseline": round(tokens / elapsed / TARGET, 3),
+                "models": 2,
+                "requests": len(responses),
+            }
+        )
+    )
+
+
 def bench_providers():
     for provider in ("xla_int8", "pallas", "f32"):
         result = _decode_bench(provider=provider, iters=3)
@@ -226,6 +277,7 @@ def main():
         "shortlist": bench_shortlist,
         "base": bench_base,
         "e2e": bench_e2e,
+        "multipair": bench_multipair,
         "providers": bench_providers,
     }[mode]()
 

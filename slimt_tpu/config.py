@@ -54,6 +54,11 @@ class Config:
     tgt_length_limit_factor: float = 1.5  # max target len / source len
     wrap_length: int = 128  # hard wrap for long sentences (tokens)
     html: bool = False
+    # Async batching window (seconds): how long a worker waits for
+    # more segments once work exists. 0 = reference behavior (pack
+    # immediately); a few ms greatly improves TPU batch occupancy
+    # under streaming request loads.
+    batch_latency: float = 0.0
 
 
 class preset:

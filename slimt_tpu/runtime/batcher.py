@@ -163,13 +163,21 @@ class AggregateBatcher:
 class Threadsafe:
     """Monitor wrapper over a batcher: enqueue notifies, generate
     blocks until work or shutdown; an empty batch is the shutdown
-    poison (slimt/Batcher.hh:203-259)."""
+    poison (slimt/Batcher.hh:203-259).
 
-    def __init__(self, inner):
+    `batch_latency` > 0 adds a batching window: once work exists, a
+    worker waits up to that many seconds for more segments before
+    packing a batch. The reference has no such window (CPU workers
+    want work instantly); a TPU worker amortizes per-call overhead
+    over large batches, so trading a few ms of latency for occupancy
+    is usually a large throughput win."""
+
+    def __init__(self, inner, batch_latency: float = 0.0):
         self._inner = inner
         self._cond = threading.Condition()
         self._enqueued = 0
         self._shutdown = False
+        self._batch_latency = batch_latency
 
     def enqueue(self, *args) -> int:
         with self._cond:
@@ -180,9 +188,18 @@ class Threadsafe:
             return count
 
     def generate(self):
+        import time as _time
+
         with self._cond:
             while self._enqueued == 0 and not self._shutdown:
                 self._cond.wait()
+            if self._batch_latency > 0 and not self._shutdown:
+                deadline = _time.monotonic() + self._batch_latency
+                while True:
+                    remaining = deadline - _time.monotonic()
+                    if remaining <= 0 or self._shutdown:
+                        break
+                    self._cond.wait(timeout=remaining)
             result = self._inner.generate()
             batch = result[0] if isinstance(result, tuple) else result
             self._enqueued -= len(batch)

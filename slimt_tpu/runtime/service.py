@@ -198,7 +198,8 @@ class Async:
                 self.config.max_words,
                 self.config.wrap_length,
                 self.config.tgt_length_limit_factor,
-            )
+            ),
+            batch_latency=self.config.batch_latency,
         )
         self._workers = [
             threading.Thread(target=self._work, daemon=True)
