@@ -118,12 +118,28 @@ def bench_headline():
 
 
 def bench_batch1():
+    import jax
+    import jax.numpy as jnp
+
     result = _decode_bench(
         batch=1, seq=24, iters=20,
         metric="decode_tokens_per_sec_batch1_tiny11_int8",
     )
-    # Also report p50-ish sentence latency (36 decode steps).
-    result["sentence_latency_ms"] = round(36 / result["value"] * 1000, 2)
+    # p50-ish sentence latency (36 decode steps), raw and with the
+    # host↔device round-trip floor subtracted (through the axon
+    # tunnel the RTT dominates; on directly-attached TPU hardware the
+    # device time is what a server would see).
+    raw_ms = 36 / result["value"] * 1000
+    trivial = jax.jit(lambda x: x * 2)
+    x = jnp.ones((8, 8), jnp.float32)
+    np.asarray(trivial(x))
+    t0 = time.perf_counter()
+    for _ in range(10):
+        np.asarray(trivial(x))
+    rtt_ms = (time.perf_counter() - t0) / 10 * 1e3
+    result["sentence_latency_ms"] = round(raw_ms, 2)
+    result["host_rtt_floor_ms"] = round(rtt_ms, 2)
+    result["device_latency_ms_est"] = round(max(raw_ms - 2 * rtt_ms, 0), 2)
     print(json.dumps(result))
 
 
