@@ -114,6 +114,11 @@ class Model:
         if mesh is not None:
             from slimt_tpu.parallel import sharding as shd
 
+            # Multi-process SPMD (one process per TPU host): every
+            # process runs the identical host pipeline on the full
+            # request stream; device arrays are assembled from each
+            # process's addressable shards and results all-gathered.
+            self._multiprocess = jax.process_count() > 1
             if sharding == "replicate":
                 self.params = shd.replicate_params(host_params, mesh)
             else:
@@ -126,6 +131,7 @@ class Model:
             self.params = jax.device_put(host_params)
             self._batch_sharding = None
             self._data_size = 1
+            self._multiprocess = False
 
         self.vocabulary = Vocabulary(Package._bytes(package.vocabulary))
         ssplit = Package._bytes(package.ssplit)
@@ -185,7 +191,17 @@ class Model:
             ).astype(np.int32)
 
         max_steps = max(1, int(self.limit_factor * t_pad))
-        if self._batch_sharding is not None:
+        if self._multiprocess:
+            # Each process serves its addressable shards of the (host-
+            # replicated) global batch.
+            indices_j = jax.make_array_from_callback(
+                indices.shape, self._batch_sharding,
+                lambda idx: indices[idx],
+            )
+            mask_j = jax.make_array_from_callback(
+                mask.shape, self._batch_sharding, lambda idx: mask[idx]
+            )
+        elif self._batch_sharding is not None:
             indices_j = jax.device_put(indices, self._batch_sharding)
             mask_j = jax.device_put(mask, self._batch_sharding)
         else:
@@ -206,9 +222,28 @@ class Model:
             with_shortlist=shortlist is not None,
             flash_attention=self.config.flash_attention,
         )
-        tokens = np.asarray(result.tokens)
-        valid = np.asarray(result.valid)
-        align = np.asarray(result.alignment) if need_alignment else None
+        if self._multiprocess:
+            from jax.experimental import multihost_utils
+
+            tokens = np.asarray(
+                multihost_utils.process_allgather(result.tokens, tiled=True)
+            )
+            valid = np.asarray(
+                multihost_utils.process_allgather(result.valid, tiled=True)
+            )
+            align = (
+                np.asarray(
+                    multihost_utils.process_allgather(
+                        result.alignment, tiled=True
+                    )
+                )
+                if need_alignment
+                else None
+            )
+        else:
+            tokens = np.asarray(result.tokens)
+            valid = np.asarray(result.valid)
+            align = np.asarray(result.alignment) if need_alignment else None
 
         histories = []
         for i in range(batch):
