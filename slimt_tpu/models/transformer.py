@@ -170,7 +170,12 @@ def _ffn_block(
     layer: dict, x: jax.Array, provider: Optional[str]
 ) -> jax.Array:
     """FFN1 → relu → FFN2 → residual → post-LN
-    (slimt/Modules.cc:321-334)."""
+    (slimt/Modules.cc:321-334). provider "fused" runs the whole block
+    as one Pallas kernel (ops.fused_blocks)."""
+    if provider == "fused":
+        from slimt_tpu.ops import fused_blocks
+
+        return fused_blocks.ffn_block(x, layer["ffn"], layer["ffn"]["ln"])
     h = jax.nn.relu(_affine(layer["ffn"]["w1"], x, provider))
     y = _affine(layer["ffn"]["w2"], h, provider)
     return layer_norm(y + x, layer["ffn"]["ln"])
@@ -232,6 +237,10 @@ def ssru_forward(
     """One SSRU step (slimt/Modules.cc:182-235).
 
     state: cell c(t-1), [B, 1, E]. Returns (h, c(t))."""
+    if provider == "fused":
+        from slimt_tpu.ops import fused_blocks
+
+        return fused_blocks.ssru_block(x, state, rnn)
     f = jax.nn.sigmoid(_affine(rnn["wf"], x, provider))
     wx = qmm.dot(
         x, rnn["w"]["q"], rnn["w"]["aq"], rnn["w"]["bq"], provider=provider

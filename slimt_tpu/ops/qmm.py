@@ -41,7 +41,7 @@ _DEFAULT_PROVIDER = "xla_int8"
 
 def set_default_provider(name: str) -> None:
     global _DEFAULT_PROVIDER
-    if name not in ("xla_int8", "pallas", "f32"):
+    if name not in ("xla_int8", "pallas", "f32", "fused"):
         raise ValueError(f"unknown qmm provider {name!r}")
     _DEFAULT_PROVIDER = name
 
@@ -82,6 +82,10 @@ def affine(
 ) -> jax.Array:
     """y = dequant(quant(x) @ w_q) [+ b]; w_q is int8 [K, N]."""
     provider = provider or _DEFAULT_PROVIDER
+    if provider == "fused":
+        # "fused" fuses whole blocks at the transformer level; bare
+        # affines fall back to the XLA int8 path.
+        provider = "xla_int8"
     if provider == "pallas":
         from slimt_tpu.ops import qmm_pallas
 
