@@ -86,6 +86,11 @@ def make_handler(server: TranslationServer):
                     200,
                     {"status": "ok", "models": sorted(server.models)},
                 )
+            elif self.path == "/health/devices":
+                from slimt_tpu.runtime.health import probe_devices
+
+                probe = probe_devices()
+                self._reply(200 if probe.get("ok") else 503, probe)
             else:
                 self._reply(404, {"error": "not found"})
 
