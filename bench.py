@@ -151,12 +151,12 @@ def bench_shortlist():
         rng.integers(3, 32000, rng.integers(8, 48)).tolist() + [0]
         for _ in range(64)
     ]
-    model.forward(segments)  # warmup/compile
+    model.forward(segments, need_alignment=False)  # warmup/compile
     t0 = time.perf_counter()
     iters = 3
     tokens = 0
     for _ in range(iters):
-        histories = model.forward(segments)
+        histories = model.forward(segments, need_alignment=False)
         tokens += sum(len(h.target) for h in histories)
     elapsed = time.perf_counter() - t0
     tps = tokens / elapsed

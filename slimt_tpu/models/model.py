@@ -10,8 +10,9 @@ TPU adaptations over the reference forward (slimt/Model.cc:111-204):
   - (B, T) shapes are bucketed (T to multiples of 16, B to powers of
     two) so the XLA compile cache stays small; padded rows carry a
     zero mask and their outputs are discarded;
-  - the shortlist is padded to a static bucket size (multiples of 64)
-    with unused target ids, keeping the logit matmul shape stable;
+  - the shortlist is padded to a static bucket size (multiples of
+    1024, capped at the vocab) with unused target ids, keeping the
+    logit matmul shape stable and the compile cache tiny;
   - the whole decode loop runs on device (lax.while_loop with early
     exit), not one host step per token.
 """
@@ -35,7 +36,7 @@ from slimt_tpu.text.vocabulary import Vocabulary
 
 _model_ids = itertools.count()
 
-SHORTLIST_BUCKET = 64
+SHORTLIST_BUCKET = 1024
 SEQ_BUCKET = 16
 
 
