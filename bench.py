@@ -81,6 +81,7 @@ def _decode_bench(
             max_steps=max_steps,
             num_heads=config.num_heads,
             provider=provider,
+            kv_dtype="bfloat16",
         )
     )
     # Distinct inputs per iteration: identical dispatches can be

@@ -48,10 +48,12 @@ def greedy_decode(
     provider: Optional[str] = None,
     shortlist: Optional[jax.Array] = None,
     decoder_position_zero: bool = True,
+    kv_dtype: Optional[str] = None,
 ) -> GreedyResult:
     batch, t_src, emb_dim = encoder_out.shape
     kv_caches = tfm.precompute_cross_kv(
-        params, encoder_out, num_heads, provider
+        params, encoder_out, num_heads, provider,
+        dtype=jnp.dtype(kv_dtype) if kv_dtype else None,
     )
     # Loop-invariant output projection (incl. shortlist select).
     projection = tfm.prepare_output_projection(params, shortlist)
@@ -145,6 +147,7 @@ def translate_batch(
     shortlist: Optional[jax.Array] = None,
     decoder_position_zero: bool = True,
     flash_attention: bool = False,
+    kv_dtype: Optional[str] = None,
 ) -> GreedyResult:
     """Full forward: embed → encoder → greedy decode
     (slimt/Model.cc:187-204). `indices`/`mask`: [B, T] padded batch in
@@ -166,6 +169,7 @@ def translate_batch(
         provider,
         shortlist,
         decoder_position_zero,
+        kv_dtype,
     )
 
 
@@ -179,6 +183,7 @@ def translate_batch(
         "decoder_position_zero",
         "with_shortlist",
         "flash_attention",
+        "kv_dtype",
     ),
 )
 def translate_batch_jit(
@@ -194,6 +199,7 @@ def translate_batch_jit(
     decoder_position_zero: bool = True,
     with_shortlist: bool = False,
     flash_attention: bool = False,
+    kv_dtype: Optional[str] = None,
 ):
     """Jitted entry; compile cache keyed on (B, T, S) bucket shapes."""
     return translate_batch(
@@ -207,4 +213,5 @@ def translate_batch_jit(
         shortlist if with_shortlist else None,
         decoder_position_zero,
         flash_attention,
+        kv_dtype,
     )

@@ -222,6 +222,11 @@ class Model:
             decoder_position_zero=self.config.decoder_position_zero,
             with_shortlist=shortlist is not None,
             flash_attention=self.config.flash_attention,
+            kv_dtype=(
+                None
+                if self.config.kv_cache_dtype == "float32"
+                else self.config.kv_cache_dtype
+            ),
         )
         if self._multiprocess:
             from jax.experimental import multihost_utils

@@ -120,13 +120,23 @@ def scaled_dot_product_attention(
     reference's sgemm alpha (slimt/Modules.cc:42-51).
     """
     d = q.shape[-1]
+    # K/V may be reduced-precision (bf16 cache); multiply in that
+    # dtype, accumulate f32.
     scores = jnp.einsum(
-        "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
+        "bhqd,bhkd->bhqk",
+        q.astype(k.dtype),
+        k,
+        preferred_element_type=jnp.float32,
     ) * (1.0 / math.sqrt(d))
     scores = scores + mask_add
-    attn = jax.nn.softmax(scores, axis=-1)
-    out = jnp.einsum("bhqk,bhkd->bhqd", attn, v, preferred_element_type=jnp.float32)
-    return out, attn
+    attn = jax.nn.softmax(scores.astype(jnp.float32), axis=-1)
+    out = jnp.einsum(
+        "bhqk,bhkd->bhqd",
+        attn.astype(v.dtype),
+        v,
+        preferred_element_type=jnp.float32,
+    )
+    return out.astype(jnp.float32), attn
 
 
 def attention_forward(
@@ -258,17 +268,25 @@ def precompute_cross_kv(
     encoder_out: jax.Array,
     num_heads: int,
     provider: Optional[str] = None,
+    dtype: Optional[jnp.dtype] = None,
 ) -> Tuple:
     """Per-decoder-layer (K, V) head-split projections of encoder_out.
 
     Computed once per batch; the reference redoes this every step
-    (TODO at slimt/Modules.cc:248)."""
+    (TODO at slimt/Modules.cc:248).
+
+    `dtype=bfloat16` halves the KV-cache HBM reads the decode loop
+    pays every step — the dominant per-step cost at large batch (the
+    matmuls accumulate in f32 either way)."""
     layers = params["decoder"]
 
     def project(layer):
         att = layer["att"]
         k = _split_heads(_affine(att["k"], encoder_out, provider), num_heads)
         v = _split_heads(_affine(att["v"], encoder_out, provider), num_heads)
+        if dtype is not None:
+            k = k.astype(dtype)
+            v = v.astype(dtype)
         return k, v
 
     if isinstance(layers, list):
