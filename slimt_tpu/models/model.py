@@ -167,6 +167,18 @@ class Model:
         alignments. The reference always materializes them
         (slimt/Model.cc:84-108); here the transfer is the cost, not
         the compute."""
+        return self.forward_async(segments, need_alignment)()
+
+    def forward_async(
+        self,
+        segments: Sequence[Sequence[int]],
+        need_alignment: bool = True,
+    ):
+        """Dispatch the device computation and return a zero-arg
+        callable producing the Histories. JAX dispatch is async, so
+        callers can launch several batches back-to-back and fetch
+        results later — hiding the host↔device round-trip behind
+        compute (the serving loops use this to pipeline batches)."""
         import jax
         import jax.numpy as jnp
 
@@ -228,41 +240,51 @@ class Model:
                 else self.config.kv_cache_dtype
             ),
         )
-        if self._multiprocess:
-            from jax.experimental import multihost_utils
+        def finish() -> List[Hypothesis]:
+            if self._multiprocess:
+                from jax.experimental import multihost_utils
 
-            tokens = np.asarray(
-                multihost_utils.process_allgather(result.tokens, tiled=True)
-            )
-            valid = np.asarray(
-                multihost_utils.process_allgather(result.valid, tiled=True)
-            )
-            align = (
-                np.asarray(
+                tokens = np.asarray(
                     multihost_utils.process_allgather(
-                        result.alignment, tiled=True
+                        result.tokens, tiled=True
                     )
                 )
-                if need_alignment
-                else None
-            )
-        else:
-            tokens = np.asarray(result.tokens)
-            valid = np.asarray(result.valid)
-            align = np.asarray(result.alignment) if need_alignment else None
-
-        histories = []
-        for i in range(batch):
-            steps = int(valid[i].sum())
-            target = tokens[i, :steps].tolist()
-            if align is not None:
-                alignment = [
-                    align[i, t, : lengths[i]].tolist() for t in range(steps)
-                ]
+                valid = np.asarray(
+                    multihost_utils.process_allgather(result.valid, tiled=True)
+                )
+                align = (
+                    np.asarray(
+                        multihost_utils.process_allgather(
+                            result.alignment, tiled=True
+                        )
+                    )
+                    if need_alignment
+                    else None
+                )
             else:
-                alignment = []
-            histories.append(Hypothesis(target=target, alignment=alignment))
-        return histories
+                tokens = np.asarray(result.tokens)
+                valid = np.asarray(result.valid)
+                align = (
+                    np.asarray(result.alignment) if need_alignment else None
+                )
+
+            histories = []
+            for i in range(batch):
+                steps = int(valid[i].sum())
+                target = tokens[i, :steps].tolist()
+                if align is not None:
+                    alignment = [
+                        align[i, t, : lengths[i]].tolist()
+                        for t in range(steps)
+                    ]
+                else:
+                    alignment = []
+                histories.append(
+                    Hypothesis(target=target, alignment=alignment)
+                )
+            return histories
+
+        return finish
 
     def warmup(
         self,

@@ -50,25 +50,39 @@ def _needs_alignment(batch: Batch) -> bool:
 
 def _exhaust(model, batcher: Batcher, meters=None) -> None:
     """Translate until the batcher runs dry, recording wps/occupancy
-    (slimt/Frontend.cc:42-60)."""
+    (slimt/Frontend.cc:42-60).
+
+    All device batches are dispatched before any result is fetched:
+    JAX's async dispatch pipelines them, hiding host↔device round
+    trips behind compute (the reference's loop is strictly serial)."""
     from slimt_tpu.utils import Timer
 
-    batch = batcher.generate()
-    while not batch.empty():
+    while True:
         timer = Timer()
-        segments = [ref.get() for ref in batch.segment_refs]
-        histories = model.forward(
-            segments, need_alignment=_needs_alignment(batch)
-        )
-        batch.complete(histories)
-        if meters is not None:
-            meters.record_batch(
-                words=batch.token_count,
-                elapsed=timer.elapsed(),
-                used=batch.token_count,
-                capacity=len(segments) * max(batch.max_length, 1),
-            )
+        in_flight = []
         batch = batcher.generate()
+        while not batch.empty():
+            segments = [ref.get() for ref in batch.segment_refs]
+            finish = model.forward_async(
+                segments, need_alignment=_needs_alignment(batch)
+            )
+            in_flight.append((batch, len(segments), finish))
+            batch = batcher.generate()
+        if not in_flight:
+            return
+
+        for batch, n_segments, finish in in_flight:
+            histories = finish()
+            batch.complete(histories)
+            if meters is not None:
+                meters.record_batch(
+                    words=batch.token_count,
+                    elapsed=timer.elapsed(),
+                    used=batch.token_count,
+                    capacity=n_segments * max(batch.max_length, 1),
+                )
+                timer.reset()
+        # completions may have enqueued follow-up work
 
 
 class Blocking:
