@@ -128,10 +128,10 @@ class Blocking:
 
             return continuation
 
-        for i, text in enumerate(texts):
-            annotated, segments = model.processor.process(
-                text, self.config.wrap_length
-            )
+        processed = model.processor.process_batch(
+            texts, self.config.wrap_length
+        )
+        for i, (annotated, segments) in enumerate(processed):
             request = _make_request(
                 self._ids, model, self.cache, annotated, segments,
                 make_continuation(i),

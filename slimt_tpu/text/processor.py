@@ -18,7 +18,7 @@ translation (slimt/TextProcessor.cc:159-199).
 
 from __future__ import annotations
 
-from typing import List, Optional, Tuple
+from typing import List, Optional, Sequence, Tuple
 
 from slimt_tpu.text.annotation import AnnotatedText
 from slimt_tpu.text.splitter import SentenceStream, Splitter, SplitMode
@@ -44,27 +44,51 @@ class TextProcessor:
     ) -> Tuple[AnnotatedText, Segments]:
         """(AnnotatedText, Segments) — segments carry EOS; annotation
         records one sentence per wrapped segment."""
-        source = AnnotatedText(text)
-        segments: Segments = []
-        stream = SentenceStream(text, self.splitter, self.mode)
+        return self.process_batch([text], wrap_length)[0]
 
-        # Spans are char offsets; annotation wants byte offsets.
-        prefix_bytes = [0]
-        for ch in text:
-            prefix_bytes.append(prefix_bytes[-1] + len(ch.encode("utf-8")))
+    def process_batch(
+        self, texts: Sequence[str], wrap_length: int
+    ) -> List[Tuple[AnnotatedText, Segments]]:
+        """Batch variant: all sentences across all inputs are encoded
+        in one vocabulary.encode_batch call (parallel in the Rust
+        tokenizers backend) — the host-throughput path the serving
+        loops use. Output identical to per-text process()."""
+        plans = []  # per text: (source, [(sentence, byte_offset)])
+        all_sentences: List[str] = []
+        for text in texts:
+            source = AnnotatedText(text)
+            prefix_bytes = [0]
+            for ch in text:
+                prefix_bytes.append(
+                    prefix_bytes[-1] + len(ch.encode("utf-8"))
+                )
+            spans = []
+            for sentence, begin, _ in SentenceStream(
+                text, self.splitter, self.mode
+            ):
+                if not sentence:
+                    continue  # paragraph-boundary marker
+                spans.append((sentence, prefix_bytes[begin]))
+                all_sentences.append(sentence)
+            plans.append((source, spans))
 
-        for sentence, begin, end in stream:
-            if not sentence:
-                continue  # paragraph-boundary marker
-            ids, char_ranges = self.vocabulary.encode(sentence, add_eos=False)
-            if not ids:
-                continue
-            byte_ranges = [
-                (prefix_bytes[begin] + b, prefix_bytes[begin] + e)
-                for b, e in self._to_byte_ranges(sentence, char_ranges)
-            ]
-            self._wrap(ids, byte_ranges, segments, source, wrap_length)
-        return source, segments
+        encoded = self.vocabulary.encode_batch(all_sentences, add_eos=False)
+
+        results = []
+        cursor = 0
+        for source, spans in plans:
+            segments: Segments = []
+            for _, byte_offset in spans:
+                ids, ranges = encoded[cursor]
+                cursor += 1
+                if not ids:
+                    continue
+                byte_ranges = [
+                    (byte_offset + b, byte_offset + e) for b, e in ranges
+                ]
+                self._wrap(ids, byte_ranges, segments, source, wrap_length)
+            results.append((source, segments))
+        return results
 
     @staticmethod
     def _to_byte_ranges(sentence: str, ranges):
