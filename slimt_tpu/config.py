@@ -36,8 +36,6 @@ class ModelConfig:
     # Keep True for output parity with the reference; False restores
     # marian's per-position signal.
     decoder_position_zero: bool = True
-    # Activation dtype inside the network ("float32" or "bfloat16").
-    compute_dtype: str = "float32"
     # Cross-attention K/V cache dtype for the decode loop. The cache
     # is re-read from HBM every step — bf16 halves that traffic
     # (~1.5-1.7x decode speedup at large batch); matmuls still

@@ -144,6 +144,11 @@ def _ffn(items: _Items, prefix: str) -> dict:
 def load_weights(items: Sequence[Item], config: ModelConfig) -> dict:
     """Assemble the params pytree; warns on unused items like the
     reference's load_parameters (slimt/Transformer.cc:216-225)."""
+    if config.feed_forward_depth != 2:
+        raise ValueError(
+            "only feed_forward_depth=2 (W1/relu/W2) models are supported, "
+            f"got {config.feed_forward_depth}"
+        )
     pool = _Items(items)
 
     emb_item = pool.take("Wemb")

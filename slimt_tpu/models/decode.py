@@ -69,7 +69,9 @@ def greedy_decode(
     tokens0 = jnp.zeros((batch, max_steps), jnp.int32)
     valid0 = jnp.zeros((batch, max_steps), jnp.bool_)
     align0 = jnp.zeros((batch, max_steps, t_src), jnp.float32)
-    complete0 = jnp.zeros((batch,), jnp.bool_)
+    # Padding rows (fully-masked; added by batch-size bucketing) start
+    # complete so they never defeat the early exit.
+    complete0 = ~jnp.any(mask_add[:, 0, 0, :] == 0.0, axis=-1)
     prev0 = jnp.zeros((batch,), jnp.int32)
 
     sqrt_e = math.sqrt(emb_dim)

@@ -21,7 +21,6 @@ from __future__ import annotations
 
 import dataclasses
 import itertools
-import threading
 from typing import List, Optional, Sequence, Union
 
 import numpy as np
@@ -149,8 +148,6 @@ class Model:
                 shortlist_bytes, vocab_size=self.vocab_size
             )
 
-        self._forward_lock = threading.Lock()
-
     # -- device forward ------------------------------------------------
 
     def forward(
@@ -187,6 +184,7 @@ class Model:
         batch = len(segments)
         lengths = [len(s) for s in segments]
         b_pad = max(_bucket_batch(batch), self._data_size)
+        b_pad = -(-b_pad // self._data_size) * self._data_size
         t_pad = _bucket_seq(max(lengths))
 
         pad_id = self.vocabulary.pad_id

@@ -102,15 +102,22 @@ class Batcher:
         return enqueued
 
     def generate(self) -> Batch:
-        """Greedy shortest-first packing under the max_words budget."""
+        """Greedy shortest-first packing under the max_words budget.
+
+        A single segment longer than max_words (possible on pivot
+        leg 2, which re-tokenizes without wrapping) is emitted as a
+        singleton batch rather than stalling the pool (the reference
+        asserts here, slimt/Batcher.cc:107-110)."""
         batch = Batch()
         for length in range(self._running_max + 1):
             bucket = self._buckets[length]
             while bucket:
                 if (len(batch) + 1) * max(length, 1) <= self.max_words:
                     batch.add(heapq.heappop(bucket))
+                elif batch.empty():
+                    batch.add(heapq.heappop(bucket))  # oversize singleton
+                    return batch
                 else:
-                    assert not batch.empty()
                     return batch
         return batch
 

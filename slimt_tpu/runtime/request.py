@@ -65,6 +65,8 @@ class Request:
         self.continuation = continuation
         self.needs_alignment = needs_alignment
         self.next: Optional["Request"] = None
+        self.failed: Optional[BaseException] = None
+        self.on_error: Optional[Callable[[BaseException], None]] = None
 
         self._lock = threading.Lock()
         self.histories: List[Optional[History]] = [None] * len(segments)
@@ -80,6 +82,10 @@ class Request:
             prefilled = 0
             for idx, segment in enumerate(segments):
                 found, history = cache.find(cache_key(model_id, segment))
+                # A cached hypothesis translated without alignments
+                # cannot serve an alignment-needing request.
+                if found and needs_alignment and history.target and not history.alignment:
+                    found = False
                 if found:
                     self.histories[idx] = history
                     prefilled += 1
@@ -126,6 +132,16 @@ class Request:
             )
         if finished:
             self._complete()
+
+    def fail(self, exc: BaseException) -> None:
+        """Propagate a worker-side failure to the requester (no
+        reference equivalent — the reference aborts the process)."""
+        with self._lock:
+            if self.failed is not None:
+                return
+            self.failed = exc
+        if self.on_error is not None:
+            self.on_error(exc)
 
     def _complete(self) -> None:
         """Assemble the Response: decode every history, rebuild the

@@ -68,7 +68,20 @@ def transfer_through_characters(
         else:
             left = max(tp.begin, sp.begin)
             right = min(tp.end, sp.end)
-            assert left < right, "pivot token ranges must overlap"
+            if left >= right:
+                # Zero-width token (e.g. a control piece with empty
+                # surface): no byte overlap to spread over. Give a
+                # zero-width target token's mass to the current source
+                # token to conserve probability, then advance whichever
+                # side ends first. (The reference asserts here,
+                # slimt/Response.cc:49.)
+                if tp.end - tp.begin == 0:
+                    for t in range(n_t):
+                        remapped[t][sq] += pivot_given_targets[t][qt]
+                    qt += 1
+                else:
+                    sq += 1
+                continue
             character_count = right - left
             spread = tp.end - tp.begin
             for t in range(n_t):

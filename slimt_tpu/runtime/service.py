@@ -224,16 +224,26 @@ class Async:
 
     def _work(self) -> None:
         """Worker loop (slimt/Frontend.cc:212-227); empty batch =
-        shutdown poison."""
+        shutdown poison. A failing batch fails its requests (futures
+        get the exception) instead of killing the worker."""
+        import logging
+
         while True:
             batch, model = self.batcher.generate()
             if batch.empty():
                 return
-            histories = model.forward(
-                [ref.get() for ref in batch.segment_refs],
-                need_alignment=_needs_alignment(batch),
-            )
-            batch.complete(histories)
+            try:
+                histories = model.forward(
+                    [ref.get() for ref in batch.segment_refs],
+                    need_alignment=_needs_alignment(batch),
+                )
+                batch.complete(histories)
+            except Exception as e:  # noqa: BLE001
+                logging.getLogger(__name__).exception(
+                    "translation batch failed"
+                )
+                for ref in batch.segment_refs:
+                    ref.request.fail(e)
 
     def translate(
         self, model, source: str, options: Optional[Options] = None
@@ -249,9 +259,12 @@ class Async:
         future: Future = Future()
 
         def continuation(response: Response):
-            if html is not None:
-                html.restore(response)
-            future.set_result(response)
+            try:
+                if html is not None:
+                    html.restore(response)
+                future.set_result(response)
+            except Exception as e:  # noqa: BLE001
+                future.set_exception(e)
             return None
 
         annotated, segments = model.processor.process(
@@ -261,6 +274,7 @@ class Async:
             self._ids, model, self.cache, annotated, segments, continuation,
             needs_alignment=options.alignment or options.html,
         )
+        request.on_error = future.set_exception
         self.batcher.enqueue(model, request)
         return Handle(request, parts=1, future=future)
 
@@ -281,10 +295,13 @@ class Async:
 
         def continuation(partial: Response):
             def joining(pivot_to_target: Response):
-                response = combine(partial, pivot_to_target)
-                if html is not None:
-                    html.restore(response)
-                future.set_result(response)
+                try:
+                    response = combine(partial, pivot_to_target)
+                    if html is not None:
+                        html.restore(response)
+                    future.set_result(response)
+                except Exception as e:  # noqa: BLE001
+                    future.set_exception(e)
                 return None
 
             annotated, segments = second.processor.process_annotated(
@@ -293,6 +310,7 @@ class Async:
             request = _make_request(
                 self._ids, second, self.cache, annotated, segments, joining
             )
+            request.on_error = future.set_exception
             self.batcher.enqueue(second, request)
             return request
 
@@ -302,6 +320,7 @@ class Async:
         request = _make_request(
             self._ids, first, self.cache, annotated, segments, continuation
         )
+        request.on_error = future.set_exception
         self.batcher.enqueue(first, request)
         return Handle(request, parts=2, future=future)
 

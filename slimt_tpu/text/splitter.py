@@ -226,7 +226,14 @@ def _read_paragraph(text: str, pos: int) -> Tuple[Optional[str], int]:
 class SentenceStream:
     """Iterates sentences in one of three modes; in paragraph modes an
     empty yield marks a paragraph boundary (slimt/Splitter.cc:340-366).
-    Yields (sentence_text, begin, end) spans into the original text."""
+    Yields (sentence_text, begin, end) spans into the original text.
+
+    Note: sentences are NOT newline-collapsed — the reference's
+    TextProcessor consumes the string_view extraction path, which
+    skips single_line (slimt/TextProcessor.cc:104 uses
+    `operator>>(string_view&)`; only the std::string overload
+    collapses, Splitter.cc:368-372). `single_line` is provided for
+    callers that want the collapsed form."""
 
     def __init__(self, text: str, splitter: Splitter, mode: SplitMode):
         self.text = text

@@ -34,7 +34,9 @@ class FakeVocab:
         return text, ranges
 
 
-def _make_request(segments, continuation=None, cache=None, id_=0):
+def _make_request(
+    segments, continuation=None, cache=None, id_=0, needs_alignment=False
+):
     source = AnnotatedText()
     for seg in segments:
         source.append_sentence("", [f"t{w}" for w in seg])
@@ -46,6 +48,7 @@ def _make_request(segments, continuation=None, cache=None, id_=0):
         vocabulary=FakeVocab(),
         cache=cache,
         continuation=continuation or (lambda r: None),
+        needs_alignment=needs_alignment,
     )
 
 
@@ -191,3 +194,38 @@ def test_threadsafe_delivers_work():
     t.join(timeout=5)
     assert results == [(1, 0)]
     ts.shutdown()
+
+
+def test_cache_alignmentless_entry_not_served_to_alignment_request():
+    """A hypothesis cached without alignments must not satisfy a
+    request that needs them (would break HTML restore)."""
+    cache = AtomicCache(64, 4)
+    warm = _make_request([[9, 0]], cache=cache)
+    warm.process(0, Hypothesis([1, 0], []))  # cached, no alignment
+    needy = _make_request([[9, 0]], cache=cache, needs_alignment=True)
+    assert not needy.cached(0)  # goes to translation again
+
+
+def test_request_fail_propagates():
+    errors = []
+    request = _make_request([[1, 0]])
+    request.on_error = errors.append
+    exc = RuntimeError("device gone")
+    request.fail(exc)
+    request.fail(RuntimeError("second"))  # only first propagates
+    assert errors == [exc]
+
+
+def test_batcher_oversize_singleton():
+    batcher = Batcher(max_words=4, wrap_length=4, tgt_length_limit_factor=1.0)
+    long_segment = [1, 2, 3, 4, 5]  # > max_words
+    request = _make_request([long_segment, [7]], id_=0)
+    batcher.enqueue(request)
+    sizes = []
+    while True:
+        batch = batcher.generate()
+        if batch.empty():
+            break
+        sizes.append(len(batch.segment_refs[0].get()))
+    assert 5 in sizes  # oversize emitted as its own batch, not dropped
+    assert 1 in sizes
