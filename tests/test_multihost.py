@@ -54,3 +54,26 @@ def test_global_mesh_all_devices():
 
 def test_initialize_single_process_noop():
     multihost.initialize(num_processes=1)  # must not raise
+
+
+def test_scaling_report_harness(package):
+    """The scaling-efficiency harness runs (CPU mesh: functional, not
+    a perf statement)."""
+    from slimt_tpu.config import Config
+    from slimt_tpu.runtime.service import Blocking
+
+    corpus = ["hello world"] * 4
+
+    def make_model(mesh):
+        return Model(
+            TINY_TEST_CONFIG, package, mesh=mesh, sharding="replicate"
+        )
+
+    def make_service():
+        return Blocking(Config(cache_size=0))
+
+    report = multihost.scaling_report(
+        make_model, make_service, corpus, device_counts=[1, 2]
+    )
+    assert set(report["throughput"]) == {1, 2}
+    assert report["efficiency"][1] == pytest.approx(1.0)
