@@ -120,6 +120,20 @@ def scaled_dot_product_attention(
     reference's sgemm alpha (slimt/Modules.cc:42-51).
     """
     d = q.shape[-1]
+    scale = 1.0 / math.sqrt(d)
+    if q.shape[-2] == 1 and k.dtype != jnp.float32:
+        # Decode-step attention on the reduced-precision KV cache:
+        # batched [1,D]x[T,D] matmuls underutilize the MXU badly, so
+        # compute scores/output as broadcast-multiply + reduce on the
+        # VPU instead — ~2x faster per step, HBM-bandwidth bound.
+        qb = q[:, :, 0, :].astype(k.dtype)  # [B,H,D]
+        scores = (
+            (k * qb[:, :, None, :]).astype(jnp.float32).sum(-1) * scale
+            + mask_add[:, :, 0, :]
+        )  # [B,H,Tk]
+        attn = jax.nn.softmax(scores, axis=-1)
+        out = (v.astype(jnp.float32) * attn[..., None]).sum(2)  # [B,H,D]
+        return out[:, :, None, :], attn[:, :, None, :]
     # K/V may be reduced-precision (bf16 cache); multiply in that
     # dtype, accumulate f32.
     scores = jnp.einsum(
@@ -127,7 +141,7 @@ def scaled_dot_product_attention(
         q.astype(k.dtype),
         k,
         preferred_element_type=jnp.float32,
-    ) * (1.0 / math.sqrt(d))
+    ) * scale
     scores = scores + mask_add
     attn = jax.nn.softmax(scores.astype(jnp.float32), axis=-1)
     out = jnp.einsum(
