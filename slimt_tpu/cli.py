@@ -55,12 +55,29 @@ def cmd_translate(args) -> int:
         cache_size=args.cache_size,
         workers=args.workers,
         wrap_length=args.wrap_length,
+        tgt_length_limit_factor=args.limit_factor,
     )
     model_config = getattr(preset, args.preset)()
-    model = Model(model_config, _package(args))
+    # Per-model architecture overrides (reference Model::Config
+    # setup_onto flags, slimt/Model.hh:33-51).
+    if args.encoder_layers:
+        model_config.encoder_layers = args.encoder_layers
+    if args.decoder_layers:
+        model_config.decoder_layers = args.decoder_layers
+    if args.num_heads:
+        model_config.num_heads = args.num_heads
+    if args.split_mode:
+        model_config.split_mode = args.split_mode
+    model = Model(
+        model_config, _package(args),
+        tgt_length_limit_factor=args.limit_factor,
+    )
     follow = None
     if args.follow_model and args.follow_vocabulary:
-        follow = Model(model_config, _package(args, "follow-"))
+        follow = Model(
+            model_config, _package(args, "follow-"),
+            tgt_length_limit_factor=args.limit_factor,
+        )
 
     options = Options(html=args.html, alignment=args.html or args.alignment)
     text = sys.stdin.read() if args.text is None else args.text
@@ -191,6 +208,14 @@ def main(argv=None) -> int:
     t.add_argument("--max-words", type=int, default=1024)
     t.add_argument("--cache-size", type=int, default=1024)
     t.add_argument("--wrap-length", type=int, default=128)
+    t.add_argument("--limit-factor", type=float, default=1.5)
+    t.add_argument("--encoder-layers", type=int, default=0)
+    t.add_argument("--decoder-layers", type=int, default=0)
+    t.add_argument("--num-heads", type=int, default=0)
+    t.add_argument(
+        "--split-mode", default=None,
+        choices=["sentence", "paragraph", "wrapped_text"],
+    )
     t.set_defaults(fn=cmd_translate)
 
     s = sub.add_parser("synth", help="generate a synthetic demo package")
