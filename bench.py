@@ -113,9 +113,10 @@ def _decode_bench(
 
 
 def bench_headline():
-    # B=256 ≈ serving batch at the TPU-scaled max_words budget; per-
-    # call host round-trip included.
-    print(json.dumps(_decode_bench(batch=256)))
+    # Peak-throughput serving batch (bulk-translation shape); per-call
+    # host round-trip included. Smaller-batch and full-service numbers
+    # are in PERFORMANCE.md / other modes.
+    print(json.dumps(_decode_bench(batch=1024, iters=6)))
 
 
 def bench_batch1():

@@ -68,3 +68,42 @@ def test_stacked_with_shortlist(params):
     np.testing.assert_array_equal(
         np.asarray(got.tokens), np.asarray(want.tokens)
     )
+
+
+def test_kv_dtype_bfloat16_decodes(params):
+    """bf16 KV cache path: same structure, tokens may differ slightly
+    from f32 (reduced precision) but decode must complete and stay
+    deterministic."""
+    indices, mask = _batch(seed=9)
+    stacked = stack_layers(params)
+    a = dec.translate_batch(
+        stack_layers(params), jnp.asarray(indices), jnp.asarray(mask),
+        eos_id=2, max_steps=10, num_heads=CONFIG.num_heads,
+        provider="xla_int8", kv_dtype="bfloat16",
+    )
+    b = dec.translate_batch(
+        stacked, jnp.asarray(indices), jnp.asarray(mask),
+        eos_id=2, max_steps=10, num_heads=CONFIG.num_heads,
+        provider="xla_int8", kv_dtype="bfloat16",
+    )
+    np.testing.assert_array_equal(np.asarray(a.tokens), np.asarray(b.tokens))
+    assert np.asarray(a.valid).any()
+
+
+def test_flash_attention_flag_through_translate(params):
+    indices, mask = _batch(seed=10)
+    stacked = stack_layers(params)
+    want = dec.translate_batch(
+        stacked, jnp.asarray(indices), jnp.asarray(mask),
+        eos_id=2, max_steps=8, num_heads=CONFIG.num_heads,
+        provider="xla_int8",
+    )
+    got = dec.translate_batch(
+        stacked, jnp.asarray(indices), jnp.asarray(mask),
+        eos_id=2, max_steps=8, num_heads=CONFIG.num_heads,
+        provider="xla_int8", flash_attention=True,
+    )
+    # encoder flash path is numerically very close; greedy tokens match
+    np.testing.assert_array_equal(
+        np.asarray(got.tokens), np.asarray(want.tokens)
+    )
