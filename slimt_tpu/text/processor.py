@@ -37,6 +37,13 @@ class TextProcessor:
     ):
         self.mode = SplitMode(mode)
         self.vocabulary = vocabulary
+        if splitter_data is None:
+            # Fallback English prefix set; a package-provided ssplit
+            # file always wins (reference warns when absent,
+            # slimt/TextProcessor.cc:41-51).
+            from slimt_tpu.text.prefixes import ENGLISH
+
+            splitter_data = ENGLISH
         self.splitter = Splitter(splitter_data)
 
     def process(
