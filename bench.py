@@ -280,6 +280,66 @@ def bench_multipair(lines_per_model=512):
     )
 
 
+def bench_corpus(path=None, workers=4):
+    """WNGT20-style corpus throughput: pipe a real file through the
+    Async service (the reference's scripts/run.sh workload — 10k
+    shuffled sources, N workers). Falls back to a synthetic corpus
+    when no file is given (the WNGT20 sets need network access)."""
+    from slimt_tpu.config import Config
+    from slimt_tpu.runtime.service import Async
+
+    model = _model()
+    if path:
+        with open(path, encoding="utf-8") as f:
+            corpus = [line.strip() for line in f if line.strip()][:10000]
+    else:
+        rng = np.random.default_rng(5)
+        words = (
+            "hello world goodbye this is a test of the translation engine "
+            "quick brown fox jumps over lazy dog sentence splitting works "
+            "numbers like 123 and punctuation are handled"
+        ).split()
+        corpus = [
+            " ".join(rng.choice(words, rng.integers(5, 30)))
+            for _ in range(10000)
+        ]
+
+    def run():
+        with Async(
+            Config(
+                cache_size=2048, max_words=8192, workers=workers,
+                batch_latency=0.02,
+            )
+        ) as svc:
+            handles = [svc.translate(model, line) for line in corpus]
+            return [h.result(1200) for h in handles]
+
+    run()  # warmup compiles
+    t0 = time.perf_counter()
+    responses = run()
+    elapsed = time.perf_counter() - t0
+    source_words = sum(len(line.split()) for line in corpus)
+    target_tokens = sum(
+        r.target.word_count(s)
+        for r in responses
+        for s in range(r.target.sentence_count())
+    )
+    print(
+        json.dumps(
+            {
+                "metric": "corpus_async_target_tokens_per_sec",
+                "value": round(target_tokens / elapsed, 1),
+                "unit": "tokens/s",
+                "vs_baseline": round(target_tokens / elapsed / TARGET, 3),
+                "source_words_per_sec": round(source_words / elapsed, 1),
+                "lines": len(corpus),
+                "workers": workers,
+                "elapsed_s": round(elapsed, 2),
+            }
+        )
+    )
+
+
 def bench_providers():
     for provider in ("xla_int8", "pallas", "f32"):
         result = _decode_bench(provider=provider, iters=3)
@@ -296,6 +356,7 @@ def main():
         "base": bench_base,
         "e2e": bench_e2e,
         "multipair": bench_multipair,
+        "corpus": bench_corpus,
         "providers": bench_providers,
     }[mode]()
 
