@@ -57,7 +57,10 @@ def cmd_translate(args) -> int:
         wrap_length=args.wrap_length,
         tgt_length_limit_factor=args.limit_factor,
     )
+    import dataclasses
+
     model_config = getattr(preset, args.preset)()
+    follow_config = dataclasses.replace(model_config)
     # Per-model architecture overrides (reference Model::Config
     # setup_onto flags, slimt/Model.hh:33-51).
     if args.encoder_layers:
@@ -74,8 +77,10 @@ def cmd_translate(args) -> int:
     )
     follow = None
     if args.follow_model and args.follow_vocabulary:
+        # follow model keeps preset architecture; the per-model
+        # override flags apply to the primary only
         follow = Model(
-            model_config, _package(args, "follow-"),
+            follow_config, _package(args, "follow-"),
             tgt_length_limit_factor=args.limit_factor,
         )
 

@@ -183,8 +183,8 @@ class Model:
 
         batch = len(segments)
         lengths = [len(s) for s in segments]
-        b_pad = max(_bucket_batch(batch), self._data_size)
-        b_pad = -(-b_pad // self._data_size) * self._data_size
+        # power-of-two bucket, rounded to a multiple of the data axis
+        b_pad = -(-_bucket_batch(batch) // self._data_size) * self._data_size
         t_pad = _bucket_seq(max(lengths))
 
         pad_id = self.vocabulary.pad_id

@@ -141,7 +141,10 @@ class Request:
                 return
             self.failed = exc
         if self.on_error is not None:
-            self.on_error(exc)
+            try:
+                self.on_error(exc)
+            except Exception:  # e.g. future already resolved
+                pass
 
     def _complete(self) -> None:
         """Assemble the Response: decode every history, rebuild the

@@ -308,7 +308,8 @@ class Async:
                 partial.target
             )
             request = _make_request(
-                self._ids, second, self.cache, annotated, segments, joining
+                self._ids, second, self.cache, annotated, segments, joining,
+                needs_alignment=options.alignment or options.html,
             )
             request.on_error = future.set_exception
             self.batcher.enqueue(second, request)
@@ -318,7 +319,8 @@ class Async:
             source, self.config.wrap_length
         )
         request = _make_request(
-            self._ids, first, self.cache, annotated, segments, continuation
+            self._ids, first, self.cache, annotated, segments, continuation,
+            needs_alignment=options.alignment or options.html,
         )
         request.on_error = future.set_exception
         self.batcher.enqueue(first, request)

@@ -25,11 +25,15 @@ ENGLISH = "\n".join(
         "Sgt", "Sr", "St", "Supt", "Surg",
         # misc abbreviations
         "v", "vs", "i.e", "rev", "e.g", "etc", "approx", "apt", "dept",
-        "est", "min", "max",
-        # numeric-only
-        "No # NUMERIC_ONLY #", "Nos", "Art # NUMERIC_ONLY #", "Nr",
-        "pp # NUMERIC_ONLY #",
-        "Jan", "Feb", "Mar", "Apr", "Jun", "Jul", "Aug", "Sep", "Oct",
-        "Nov", "Dec",
+        # numeric-only: suppress a break only before a number
+        "No # NUMERIC_ONLY #", "Art # NUMERIC_ONLY #",
+        "pp # NUMERIC_ONLY #", "Nr # NUMERIC_ONLY #",
+        "Nos # NUMERIC_ONLY #",
+        "Jan # NUMERIC_ONLY #", "Feb # NUMERIC_ONLY #",
+        "Mar # NUMERIC_ONLY #", "Apr # NUMERIC_ONLY #",
+        "Jun # NUMERIC_ONLY #", "Jul # NUMERIC_ONLY #",
+        "Aug # NUMERIC_ONLY #", "Sep # NUMERIC_ONLY #",
+        "Oct # NUMERIC_ONLY #", "Nov # NUMERIC_ONLY #",
+        "Dec # NUMERIC_ONLY #",
     ]
 )

@@ -40,5 +40,7 @@ def make_package(
 
 
 def make_model(**kwargs) -> Model:
-    config = kwargs.pop("config", TINY_TEST_CONFIG)
+    import dataclasses
+
+    config = dataclasses.replace(kwargs.pop("config", TINY_TEST_CONFIG))
     return Model(config, make_package(config=config, **kwargs))

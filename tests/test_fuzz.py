@@ -94,7 +94,6 @@ def test_long_sentence_flash_attention():
     from slimt_tpu.models.decode import translate_batch
 
     model = make_model()
-    model.config.flash_attention = True
     words = "hello world test quick brown " * 120  # ~600 tokens
     ids, _ = model.vocabulary.encode(words, add_eos=True)
     assert len(ids) > 400
