@@ -141,6 +141,10 @@ def main(argv=None) -> int:
     parser.add_argument("--host", default="127.0.0.1")
     parser.add_argument("--port", type=int, default=8080)
     parser.add_argument("--workers", type=int, default=2)
+    parser.add_argument(
+        "--warmup", action="store_true",
+        help="pre-compile serving shape buckets before accepting traffic",
+    )
     args = parser.parse_args(argv)
 
     import os
@@ -154,6 +158,9 @@ def main(argv=None) -> int:
             shortlist=join(args.shortlist),
         ),
     )
+    if args.warmup:
+        compiled = model.warmup()
+        print(f"warmed {compiled} shape buckets")
     server = TranslationServer(Config(workers=args.workers))
     server.add_model(args.name, model)
     httpd = ThreadingHTTPServer(
