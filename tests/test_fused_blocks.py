@@ -59,3 +59,38 @@ def test_ffn_block_large_tiles(params):
         fused_blocks.ffn_block(x, layer["ffn"], layer["ffn"]["ln"])
     )
     np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5)
+
+
+def test_fused_decoder_layer_step_matches(params):
+    """Experimental whole-decoder-layer kernel (ops/decoder_step_pallas):
+    parity with the unfused path in interpret mode."""
+    import jax.numpy as jnp
+
+    from slimt_tpu.models import transformer as tfm
+    from slimt_tpu.ops.decoder_step_pallas import decoder_layer_step
+
+    layer = params["decoder"][0]
+    rng = np.random.default_rng(4)
+    B, T, E, H = 5, 12, 32, 4
+    x = jnp.asarray(rng.standard_normal((B, 1, E)).astype(np.float32))
+    c = jnp.asarray(rng.standard_normal((B, 1, E)).astype(np.float32))
+    enc = jnp.asarray(rng.standard_normal((B, T, E)).astype(np.float32) * 0.3)
+    mask = np.ones((B, T), np.float32)
+    mask[1, -4:] = 0
+    mask_add = jnp.asarray(
+        ((1.0 - mask) * -99999999.0)[:, None, None, :].astype(np.float32)
+    )
+    kv = tfm.precompute_cross_kv({"decoder": [layer]}, enc, H, "xla_int8")[0]
+    want_y, want_c, want_attn = tfm.decoder_layer_forward(
+        layer, c, x, mask_add, kv, H, "xla_int8"
+    )
+    got_y, got_c, got_attn0 = decoder_layer_step(layer, c, x, mask_add, kv, H)
+    np.testing.assert_allclose(
+        np.asarray(got_y), np.asarray(want_y), atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(got_c), np.asarray(want_c), atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(got_attn0), np.asarray(want_attn)[:, 0, 0, :], atol=1e-6
+    )
