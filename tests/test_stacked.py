@@ -107,3 +107,26 @@ def test_flash_attention_flag_through_translate(params):
     np.testing.assert_array_equal(
         np.asarray(got.tokens), np.asarray(want.tokens)
     )
+
+
+def test_decoder_position_zero_false(params):
+    """Marian-style per-position decoder signal (the reference's
+    behavior uses position 0 every step; the flag restores marian's)."""
+    indices, mask = _batch(seed=11)
+    stacked = stack_layers(params)
+    ref_mode = dec.translate_batch(
+        stacked, jnp.asarray(indices), jnp.asarray(mask),
+        eos_id=2, max_steps=10, num_heads=CONFIG.num_heads,
+        provider="xla_int8", decoder_position_zero=True,
+    )
+    marian_mode = dec.translate_batch(
+        stacked, jnp.asarray(indices), jnp.asarray(mask),
+        eos_id=2, max_steps=10, num_heads=CONFIG.num_heads,
+        provider="xla_int8", decoder_position_zero=False,
+    )
+    # both decode; outputs (generally) differ from step 2 onward
+    assert np.asarray(ref_mode.valid).any()
+    assert np.asarray(marian_mode.valid).any()
+    np.testing.assert_array_equal(  # step 0 identical (position 0)
+        np.asarray(ref_mode.tokens)[:, 0], np.asarray(marian_mode.tokens)[:, 0]
+    )
