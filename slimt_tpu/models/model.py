@@ -86,6 +86,9 @@ class Model:
         over "data". Single chip when mesh is None."""
         import jax
 
+        from slimt_tpu.utils import configure_compile_cache
+
+        configure_compile_cache()
         self.id = next(_model_ids)
         self.config = config
         self.limit_factor = tgt_length_limit_factor
