@@ -161,3 +161,42 @@ def test_restore_entity_encoding(model):
         model, ["five &lt; six"], Options(html=True)
     )[0]
     assert "&lt;" in response.source.text
+
+
+def test_restore_multiparagraph(model):
+    """Block tags create sentence breaks; restore re-emits the
+    paragraph structure across multiple sentences."""
+    service = Blocking(Config(cache_size=0))
+    response = service.translate(
+        model, ["<p>hello world</p><p>goodbye test</p>"], Options(html=True)
+    )[0]
+    src = response.source.text
+    assert src.count("<p>") == 2 and src.count("</p>") == 2
+    tgt = response.target.text
+    assert tgt.count("<p>") == tgt.count("</p>")
+    # both paragraphs survive in the target
+    assert tgt.count("<p>") >= 1
+
+
+def test_restore_nested_inline(model):
+    service = Blocking(Config(cache_size=0))
+    response = service.translate(
+        model, ["<b><i>hello</i> world</b>"], Options(html=True)
+    )[0]
+    src = response.source.text
+    assert src.index("<b>") < src.index("<i>") < src.index("</i>") < src.index("</b>")
+    tgt = response.target.text
+    for tag in ("<b>", "</b>"):
+        assert tag in tgt
+    # nesting order preserved where present
+    if "<i>" in tgt:
+        assert tgt.index("<i>") < tgt.index("</i>")
+
+
+def test_comment_and_pi_preserved(model):
+    service = Blocking(Config(cache_size=0))
+    response = service.translate(
+        model, ["<!-- note -->hello world"], Options(html=True)
+    )[0]
+    assert "<!-- note -->" in response.source.text
+    assert "<!-- note -->" in response.target.text
