@@ -145,22 +145,33 @@ def bench_batch1():
     print(json.dumps(result))
 
 
-def bench_shortlist():
-    """Shortlisted output projection via the full Model.forward path."""
+def bench_shortlist(lines=2048):
+    """Shortlisted output projection through the full Blocking service
+    (pipelined batches, like the e2e mode but with the lexical
+    shortlist restricting the logit matmul)."""
+    from slimt_tpu.config import Config
+    from slimt_tpu.runtime.service import Blocking
+
     model = _model(with_shortlist=True)
-    rng = np.random.default_rng(1)
-    segments = [
-        rng.integers(3, 32000, rng.integers(8, 48)).tolist() + [0]
-        for _ in range(64)
+    rng = np.random.default_rng(2)
+    words = (
+        "hello world goodbye this is a test of the translation engine "
+        "quick brown fox jumps over lazy dog sentence splitting works"
+    ).split()
+    corpus = [
+        " ".join(rng.choice(words, rng.integers(6, 24)))
+        for _ in range(lines)
     ]
-    model.forward(segments, need_alignment=False)  # warmup/compile
+    service = Blocking(Config(cache_size=0, max_words=4096))
+    service.translate(model, corpus)  # warm all shape buckets
     t0 = time.perf_counter()
-    iters = 3
-    tokens = 0
-    for _ in range(iters):
-        histories = model.forward(segments, need_alignment=False)
-        tokens += sum(len(h.target) for h in histories)
+    responses = service.translate(model, corpus)
     elapsed = time.perf_counter() - t0
+    tokens = sum(
+        r.target.word_count(x)
+        for r in responses
+        for x in range(r.target.sentence_count())
+    )
     tps = tokens / elapsed
     print(
         json.dumps(
