@@ -322,7 +322,7 @@ def bench_corpus(path=None, workers=4):
                 batch_latency=0.02,
             )
         ) as svc:
-            handles = [svc.translate(model, line) for line in corpus]
+            handles = svc.translate_many(model, corpus)
             return [h.result(1200) for h in handles]
 
     run()  # warmup compiles

@@ -40,9 +40,7 @@ class Service:
 
     def translate(self, model, texts, html: bool = False):
         options = self._options_cls(html=html, alignment=html)
-        handles = [
-            self._service.translate(model, text, options) for text in texts
-        ]
+        handles = self._service.translate_many(model, list(texts), options)
         return [handle.result() for handle in handles]
 
     def pivot(self, first, second, texts, html: bool = False):

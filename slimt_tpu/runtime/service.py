@@ -278,6 +278,53 @@ class Async:
         self.batcher.enqueue(model, request)
         return Handle(request, parts=1, future=future)
 
+    def translate_many(
+        self,
+        model,
+        sources: List[str],
+        options: Optional[Options] = None,
+    ) -> List[Handle]:
+        """Batch submission: tokenizes all inputs in one parallel
+        encode_batch and enqueues them together (one notify), so
+        workers see full queues immediately — the high-throughput
+        ingest path for corpus workloads."""
+        options = options or Options()
+        htmls: List[Optional[object]] = [None] * len(sources)
+        texts = list(sources)
+        if options.html:
+            from slimt_tpu.html.html import HTML
+
+            for i, source in enumerate(texts):
+                html = HTML(source)
+                htmls[i] = html
+                texts[i] = html.source
+
+        processed = model.processor.process_batch(
+            texts, self.config.wrap_length
+        )
+        handles = []
+        for html, (annotated, segments) in zip(htmls, processed):
+            future: Future = Future()
+
+            def continuation(response: Response, html=html, future=future):
+                try:
+                    if html is not None:
+                        html.restore(response)
+                    future.set_result(response)
+                except Exception as e:  # noqa: BLE001
+                    future.set_exception(e)
+                return None
+
+            request = _make_request(
+                self._ids, model, self.cache, annotated, segments,
+                continuation,
+                needs_alignment=options.alignment or options.html,
+            )
+            request.on_error = future.set_exception
+            self.batcher.enqueue(model, request)
+            handles.append(Handle(request, parts=1, future=future))
+        return handles
+
     def pivot(
         self, first, second, source: str, options: Optional[Options] = None
     ) -> Handle:

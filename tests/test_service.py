@@ -158,3 +158,17 @@ def test_multi_model_async():
         ra = ha.result(60)
         rb = hb.result(60)
     assert ra.source.text == rb.source.text == "hello world"
+
+
+def test_async_translate_many(model):
+    with Async(Config(cache_size=0, workers=2)) as service:
+        texts = ["hello world", "goodbye test", "quick brown fox"]
+        handles = service.translate_many(model, texts)
+        responses = [h.result(60) for h in handles]
+    assert [r.source.text for r in responses] == texts
+    # matches single-submit results
+    blocking = Blocking(Config(cache_size=0))
+    want = blocking.translate(model, texts)
+    assert [r.target.text for r in responses] == [
+        r.target.text for r in want
+    ]
