@@ -189,7 +189,7 @@ def bench_base():
     print(
         json.dumps(
             _decode_bench(
-                emb=512, ffn=2048,
+                batch=256, emb=512, ffn=2048,
                 metric="decode_tokens_per_sec_per_chip_base_int8",
             )
         )
