@@ -255,6 +255,18 @@ def main(argv=None) -> int:
             file=sys.stderr,
         )
         return 1
+    except Exception as e:
+        from slimt_tpu.io.loader import MissingParameter
+
+        if isinstance(e, MissingParameter):
+            print(
+                f"error: model file has no parameter {e} — the "
+                "--encoder-layers/--decoder-layers/--preset settings "
+                "likely exceed the checkpoint's architecture",
+                file=sys.stderr,
+            )
+            return 1
+        raise
 
 
 if __name__ == "__main__":
