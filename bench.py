@@ -94,14 +94,14 @@ def _decode_bench(
     ]
     mask_j = jnp.asarray(mask)
     np.asarray(fn(params, variants[0], mask_j).tokens)  # warmup/compile
+    # Pipelined like the serving exhaust loop (forward_async): dispatch
+    # every batch, then materialize every result on the host.
     t0 = time.perf_counter()
-    checksum = 0
-    for idx in variants:
-        out = fn(params, idx, mask_j)
-        # Materialize results on host every call: what serving does.
-        checksum += int(np.asarray(out.tokens)[0, 0]) + int(
-            np.asarray(out.valid).sum()
-        )
+    outs = [fn(params, idx, mask_j) for idx in variants]
+    checksum = sum(
+        int(np.asarray(out.tokens)[0, 0]) + int(np.asarray(out.valid).sum())
+        for out in outs
+    )
     elapsed = time.perf_counter() - t0
     tps = batch * max_steps * iters / elapsed
     return {

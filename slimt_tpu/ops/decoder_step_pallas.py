@@ -246,3 +246,184 @@ def decoder_layer_step(
         ffn["ln"]["scale"].reshape(1, e), ffn["ln"]["bias"].reshape(1, e),
     )
     return y[:, None, :], c_t[:, None, :], attn0
+
+
+# --- [B, T, E]-layout variant -----------------------------------------
+#
+# Avoids the head-split [B,H,T,D] layout whose D=32 lane dimension
+# Mosaic pads to 128 (4x VMEM). K/V stay in the pre-split [B,T,E]
+# layout (E=256 lanes, aligned); per-head score/output reductions use
+# selector matmuls:  scores = (K ⊙ q) @ S,  p_full = p @ Sᵀ, with
+# S[e,h] = 1 iff lane e belongs to head h.
+
+
+def _kernel_bte(
+    scales_ref,
+    x_ref, c_ref, k_ref, v_ref, mask_ref, sel_ref,
+    wf_ref, bf_ref, w_ref, ln_rnn_s, ln_rnn_b,
+    wq_ref, bq_ref, wo_ref, bo_ref, ln_att_s, ln_att_b,
+    w1_ref, b1_ref, w2_ref, b2_ref, ln_ffn_s, ln_ffn_b,
+    y_ref, c_out_ref, attn0_ref,
+    *, num_heads,
+):
+    (aqf, invf, aqw, invw, aq_q, inv_q, aq_o, inv_o,
+     aq1, inv1, aq2, inv2) = [scales_ref[i] for i in range(12)]
+    x = x_ref[:]  # [TB, E]
+    tb, e = x.shape
+    d = e // num_heads
+    scale = 1.0 / math.sqrt(d)
+
+    f = jax.nn.sigmoid(
+        _mm(_q8(x, aqf), wf_ref).astype(jnp.float32) * invf + bf_ref[0, :]
+    )
+    wx = _mm(_q8(x, aqw), w_ref).astype(jnp.float32) * invw
+    c_t = f * c_ref[:] + (1.0 - f) * wx
+    h = _ln(x + jnp.maximum(c_t, 0.0), ln_rnn_s[0, :], ln_rnn_b[0, :])
+
+    q = (
+        _mm(_q8(h, aq_q), wq_ref).astype(jnp.float32) * inv_q
+        + bq_ref[0, :]
+    )  # [TB, E]
+    k = k_ref[:]  # [TB, T, E] cache dtype
+    v = v_ref[:]
+    t = k.shape[1]
+    sel = sel_ref[:]  # [E, H] f32 head-membership selector
+
+    prod = k.astype(jnp.float32) * q[:, None, :]  # [TB, T, E]
+    scores = jax.lax.dot_general(
+        prod.reshape(tb * t, e), sel,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).reshape(tb, t, num_heads) * scale
+    scores = scores + mask_ref[:][:, :, None]
+    p = jax.nn.softmax(scores, axis=1)  # over T
+    attn0_ref[:] = p[:, :, 0]
+    p_full = jax.lax.dot_general(
+        p.reshape(tb * t, num_heads), sel,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).reshape(tb, t, e)
+    attn_out = (v.astype(jnp.float32) * p_full).sum(axis=1)  # [TB, E]
+
+    out = (
+        _mm(_q8(attn_out, aq_o), wo_ref).astype(jnp.float32) * inv_o
+        + bo_ref[0, :]
+    )
+    a = _ln(h + out, ln_att_s[0, :], ln_att_b[0, :])
+
+    hidden = jnp.maximum(
+        _mm(_q8(a, aq1), w1_ref).astype(jnp.float32) * inv1 + b1_ref[0, :],
+        0.0,
+    )
+    y = (
+        _mm(_q8(hidden, aq2), w2_ref).astype(jnp.float32) * inv2
+        + b2_ref[0, :]
+    )
+    y_ref[:] = _ln(y + a, ln_ffn_s[0, :], ln_ffn_b[0, :])
+    c_out_ref[:] = c_t
+
+
+def decoder_layer_step_bte(
+    layer: dict,
+    state: jax.Array,  # [B, 1, E]
+    x: jax.Array,  # [B, 1, E]
+    mask_add: jax.Array,  # [B, 1, 1, T]
+    kv: Tuple[jax.Array, jax.Array],  # [B, T, E] each (unsplit layout)
+    num_heads: int,
+    interpret: Optional[bool] = None,
+    tile_b: int = 32,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """[B,T,E]-KV fused decoder layer. Returns (y, c', attn0 [B,T])."""
+    if interpret is None:
+        interpret = not _on_tpu()
+    b = x.shape[0]
+    e = x.shape[-1]
+    k, v = kv
+    t = k.shape[1]
+    d = e // num_heads
+
+    rnn, att, ffn = layer["rnn"], layer["att"], layer["ffn"]
+    wf, w = rnn["wf"], rnn["w"]
+    wq, wo = att["q"], att["o"]
+    w1, w2 = ffn["w1"], ffn["w2"]
+    scales = jnp.stack(
+        [
+            wf["aq"], 1.0 / (wf["aq"] * wf["bq"]),
+            w["aq"], 1.0 / (w["aq"] * w["bq"]),
+            wq["aq"], 1.0 / (wq["aq"] * wq["bq"]),
+            wo["aq"], 1.0 / (wo["aq"] * wo["bq"]),
+            w1["aq"], 1.0 / (w1["aq"] * w1["bq"]),
+            w2["aq"], 1.0 / (w2["aq"] * w2["bq"]),
+        ]
+    ).astype(jnp.float32)
+    lanes = jnp.arange(e)[:, None]
+    sel = (lanes // d == jnp.arange(num_heads)[None, :]).astype(jnp.float32)
+
+    tile_b = min(tile_b, b)
+    grid = (pl.cdiv(b, tile_b),)
+    vmem = functools.partial(pl.BlockSpec, memory_space=pltpu.VMEM)
+    f_dim = w1["q"].shape[-1]
+
+    def vec(n):
+        return vmem((1, n), lambda i, *_: (0, 0))
+
+    y, c_t, attn0 = pl.pallas_call(
+        functools.partial(_kernel_bte, num_heads=num_heads),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, e), jnp.float32),
+            jax.ShapeDtypeStruct((b, e), jnp.float32),
+            jax.ShapeDtypeStruct((b, t), jnp.float32),
+        ),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[
+                vmem((tile_b, e), lambda i, *_: (i, 0)),
+                vmem((tile_b, e), lambda i, *_: (i, 0)),
+                vmem((tile_b, t, e), lambda i, *_: (i, 0, 0)),
+                vmem((tile_b, t, e), lambda i, *_: (i, 0, 0)),
+                vmem((tile_b, t), lambda i, *_: (i, 0)),
+                vmem((e, num_heads), lambda i, *_: (0, 0)),
+                vmem((e, e), lambda i, *_: (0, 0)),
+                vec(e),
+                vmem((e, e), lambda i, *_: (0, 0)),
+                vec(e), vec(e),
+                vmem((e, e), lambda i, *_: (0, 0)),
+                vec(e),
+                vmem((e, e), lambda i, *_: (0, 0)),
+                vec(e),
+                vec(e), vec(e),
+                vmem((e, f_dim), lambda i, *_: (0, 0)),
+                vec(f_dim),
+                vmem((f_dim, e), lambda i, *_: (0, 0)),
+                vec(e),
+                vec(e), vec(e),
+            ],
+            out_specs=(
+                vmem((tile_b, e), lambda i, *_: (i, 0)),
+                vmem((tile_b, e), lambda i, *_: (i, 0)),
+                vmem((tile_b, t), lambda i, *_: (i, 0)),
+            ),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(
+        scales,
+        x[:, 0, :].astype(jnp.float32),
+        state[:, 0, :].astype(jnp.float32),
+        k, v,
+        mask_add[:, 0, 0, :].astype(jnp.float32),
+        sel,
+        wf["q"], wf["b"].reshape(1, e),
+        w["q"],
+        rnn["ln"]["scale"].reshape(1, e), rnn["ln"]["bias"].reshape(1, e),
+        wq["q"], wq["b"].reshape(1, e),
+        wo["q"], wo["b"].reshape(1, e),
+        att["ln"]["scale"].reshape(1, e), att["ln"]["bias"].reshape(1, e),
+        w1["q"], w1["b"].reshape(1, f_dim),
+        w2["q"], w2["b"].reshape(1, e),
+        ffn["ln"]["scale"].reshape(1, e), ffn["ln"]["bias"].reshape(1, e),
+    )
+    return y[:, None, :], c_t[:, None, :], attn0
