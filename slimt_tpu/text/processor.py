@@ -64,18 +64,22 @@ class TextProcessor:
         all_sentences: List[str] = []
         for text in texts:
             source = AnnotatedText(text)
-            prefix_bytes = [0]
-            for ch in text:
-                prefix_bytes.append(
-                    prefix_bytes[-1] + len(ch.encode("utf-8"))
-                )
+            if len(text.encode("utf-8")) == len(text):
+                prefix_bytes = None  # ASCII: char offset == byte offset
+            else:
+                prefix_bytes = [0]
+                for ch in text:
+                    prefix_bytes.append(
+                        prefix_bytes[-1] + len(ch.encode("utf-8"))
+                    )
             spans = []
             for sentence, begin, _ in SentenceStream(
                 text, self.splitter, self.mode
             ):
                 if not sentence:
                     continue  # paragraph-boundary marker
-                spans.append((sentence, prefix_bytes[begin]))
+                byte_begin = begin if prefix_bytes is None else prefix_bytes[begin]
+                spans.append((sentence, byte_begin))
                 all_sentences.append(sentence)
             plans.append((source, spans))
 

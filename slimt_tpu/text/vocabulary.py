@@ -312,6 +312,9 @@ class Vocabulary:
 
     def _convert_hf(self, line: str, enc):
         # HF offsets are char offsets into the original line → bytes.
+        data = line.encode("utf-8")
+        if len(data) == len(line):  # pure-ASCII fast path: chars == bytes
+            return list(enc.ids), list(enc.offsets)
         prefix = [0]
         for ch in line:
             prefix.append(prefix[-1] + len(ch.encode("utf-8")))
