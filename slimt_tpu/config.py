@@ -37,9 +37,14 @@ class ModelConfig:
     # marian's per-position signal.
     decoder_position_zero: bool = True
     # Cross-attention K/V cache dtype for the decode loop. The cache
-    # is re-read from HBM every step — bf16 halves that traffic
-    # (~1.5-1.7x decode speedup at large batch); matmuls still
-    # accumulate in f32. "float32" restores exact reference numerics.
+    # is re-read from HBM every step, the dominant per-step cost at
+    # serving batch. Reduced-precision dtypes also switch the cache to
+    # the unpadded joined [B,T,E] layout with MXU-GEMM attention
+    # (models/transformer._decode_attention_joined): "bfloat16" is
+    # ~1.6x decode over f32 split-layout; "int8" (dynamic per-tensor
+    # scales, same scheme as the engine's activation quantization) is
+    # ~10% faster still with slightly looser numerics. "float32"
+    # restores exact reference numerics.
     kv_cache_dtype: str = "bfloat16"
     # Blockwise Pallas encoder self-attention: O(T·block) memory,
     # lifts the reference's hard 128-token wrap constraint for long

@@ -153,6 +153,91 @@ def scaled_dot_product_attention(
     return out.astype(jnp.float32), attn
 
 
+def _head_selector(emb_dim: int, num_heads: int, dtype) -> jax.Array:
+    """Block-diagonal [E, H] 0/1 matrix: column h selects head h's
+    feature slice. Lets decode attention keep K/V in the unpadded
+    [B, T, E] layout (E is a whole number of 128-lane tiles) and do
+    the per-head reduction as a matmul — a [B, H, T, 32] layout pads
+    the 32-wide minor dim to 128 lanes (4x HBM/VPU waste)."""
+    d = emb_dim // num_heads
+    eye = jnp.eye(num_heads, dtype=dtype)  # [H, H]
+    return jnp.repeat(eye, d, axis=0)  # [E, H]
+
+
+def _decode_attention_joined(
+    yq: jax.Array,
+    kv: dict,
+    mask_add: jax.Array,
+    num_heads: int,
+) -> Tuple[jax.Array, jax.Array]:
+    """Decode-step (T_q == 1) cross-attention over a joined-layout
+    [B, T, E] KV cache. Both contraction steps run as batched MXU
+    GEMMs with the head structure expressed via the selector matrix;
+    int8 caches feed the MXU as int8 x int8 (2x less HBM than bf16).
+
+    yq: Q-projection output [B, 1, E]. Returns (out [B, 1, E],
+    attn [B, H, 1, Tk]) — same contract as
+    scaled_dot_product_attention at T_q == 1."""
+    q = yq[:, 0, :]  # [B, E]
+    k, v = kv["k"], kv["v"]
+    b, t, e = k.shape
+    scale = 1.0 / math.sqrt(e // num_heads)
+    # The CPU backend (test suite) lacks mixed-precision dots; f32
+    # operands are bit-exact for these magnitudes (int8 contractions
+    # stay < 2^24), so CPU and TPU produce identical values.
+    on_cpu = jax.default_backend() == "cpu"
+    if k.dtype == jnp.int8:
+        sel = _head_selector(e, num_heads, jnp.int8)
+        # Dynamic per-step activation scale for q (per-tensor, like
+        # every other activation quantization in the engine).
+        aq = 127.0 / jnp.maximum(jnp.max(jnp.abs(q)), 1e-6)
+        q_q = jnp.clip(jnp.rint(q * aq), -127.0, 127.0).astype(jnp.int8)
+        q2 = q_q[:, :, None] * sel[None]  # [B, E, H] int8
+        if on_cpu:
+            k_op, q2_op = k.astype(jnp.float32), q2.astype(jnp.float32)
+            acc = jnp.float32
+        else:
+            k_op, q2_op, acc = k, q2, jnp.int32
+        scores = jnp.einsum(
+            "bte,beh->bht", k_op, q2_op, preferred_element_type=acc
+        ).astype(jnp.float32) * (scale / (kv["kq"] * aq))
+        scores = scores + mask_add[:, :, 0, :]
+        attn = jax.nn.softmax(scores, axis=-1)  # [B, H, T]
+        attn_q = jnp.rint(attn * 127.0).astype(jnp.int8)
+        if on_cpu:
+            a_op, v_op = attn_q.astype(jnp.float32), v.astype(jnp.float32)
+        else:
+            a_op, v_op = attn_q, v
+        res = jnp.einsum(
+            "bht,bte->bhe", a_op, v_op, preferred_element_type=acc
+        ).astype(jnp.float32) * (1.0 / (127.0 * kv["vq"]))
+        selt = _head_selector(e, num_heads, jnp.float32)
+    else:
+        op = jnp.float32 if on_cpu else k.dtype
+        sel = _head_selector(e, num_heads, op)
+        q2 = q.astype(op)[:, :, None] * sel[None]  # [B, E, H]
+        scores = (
+            jnp.einsum(
+                "bte,beh->bht",
+                k.astype(op),
+                q2,
+                preferred_element_type=jnp.float32,
+            )
+            * scale
+            + mask_add[:, :, 0, :]
+        )
+        attn = jax.nn.softmax(scores, axis=-1)  # [B, H, T]
+        res = jnp.einsum(
+            "bht,bte->bhe",
+            attn.astype(op),
+            v.astype(op),
+            preferred_element_type=jnp.float32,
+        )  # [B, H, E]
+        selt = sel.astype(jnp.float32)
+    out = (res * selt.T[None]).sum(1)  # [B, E] diagonal-block extract
+    return out[:, None, :], attn[:, :, None, :]
+
+
 def attention_forward(
     att: dict,
     q_in: jax.Array,
@@ -167,12 +252,21 @@ def attention_forward(
     """Full attention block incl. residual + post-LN
     (slimt/Modules.cc:287-319). Returns (out, attn_weights).
 
-    `kv_cache` supplies pre-projected, pre-split K/V ([B,H,Tk,D]) for
-    cross-attention so encoder projections happen once per batch, not
-    once per decode step. `flash=True` uses the blockwise Pallas
-    kernel (O(T·block) memory; attn weights not materialized — returns
-    None for them).
+    `kv_cache` supplies pre-projected K/V for cross-attention so
+    encoder projections happen once per batch, not once per decode
+    step: either a (K, V) pair of pre-split [B,H,Tk,D] arrays (exact
+    f32 path) or a joined-layout dict from precompute_cross_kv
+    (reduced-precision [B,Tk,E] cache). `flash=True` uses the
+    blockwise Pallas kernel (O(T·block) memory; attn weights not
+    materialized — returns None for them).
     """
+    if isinstance(kv_cache, dict):
+        yq = _affine(att["q"], q_in, provider)  # [B, 1, E]
+        attn_out, attn = _decode_attention_joined(
+            yq, kv_cache, mask_add, num_heads
+        )
+        out = _affine(att["o"], attn_out, provider)
+        return layer_norm(q_in + out, att["ln"]), attn
     yq = _split_heads(_affine(att["q"], q_in, provider), num_heads)
     if kv_cache is None:
         yk = _split_heads(_affine(att["k"], k_in, provider), num_heads)
@@ -289,19 +383,44 @@ def precompute_cross_kv(
     Computed once per batch; the reference redoes this every step
     (TODO at slimt/Modules.cc:248).
 
-    `dtype=bfloat16` halves the KV-cache HBM reads the decode loop
-    pays every step — the dominant per-step cost at large batch (the
-    matmuls accumulate in f32 either way)."""
+    `dtype=None` keeps the exact f32 path: pre-split [B,H,Tk,D] (K,V)
+    pairs. A reduced-precision dtype (bfloat16 / int8) switches to the
+    joined [B,Tk,E] layout consumed by _decode_attention_joined —
+    unpadded in the TPU tiled layout, so the per-step HBM reads the
+    decode loop pays (the dominant cost at large batch) shrink by up
+    to 4x on top of the dtype halving. int8 caches quantize with a
+    dynamic per-tensor scale, the same scheme the engine's activations
+    use everywhere (rint, clip to ±127)."""
     layers = params["decoder"]
 
     def project(layer):
         att = layer["att"]
-        k = _split_heads(_affine(att["k"], encoder_out, provider), num_heads)
-        v = _split_heads(_affine(att["v"], encoder_out, provider), num_heads)
-        if dtype is not None:
-            k = k.astype(dtype)
-            v = v.astype(dtype)
-        return k, v
+        if dtype is None:
+            k = _split_heads(
+                _affine(att["k"], encoder_out, provider), num_heads
+            )
+            v = _split_heads(
+                _affine(att["v"], encoder_out, provider), num_heads
+            )
+            return k, v
+        k = _affine(att["k"], encoder_out, provider)  # [B, T, E]
+        v = _affine(att["v"], encoder_out, provider)
+        if dtype == jnp.int8:
+            kq = 127.0 / jnp.maximum(jnp.max(jnp.abs(k)), 1e-6)
+            vq = 127.0 / jnp.maximum(jnp.max(jnp.abs(v)), 1e-6)
+            return {
+                "k": jnp.rint(k * kq).astype(jnp.int8),
+                "v": jnp.rint(v * vq).astype(jnp.int8),
+                "kq": kq,
+                "vq": vq,
+            }
+        one = jnp.float32(1.0)
+        return {
+            "k": k.astype(dtype),
+            "v": v.astype(dtype),
+            "kq": one,
+            "vq": one,
+        }
 
     if isinstance(layers, list):
         return tuple(project(layer) for layer in layers)

@@ -90,6 +90,39 @@ def test_kv_dtype_bfloat16_decodes(params):
     assert np.asarray(a.valid).any()
 
 
+@pytest.mark.parametrize("kv_dtype", ["bfloat16", "int8"])
+def test_reduced_kv_agrees_with_f32(params, kv_dtype):
+    """The joined-layout reduced-precision KV cache (bf16/int8 with
+    selector-matrix MXU attention) decodes nearly the same tokens as
+    the exact f32 split-layout path — both unrolled and stacked, with
+    and without a shortlist. Random-weight models have near-tied
+    logits (worst case for reduced precision), so assert a high
+    agreement rate rather than exact equality; trained models are far
+    more peaked."""
+    indices, mask = _batch(seed=11)
+    shortlist = np.arange(0, VOCAB, 3, dtype=np.int32)
+    for p in (params, stack_layers(params)):
+        for sl in (None, shortlist):
+            want = dec.translate_batch(
+                p, jnp.asarray(indices), jnp.asarray(mask),
+                eos_id=2, max_steps=12, num_heads=CONFIG.num_heads,
+                provider="xla_int8",
+                shortlist=jnp.asarray(sl) if sl is not None else None,
+            )
+            got = dec.translate_batch(
+                p, jnp.asarray(indices), jnp.asarray(mask),
+                eos_id=2, max_steps=12, num_heads=CONFIG.num_heads,
+                provider="xla_int8",
+                shortlist=jnp.asarray(sl) if sl is not None else None,
+                kv_dtype=kv_dtype,
+            )
+            agree = (
+                np.asarray(got.tokens) == np.asarray(want.tokens)
+            ).mean()
+            assert agree >= 0.9, f"token agreement {agree} (sl={sl is not None})"
+            assert np.asarray(got.valid).any()
+
+
 def test_flash_attention_flag_through_translate(params):
     indices, mask = _batch(seed=10)
     stacked = stack_layers(params)
