@@ -66,13 +66,15 @@ def _load():
             ctypes.POINTER(ctypes.c_uint32),
             ctypes.c_int,
         ]
+        # Pointer args typed c_void_p so callers can pass the raw
+        # ndarray.ctypes.data integer (no per-call data_as cast).
         lib.slimt_vocab_decode.restype = ctypes.c_int
         lib.slimt_vocab_decode.argtypes = [
             ctypes.c_void_p,
-            ctypes.POINTER(ctypes.c_uint32), ctypes.c_int,
+            ctypes.c_void_p, ctypes.c_int,
             ctypes.c_char_p, ctypes.c_int,
-            ctypes.POINTER(ctypes.c_uint32),
-            ctypes.POINTER(ctypes.c_uint32),
+            ctypes.c_void_p,
+            ctypes.c_void_p,
         ]
         lib.slimt_hash_words.restype = ctypes.c_uint64
         lib.slimt_hash_words.argtypes = [
@@ -151,18 +153,15 @@ class NativeVocab:
         if count < 0:
             raise RuntimeError("encode capacity exceeded")
         return (
-            ids[:count].astype(int).tolist(),
-            [
-                (int(b), int(e))
-                for b, e in zip(begin[:count], end[:count])
-            ],
+            ids[:count].tolist(),
+            list(zip(begin[:count].tolist(), end[:count].tolist())),
         )
 
     def decode(
         self, words: Sequence[int]
     ) -> Tuple[str, List[Tuple[int, int]]]:
         n = len(words)
-        ids = np.asarray(list(words), np.uint32)
+        ids = np.asarray(words, np.uint32)
         # worst case each token is " ⁇ " (5 bytes) or a long piece
         cap = 16 * (n + 1) + 1024
         text = ctypes.create_string_buffer(cap)
@@ -170,16 +169,16 @@ class NativeVocab:
         end = np.empty(max(n, 1), np.uint32)
         length = self._lib.slimt_vocab_decode(
             self._handle,
-            ids.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+            ids.ctypes.data,
             n,
             text,
             cap,
-            begin.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
-            end.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+            begin.ctypes.data,
+            end.ctypes.data,
         )
         if length < 0:
             raise RuntimeError("decode capacity exceeded")
         return (
             text.raw[:length].decode("utf-8", errors="replace"),
-            [(int(b), int(e)) for b, e in zip(begin[:n], end[:n])],
+            list(zip(begin[:n].tolist(), end[:n].tolist())),
         )

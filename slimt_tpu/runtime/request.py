@@ -158,10 +158,14 @@ class Request:
         for sentence_id, history in enumerate(self.histories):
             words = history.target
             decoded, views = self.vocabulary.decode(words, ignore_eos=False)
-            tokens = [
-                decoded.encode("utf-8")[b:e].decode("utf-8", errors="replace")
-                for b, e in views
-            ]
+            data = decoded.encode("utf-8")
+            if len(data) == len(decoded):  # ASCII: bytes == chars
+                tokens = [decoded[b:e] for b, e in views]
+            else:
+                tokens = [
+                    data[b:e].decode("utf-8", errors="replace")
+                    for b, e in views
+                ]
             prefix = self.source.gap_text(sentence_id)
             target.append_sentence(prefix, tokens)
             if sentence_id + 1 == len(self.histories):

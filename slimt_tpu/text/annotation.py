@@ -109,13 +109,14 @@ class AnnotatedText:
         self.append_ending_whitespace(prefix)
 
         offset = len(self._data)
-        for token in tokens:
-            encoded = token.encode("utf-8")
-            self._data += encoded
-            offset += len(encoded)
-            self.token_begin.append(offset)
-        self.gap.append(len(self.token_begin) - 1)
-        self.token_begin.append(offset)
+        encoded = [t.encode("utf-8") for t in tokens]
+        self._data += b"".join(encoded)
+        begins = self.token_begin
+        for chunk in encoded:
+            offset += len(chunk)
+            begins.append(offset)
+        self.gap.append(len(begins) - 1)
+        begins.append(offset)
 
     def append_ending_whitespace(self, whitespace: str) -> None:
         self._data += whitespace.encode("utf-8")
@@ -127,13 +128,14 @@ class AnnotatedText:
         """Record a sentence whose tokens are already in the text, as
         contiguous byte ranges (slimt/Annotation.cc:53-81)."""
         assert self.token_begin[-1] == len(self._data)
-        for i, (begin, end) in enumerate(token_ranges):
-            assert 0 <= begin <= end <= len(self._data)
-            if i + 1 < len(token_ranges):
-                assert end == token_ranges[i + 1][0], "tokens must be contiguous"
-        self.token_begin.pop()
-        for begin, _ in token_ranges:
-            self.token_begin.append(begin)
+        if token_ranges:
+            size = len(self._data)
+            prev_end = token_ranges[0][0]
+            for begin, end in token_ranges:
+                assert 0 <= begin <= end <= size
+                assert begin == prev_end, "tokens must be contiguous"
+                prev_end = end
+        self.token_begin[-1:] = (b for b, _ in token_ranges)
         self.gap.append(len(self.token_begin))
         if token_ranges:
             self.token_begin.append(token_ranges[-1][1])
