@@ -1,0 +1,119 @@
+"""Ablation microbench: where does the decode step's time go? (real TPU)
+
+Runs the serving-shape decode loop (tiny11, B from UB_B env, T=64)
+with pieces of the step ablated, and reports the per-step slope
+between two max_steps values (cancels encoder/dispatch/compile fixed
+costs). Protocol per memory/axon-tpu-measurement: time through
+np.asarray, distinct inputs per call.
+
+Ablations:
+  full       — the real translate_batch (kv dtype from UB_KV, default bfloat16)
+  no_attn    — cross-attention replaced by identity (isolates SSRU+FFN+logits)
+  no_logits  — output projection replaced by a 32-wide slice matmul
+  no_ffn     — decoder FFN blocks skipped
+"""
+
+import os
+import sys
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from slimt_tpu.config import ModelConfig
+from slimt_tpu.io import load_items
+from slimt_tpu.io.loader import load_weights, stack_layers
+from slimt_tpu.models import transformer as tfm
+from slimt_tpu.models.decode import translate_batch
+from slimt_tpu.io.synthetic import synthetic_model_bytes
+
+B = int(os.environ.get("UB_B", 1024))
+KV = os.environ.get("UB_KV", "bfloat16")
+T = 64
+STEPS_LO, STEPS_HI = 24, 96
+
+
+def patched(name):
+    """Context-manager-free monkey patches for one ablation."""
+    orig_attn = tfm.attention_forward
+    orig_logits = tfm.output_logits
+    orig_ffn = tfm._ffn_block
+    if name == "no_attn":
+        def fake_attn(att, q_in, k_in, v_in, mask_add, num_heads,
+                      provider=None, kv_cache=None, flash=False):
+            if kv_cache is not None:  # decode cross-attention only
+                b = q_in.shape[0]
+                tk = mask_add.shape[-1]
+                attn = jnp.zeros((b, num_heads, 1, tk), jnp.float32)
+                return q_in, attn
+            return orig_attn(att, q_in, k_in, v_in, mask_add, num_heads,
+                             provider, kv_cache, flash)
+        tfm.attention_forward = fake_attn
+    elif name == "no_logits":
+        def fake_logits(params, x, provider=None, shortlist=None,
+                        projection=None):
+            w, b = projection if projection is not None else (
+                params["emb"]["q"].T, params["out"]["b"])
+            from slimt_tpu.ops import qmm
+            return qmm.affine(x, w[:, :32], b[:32], params["out"]["aq"],
+                              params["emb"]["scale"], provider=provider)
+        tfm.output_logits = fake_logits
+    elif name == "no_ffn":
+        tfm._ffn_block = lambda layer, x, provider: x
+    return lambda: (
+        setattr(tfm, "attention_forward", orig_attn),
+        setattr(tfm, "output_logits", orig_logits),
+        setattr(tfm, "_ffn_block", orig_ffn),
+    )
+
+
+def measure(params, config, name):
+    restore = patched(name)
+    try:
+        rng = np.random.default_rng(0)
+        mask_j = jnp.ones((B, T), jnp.float32)
+
+        def timed(steps):
+            fn = jax.jit(lambda p, i, m: translate_batch(
+                p, i, m, eos_id=-1, max_steps=steps,
+                num_heads=config.num_heads, provider=config.qmm_provider,
+                kv_dtype=KV))
+            variants = [
+                jnp.asarray(rng.integers(3, 32000, (B, T)).astype(np.int32))
+                for _ in range(4)
+            ]
+            np.asarray(fn(params, variants[0], mask_j).tokens)
+            best = 1e9
+            for _ in range(3):
+                t0 = time.perf_counter()
+                outs = [fn(params, i, mask_j) for i in variants]
+                for o in outs:
+                    np.asarray(o.tokens)
+                best = min(best, (time.perf_counter() - t0) / 4)
+            return best
+
+        lo, hi = timed(STEPS_LO), timed(STEPS_HI)
+        per_step = (hi - lo) / (STEPS_HI - STEPS_LO) * 1e6
+        print(f"{name:10s} per-step {per_step:7.1f} us")
+        return per_step
+    finally:
+        restore()
+
+
+def main():
+    print(f"devices: {jax.devices()}  B={B} kv={KV}")
+    config = ModelConfig(encoder_layers=6, decoder_layers=2)
+    items = load_items(synthetic_model_bytes(
+        config=config, vocab_size=32000, emb_dim=256, ffn_dim=1536, seed=0))
+    params = jax.device_put(stack_layers(load_weights(items, config)))
+    which = sys.argv[1:] or ["full", "no_attn", "no_logits", "no_ffn"]
+    for name in which:
+        measure(params, config, name)
+
+
+if __name__ == "__main__":
+    main()

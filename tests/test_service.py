@@ -96,6 +96,23 @@ def test_alignment_shapes(model):
         assert all(0.0 <= p <= 1.001 for p in row)
 
 
+@pytest.mark.parametrize("kv_dtype", ["int8", "bfloat16", "float32"])
+def test_kv_cache_dtype_through_service(kv_dtype):
+    """Every kv_cache_dtype decodes deterministically through the full
+    Blocking service (joined-layout reduced-precision caches included)."""
+    import dataclasses
+
+    config = dataclasses.replace(TINY_TEST_CONFIG, kv_cache_dtype=kv_dtype)
+    m = Model(config, make_package(config=config))
+    service = Blocking(Config(cache_size=0))
+    a = service.translate(m, ["hello world", "quick brown fox"])
+    b = service.translate(m, ["hello world", "quick brown fox"])
+    assert [r.target.text for r in a] == [r.target.text for r in b]
+    for r in a:
+        assert r.target.sentence_count() == 1
+        assert r.target.text
+
+
 def test_shortlist_model_runs(model_with_shortlist):
     service = Blocking(Config(cache_size=0))
     response = service.translate(model_with_shortlist, ["hello world"])[0]
