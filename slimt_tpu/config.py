@@ -67,6 +67,11 @@ class Config:
     # immediately); a few ms greatly improves TPU batch occupancy
     # under streaming request loads.
     batch_latency: float = 0.0
+    # Blocking-service completion pool: host-side response assembly
+    # (detokenize + annotations) runs on this many executor threads,
+    # overlapped with the device waits for later batches. 0 = strict
+    # reference behavior (complete serially on the caller thread).
+    completion_threads: int = 4
 
 
 class preset:

@@ -48,13 +48,17 @@ def _needs_alignment(batch: Batch) -> bool:
     return any(ref.request.needs_alignment for ref in batch.segment_refs)
 
 
-def _exhaust(model, batcher: Batcher, meters=None) -> None:
+def _exhaust(model, batcher: Batcher, meters=None, pool=None) -> None:
     """Translate until the batcher runs dry, recording wps/occupancy
     (slimt/Frontend.cc:42-60).
 
     All device batches are dispatched before any result is fetched:
     JAX's async dispatch pipelines them, hiding host↔device round
-    trips behind compute (the reference's loop is strictly serial)."""
+    trips behind compute (the reference's loop is strictly serial).
+    With `pool`, host-side completion (detokenize + response
+    assembly) runs on executor threads, overlapping the device waits
+    for later batches — completion is already exercised concurrently
+    by the Async workers, so it is thread-safe by construction."""
     from slimt_tpu.utils import Timer
 
     while True:
@@ -71,9 +75,13 @@ def _exhaust(model, batcher: Batcher, meters=None) -> None:
         if not in_flight:
             return
 
+        pending = []
         for batch, n_segments, finish in in_flight:
             histories = finish()
-            batch.complete(histories)
+            if pool is None:
+                batch.complete(histories)
+            else:
+                pending.append(pool.submit(batch.complete, histories))
             if meters is not None:
                 meters.record_batch(
                     words=batch.token_count,
@@ -82,17 +90,29 @@ def _exhaust(model, batcher: Batcher, meters=None) -> None:
                     capacity=n_segments * max(batch.max_length, 1),
                 )
                 timer.reset()
+        for done in pending:
+            done.result()
         # completions may have enqueued follow-up work
 
 
 class Blocking:
     def __init__(self, config: Optional[Config] = None):
+        from concurrent.futures import ThreadPoolExecutor
+
         from slimt_tpu.utils import ServiceMeters
 
         self.config = config or Config()
         self.cache = make_cache(self.config.cache_size)
         self._ids = itertools.count()
         self.meters = ServiceMeters()
+        self._pool = (
+            ThreadPoolExecutor(
+                max_workers=self.config.completion_threads,
+                thread_name_prefix="slimt-complete",
+            )
+            if self.config.completion_threads > 0
+            else None
+        )
 
     def translate(
         self,
@@ -139,7 +159,7 @@ class Blocking:
             )
             batcher.enqueue(request)
 
-        _exhaust(model, batcher, self.meters)
+        _exhaust(model, batcher, self.meters, self._pool)
         assert all(r is not None for r in responses)
         return responses
 
@@ -194,7 +214,7 @@ class Blocking:
             )
             batcher.enqueue(request)
 
-        _exhaust(second, batcher, self.meters)
+        _exhaust(second, batcher, self.meters, self._pool)
 
         if options.html:
             for html, response in zip(htmls, responses):
