@@ -100,7 +100,7 @@ def greedy_decode(
             )
         x = prev_embed * sqrt_e + signal
 
-        logits, new_states, attn = tfm.decoder_step(
+        choice, new_states, attn = tfm.decoder_step(
             params,
             states,
             x,
@@ -110,8 +110,8 @@ def greedy_decode(
             provider,
             shortlist,
             projection=projection,
+            sample=True,
         )
-        choice = jnp.argmax(logits, axis=-1).astype(jnp.int32)
         if shortlist is not None:
             word = jnp.take(shortlist, choice, axis=0).astype(jnp.int32)
         else:

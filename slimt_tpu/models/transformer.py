@@ -462,13 +462,16 @@ def decoder_step(
     provider: Optional[str] = None,
     shortlist: Optional[jax.Array] = None,
     projection: Optional[Tuple[jax.Array, jax.Array]] = None,
+    sample: bool = False,
 ) -> Tuple[jax.Array, Tuple, jax.Array]:
     """One decode timestep over all decoder layers + logit projection
     (slimt/Transformer.cc:120-183).
 
     prev_embed: already transformed [B, 1, E]. Returns
     (logits [B, V or S], new_states, guided_alignment [B, H, 1, Tk]
-    from the last decoder layer)."""
+    from the last decoder layer). With `sample=True` the first element
+    is instead the greedy choice [B] int32 (argmax over the logits,
+    fused with the projection on TPU — see output_argmax)."""
     x = prev_embed
     layers = params["decoder"]
     if isinstance(layers, list):
@@ -494,7 +497,12 @@ def decoder_step(
             step, x, (layers, states, kv_caches)
         )
         guided = attns[-1]
-    logits = output_logits(params, x[:, 0, :], provider, shortlist, projection)
+    if projection is None:
+        projection = prepare_output_projection(params, shortlist)
+    if sample:
+        choice = output_argmax(params, x[:, 0, :], provider, projection)
+        return choice, new_states, guided
+    logits = output_logits(params, x[:, 0, :], provider, None, projection)
     return logits, new_states, guided
 
 
@@ -532,6 +540,36 @@ def output_logits(
     aq = params["out"]["aq"]
     bq = params["emb"]["scale"]
     return qmm.affine(x, w, b, aq, bq, provider=provider)
+
+
+def output_argmax(
+    params: dict,
+    x: jax.Array,
+    provider: Optional[str] = None,
+    projection: Optional[Tuple[jax.Array, jax.Array]] = None,
+) -> jax.Array:
+    """argmax over the output logits, [B] int32 (greedy sampling,
+    slimt/Transformer.cc:279-339).
+
+    Default: XLA logits + argmax — XLA fuses the argmax reduction into
+    the projection matmul's consumer and pipelines it across decode
+    steps, which measured FASTER than the fused Pallas kernel
+    (ops.logits_argmax, bit-identical index; see its STATUS note).
+    SLIMT_TPU_FUSED_ARGMAX=1 switches to the kernel for experiments."""
+    import os
+
+    if projection is None:
+        projection = prepare_output_projection(params)
+    w, b = projection
+    if provider != "f32" and os.environ.get("SLIMT_TPU_FUSED_ARGMAX") == "1":
+        from slimt_tpu.ops import logits_argmax
+
+        if logits_argmax.supported(w.shape[1]) and logits_argmax._on_tpu():
+            return logits_argmax.argmax_affine(
+                x, w, b, params["out"]["aq"], params["emb"]["scale"]
+            )
+    logits = output_logits(params, x, provider, None, projection)
+    return jnp.argmax(logits, axis=-1).astype(jnp.int32)
 
 
 def make_additive_mask(mask: jax.Array) -> jax.Array:

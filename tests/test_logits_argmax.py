@@ -1,0 +1,50 @@
+"""Fused projection+argmax kernel: bit-identical index to the XLA
+logits+argmax path (interpret mode on the CPU mesh)."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from slimt_tpu.ops import logits_argmax, qmm
+
+
+@pytest.mark.parametrize(
+    "b,k,n", [(1, 256, 512), (8, 256, 1024), (128, 256, 2048), (9, 64, 512)]
+)
+def test_matches_xla_argmax(b, k, n):
+    rng = np.random.default_rng(b + n)
+    x = jnp.asarray(rng.standard_normal((b, k)), jnp.float32)
+    w = jnp.asarray(rng.integers(-127, 128, (k, n)), jnp.int8)
+    bias = jnp.asarray(rng.standard_normal((n,)), jnp.float32)
+    aq = jnp.float32(31.7)
+    bq = jnp.float32(90.2)
+
+    want = jnp.argmax(
+        qmm.affine(x, w, bias, aq, bq, provider="xla_int8"), axis=-1
+    ).astype(jnp.int32)
+    got = logits_argmax.argmax_affine(x, w, bias, aq, bq, interpret=True)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_tie_prefers_first():
+    """jnp.argmax returns the first maximum; so must the tiled scan,
+    including across vocab tiles."""
+    k, n = 128, 1024
+    x = jnp.ones((2, k), jnp.float32)
+    w = jnp.zeros((k, n), jnp.int8)
+    # identical columns in different tiles -> exact logit ties
+    w = w.at[:, 3].set(5)
+    w = w.at[:, 700].set(5)  # second tile (TILE_N=512), same logit
+    bias = jnp.zeros((n,), jnp.float32)
+    got = logits_argmax.argmax_affine(
+        x, w, bias, jnp.float32(4.0), jnp.float32(2.0), interpret=True
+    )
+    np.testing.assert_array_equal(np.asarray(got), [3, 3])
+
+
+def test_supported_widths():
+    assert logits_argmax.supported(32000)
+    assert logits_argmax.supported(1024)
+    assert not logits_argmax.supported(96)
+    assert not logits_argmax.supported(250)
