@@ -8,10 +8,17 @@ work up to 4x. Candidate fix (sketched in ops/decoder_step_pallas.py):
 keep K/V in [B, T, E] layout (E=256 = 2 full lane tiles, no padding)
 and reduce per-head with a block-diagonal selector matrix.
 
-Variants:
-  a_vpu   — current: [B,H,T,D] bf16, broadcast-multiply + reduce (VPU)
-  b_sel   — [B,T,E] bf16, selector-matrix einsums (VPU-ish)
-  c_gemm  — [B,T,E] bf16, batched MXU GEMMs + diagonal-block extract
+Variants (measured v5e, per-layer-step at B=1024 / B=512):
+  a_vpu   — pre-rewrite: [B,H,T,D] bf16, broadcast-mul+reduce (148/72µs)
+  b_sel   — [B,T,E] bf16, selector-matrix einsums (—/63µs)
+  c_gemm  — [B,T,E] bf16, batched MXU GEMMs + diag extract (99/52µs)
+            ← shipped as transformer._decode_attention_joined
+  d_gemm_i8 — [B,T,E] int8, MXU int8×int8 (52/35µs) ← kv_dtype="int8"
+  e_gemm_i8_dynaq — d + dynamic per-step aq: no measurable cost
+  f_hybrid — b's score path + c's V path: ≈ c_gemm (97.6 vs 99.1µs at
+            B=1024), i.e. the batched [B,E,H] q2 operand is already
+            fused by XLA; bf16 attention sits ~1.2× over its 82µs HBM
+            floor — exhausted as a lever
 
 Protocol (memory: axon-tpu-measurement): chain iterations serially on
 device via lax.fori_loop with a feedback carry (defeats dispatch dedup
@@ -129,6 +136,26 @@ def e_gemm_i8_dynaq(q, k, v, mask):
     return out
 
 
+def f_hybrid(q, k, v, mask):
+    # b_sel's score path (elementwise K*q fused into a dot against the
+    # CONSTANT [E,H] selector — no batched [B,E,H] operand that pads
+    # H=8 to 128 lanes) + c_gemm's V path (batched MXU GEMM).
+    s = selector(k.dtype)
+    prod = k * q[:, None, :].astype(k.dtype)  # [B,T,E], fusable
+    scores = (
+        jnp.einsum("bte,eh->bht", prod, s, preferred_element_type=jnp.float32)
+        * SCALE
+        + mask[:, :, 0, :]
+    )
+    attn = jax.nn.softmax(scores, axis=-1)  # [B,H,T]
+    res = jnp.einsum(
+        "bht,bte->bhe", attn.astype(v.dtype), v,
+        preferred_element_type=jnp.float32,
+    )
+    out = (res * selector(jnp.float32).T[None]).sum(1)
+    return out
+
+
 def run(name, fn, kv_layout):
     rng = np.random.default_rng(0)
     if kv_layout == "bhtd":
@@ -184,6 +211,7 @@ def main():
         "c_gemm": (c_gemm, "bte"),
         "d_gemm_i8": (d_gemm_i8, "bte_i8"),
         "e_gemm_i8_dynaq": (e_gemm_i8_dynaq, "bte_i8"),
+        "f_hybrid": (f_hybrid, "bte"),
     }
     hbm_floor_us = 2 * B * T * E * 2 / 819e9 * 1e6  # K+V bf16 once
     print(f"B={B} T={T} E={E} H={H}; K+V HBM floor ~{hbm_floor_us:.1f} us/layer-step")
