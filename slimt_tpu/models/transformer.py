@@ -182,16 +182,18 @@ def _decode_attention_joined(
     k, v = kv["k"], kv["v"]
     b, t, e = k.shape
     scale = 1.0 / math.sqrt(e // num_heads)
-    # The CPU backend (test suite) lacks mixed-precision dots; f32
-    # operands are bit-exact for these magnitudes (int8 contractions
-    # stay < 2^24), so CPU and TPU produce identical values.
+    # The CPU backend (test suite) lacks mixed-precision dots, so it
+    # upcasts the dot operands to f32. int8 branch: bit-exact with TPU
+    # (contractions stay < 2^24). bf16 branch: operands are first
+    # ROUNDED THROUGH bf16 so CPU sees the same quantized values the
+    # TPU multiplies; only dot accumulation order can still differ.
     on_cpu = jax.default_backend() == "cpu"
     if k.dtype == jnp.int8:
         sel = _head_selector(e, num_heads, jnp.int8)
         # Dynamic per-step activation scale for q (per-tensor, like
         # every other activation quantization in the engine).
         aq = 127.0 / jnp.maximum(jnp.max(jnp.abs(q)), 1e-6)
-        q_q = jnp.clip(jnp.rint(q * aq), -127.0, 127.0).astype(jnp.int8)
+        q_q = qmm.quantize_activations(q, aq)
         q2 = q_q[:, :, None] * sel[None]  # [B, E, H] int8
         if on_cpu:
             k_op, q2_op = k.astype(jnp.float32), q2.astype(jnp.float32)
@@ -213,13 +215,20 @@ def _decode_attention_joined(
         ).astype(jnp.float32) * (1.0 / (127.0 * kv["vq"]))
         selt = _head_selector(e, num_heads, jnp.float32)
     else:
-        op = jnp.float32 if on_cpu else k.dtype
-        sel = _head_selector(e, num_heads, op)
-        q2 = q.astype(op)[:, :, None] * sel[None]  # [B, E, H]
+        kv_dtype = k.dtype
+
+        def op(arr):
+            # Round to the cache dtype (what the TPU MXU multiplies);
+            # upcast the rounded values to f32 on CPU for the dot.
+            arr = arr.astype(kv_dtype)
+            return arr.astype(jnp.float32) if on_cpu else arr
+
+        sel = _head_selector(e, num_heads, jnp.float32)
+        q2 = op(q[:, :, None] * sel[None])  # [B, E, H]
         scores = (
             jnp.einsum(
                 "bte,beh->bht",
-                k.astype(op),
+                op(k),
                 q2,
                 preferred_element_type=jnp.float32,
             )
@@ -229,11 +238,11 @@ def _decode_attention_joined(
         attn = jax.nn.softmax(scores, axis=-1)  # [B, H, T]
         res = jnp.einsum(
             "bht,bte->bhe",
-            attn.astype(op),
-            v.astype(op),
+            op(attn),
+            op(v),
             preferred_element_type=jnp.float32,
         )  # [B, H, E]
-        selt = sel.astype(jnp.float32)
+        selt = sel
     out = (res * selt.T[None]).sum(1)  # [B, E] diagonal-block extract
     return out[:, None, :], attn[:, :, None, :]
 
@@ -409,8 +418,8 @@ def precompute_cross_kv(
             kq = 127.0 / jnp.maximum(jnp.max(jnp.abs(k)), 1e-6)
             vq = 127.0 / jnp.maximum(jnp.max(jnp.abs(v)), 1e-6)
             return {
-                "k": jnp.rint(k * kq).astype(jnp.int8),
-                "v": jnp.rint(v * vq).astype(jnp.int8),
+                "k": qmm.quantize_activations(k, kq),
+                "v": qmm.quantize_activations(v, vq),
                 "kq": kq,
                 "vq": vq,
             }
@@ -424,7 +433,10 @@ def precompute_cross_kv(
 
     if isinstance(layers, list):
         return tuple(project(layer) for layer in layers)
-    return jax.lax.map(project, layers)  # stacked: [L, B, H, T, D] pair
+    # stacked: leading [L] layer axis on every leaf — a (K, V) pair of
+    # [L,B,H,T,D] for the exact f32 path, or a joined-layout dict of
+    # [L,B,T,E] caches + per-layer [L] scales for bf16/int8.
+    return jax.lax.map(project, layers)
 
 
 def decoder_layer_forward(

@@ -161,7 +161,9 @@ class NativeVocab:
         self, words: Sequence[int]
     ) -> Tuple[str, List[Tuple[int, int]]]:
         n = len(words)
-        ids = np.asarray(words, np.uint32)
+        # ascontiguousarray: the raw base pointer goes to C++, so a
+        # strided ndarray view must be compacted first.
+        ids = np.ascontiguousarray(words, np.uint32)
         # worst case each token is " ⁇ " (5 bytes) or a long piece
         cap = 16 * (n + 1) + 1024
         text = ctypes.create_string_buffer(cap)

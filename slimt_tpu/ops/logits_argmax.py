@@ -67,7 +67,7 @@ def _tile_m(m: int) -> int:
     return max(8, -(-m // 8) * 8)
 
 
-def _kernel(scale_ref, x_ref, w_ref, b_ref, val_ref, idx_ref):
+def _kernel(scale_ref, x_ref, w_ref, b_ref, val_ref, idx_ref, *, n):
     j = pl.program_id(1)
     aq = scale_ref[0]
     inv = scale_ref[1]  # 1 / (aq * bq)
@@ -79,6 +79,12 @@ def _kernel(scale_ref, x_ref, w_ref, b_ref, val_ref, idx_ref):
         preferred_element_type=jnp.int32,
     )
     logits = acc.astype(jnp.float32) * inv + b_ref[0, :]
+    # Mask the final partial vocab tile: its padded columns hold
+    # unspecified W/bias block data that must never win the argmax.
+    cols = j * TILE_N + jax.lax.broadcasted_iota(
+        jnp.int32, logits.shape, 1
+    )
+    logits = jnp.where(cols < n, logits, -jnp.inf)
     tile_max = jnp.max(logits, axis=1)  # [TILE_M]
     tile_arg = jnp.argmax(logits, axis=1).astype(jnp.int32)
     cand = j * TILE_N + tile_arg
@@ -103,7 +109,7 @@ def _argmax_2d(x, w_q, b, scales, interpret):
     tile_m = _tile_m(m)
     grid = (pl.cdiv(m, tile_m), pl.cdiv(n, TILE_N))
     val, idx = pl.pallas_call(
-        _kernel,
+        functools.partial(_kernel, n=n),
         out_shape=(
             jax.ShapeDtypeStruct((m, 1), jnp.float32),
             jax.ShapeDtypeStruct((m, 1), jnp.int32),

@@ -76,22 +76,36 @@ def _exhaust(model, batcher: Batcher, meters=None, pool=None) -> None:
             return
 
         pending = []
-        for batch, n_segments, finish in in_flight:
-            histories = finish()
-            if pool is None:
-                batch.complete(histories)
-            else:
-                pending.append(pool.submit(batch.complete, histories))
-            if meters is not None:
-                meters.record_batch(
-                    words=batch.token_count,
-                    elapsed=timer.elapsed(),
-                    used=batch.token_count,
-                    capacity=n_segments * max(batch.max_length, 1),
-                )
-                timer.reset()
-        for done in pending:
-            done.result()
+        try:
+            for batch, n_segments, finish in in_flight:
+                histories = finish()
+                if pool is None:
+                    batch.complete(histories)
+                else:
+                    pending.append(pool.submit(batch.complete, histories))
+                if meters is not None:
+                    meters.record_batch(
+                        words=batch.token_count,
+                        elapsed=timer.elapsed(),
+                        used=batch.token_count,
+                        capacity=n_segments * max(batch.max_length, 1),
+                    )
+                    timer.reset()
+        finally:
+            # Drain even if a later finish() raised, so no completion
+            # thread is still mutating responses after translate()
+            # propagates the error (serial-mode semantics).
+            import sys
+
+            first_err = None
+            for done in pending:
+                try:
+                    done.result()
+                except Exception as e:  # noqa: BLE001
+                    if first_err is None:
+                        first_err = e
+            if first_err is not None and sys.exc_info()[0] is None:
+                raise first_err
         # completions may have enqueued follow-up work
 
 
@@ -113,6 +127,23 @@ class Blocking:
             if self.config.completion_threads > 0
             else None
         )
+
+    def close(self) -> None:
+        """Shut down the completion pool (idempotent)."""
+        if self._pool is not None:
+            self._pool.shutdown(wait=True)
+            self._pool = None
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+    def __del__(self):
+        pool = getattr(self, "_pool", None)
+        if pool is not None:
+            pool.shutdown(wait=False)
 
     def translate(
         self,

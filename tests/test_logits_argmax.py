@@ -10,7 +10,14 @@ from slimt_tpu.ops import logits_argmax, qmm
 
 
 @pytest.mark.parametrize(
-    "b,k,n", [(1, 256, 512), (8, 256, 1024), (128, 256, 2048), (9, 64, 512)]
+    "b,k,n",
+    [
+        (1, 256, 512),
+        (8, 256, 1024),
+        (128, 256, 2048),
+        (9, 64, 512),
+        (8, 256, 2688),  # partial final vocab tile (2688 % 512 != 0)
+    ],
 )
 def test_matches_xla_argmax(b, k, n):
     rng = np.random.default_rng(b + n)
@@ -41,6 +48,26 @@ def test_tie_prefers_first():
         x, w, bias, jnp.float32(4.0), jnp.float32(2.0), interpret=True
     )
     np.testing.assert_array_equal(np.asarray(got), [3, 3])
+
+
+def test_partial_tile_padding_never_wins():
+    """All real logits negative + a partial final tile: the padded
+    columns (zeros in interpret mode) must not beat the real maximum,
+    and the returned index must stay < n."""
+    b, k, n = 4, 128, 640  # 640 % 512 = 128: final tile 3/4 padding
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(
+        np.abs(rng.standard_normal((b, k))) + 0.1, jnp.float32
+    )  # strictly positive
+    w = jnp.asarray(rng.integers(-127, -1, (k, n)), jnp.int8)  # < 0
+    bias = jnp.full((n,), -50.0, jnp.float32)
+    aq, bq = jnp.float32(10.0), jnp.float32(10.0)
+    want = jnp.argmax(
+        qmm.affine(x, w, bias, aq, bq, provider="xla_int8"), axis=-1
+    ).astype(jnp.int32)
+    got = logits_argmax.argmax_affine(x, w, bias, aq, bq, interpret=True)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+    assert (np.asarray(got) < n).all()
 
 
 def test_supported_widths():
