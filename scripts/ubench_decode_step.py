@@ -11,6 +11,9 @@ Ablations:
   no_attn    — cross-attention replaced by identity (isolates SSRU+FFN+logits)
   no_logits  — output projection replaced by a 32-wide slice matmul
   no_ffn     — decoder FFN blocks skipped
+  bf16_argmax — argmax over bf16-cast logits (measured: only ~4% of the
+               step at B=1024 — rejected; logits are argmax-consumed
+               in-fusion, not written to HBM at f32)
 """
 
 import os
@@ -64,10 +67,19 @@ def patched(name):
         tfm.output_logits = fake_logits
     elif name == "no_ffn":
         tfm._ffn_block = lambda layer, x, provider: x
+    orig_argmax = tfm.output_argmax
+    if name == "bf16_argmax":
+        def bf16_argmax(params, x, provider=None, projection=None):
+            logits = orig_logits(params, x, provider, None, projection)
+            return jnp.argmax(
+                logits.astype(jnp.bfloat16), axis=-1
+            ).astype(jnp.int32)
+        tfm.output_argmax = bf16_argmax
     return lambda: (
         setattr(tfm, "attention_forward", orig_attn),
         setattr(tfm, "output_logits", orig_logits),
         setattr(tfm, "_ffn_block", orig_ffn),
+        setattr(tfm, "output_argmax", orig_argmax),
     )
 
 
