@@ -254,11 +254,12 @@ int slimt_vocab_encode(void* handle, const char* text, int len,
 
 // ids -> utf8 text + per-token byte ranges; control pieces surface
 // empty, unknowns as sentencepiece's " ⁇ ". Returns text length in
-// bytes, or -1 if caps are insufficient.
-int slimt_vocab_decode(void* handle, const uint32_t* ids, int n,
-                       char* out_text, int text_cap, uint32_t* out_begin,
-                       uint32_t* out_end) {
-  const Vocab& v = *static_cast<Vocab*>(handle);
+// bytes, or -1 if caps are insufficient. out_begin may be null
+// (begins are always the previous token's end; tokens are contiguous
+// from 0).
+static int decode_one(const Vocab& v, const uint32_t* ids, int n,
+                      char* out_text, int text_cap, uint32_t* out_begin,
+                      uint32_t* out_end) {
   static const std::string kUnkSurface = " \xe2\x81\x87 ";  // " ⁇ "
   int pos = 0;
   bool first_real = true;
@@ -294,10 +295,45 @@ int slimt_vocab_decode(void* handle, const uint32_t* ids, int n,
     }
     if (pos + static_cast<int>(surface.size()) > text_cap) return -1;
     std::memcpy(out_text + pos, surface.data(), surface.size());
-    out_begin[i] = static_cast<uint32_t>(pos);
+    if (out_begin != nullptr) out_begin[i] = static_cast<uint32_t>(pos);
     pos += static_cast<int>(surface.size());
     out_end[i] = static_cast<uint32_t>(pos);
   }
+  return pos;
+}
+
+int slimt_vocab_decode(void* handle, const uint32_t* ids, int n,
+                       char* out_text, int text_cap, uint32_t* out_begin,
+                       uint32_t* out_end) {
+  return decode_one(*static_cast<Vocab*>(handle), ids, n, out_text,
+                    text_cap, out_begin, out_end);
+}
+
+// Batched decode over n_seqs sequences (flat ids + seq_offsets of
+// n_seqs+1 entries), one library call per device batch instead of one
+// per sentence. Token end offsets land in out_ends (flat, parallel to
+// ids) relative to each sequence's own text; out_text_offsets
+// (n_seqs+1) locates each sequence's text span in out_text. The
+// word-start state resets per sequence, matching repeated
+// slimt_vocab_decode calls exactly. Returns total bytes written, or
+// -1 if text_cap is insufficient.
+int slimt_vocab_decode_batch(void* handle, const uint32_t* ids,
+                             const uint32_t* seq_offsets, int n_seqs,
+                             char* out_text, int text_cap,
+                             uint32_t* out_ends,
+                             uint32_t* out_text_offsets) {
+  const Vocab& v = *static_cast<Vocab*>(handle);
+  int pos = 0;
+  for (int s = 0; s < n_seqs; s++) {
+    out_text_offsets[s] = static_cast<uint32_t>(pos);
+    const int begin = static_cast<int>(seq_offsets[s]);
+    const int len = static_cast<int>(seq_offsets[s + 1]) - begin;
+    int wrote = decode_one(v, ids + begin, len, out_text + pos,
+                           text_cap - pos, nullptr, out_ends + begin);
+    if (wrote < 0) return -1;
+    pos += wrote;
+  }
+  out_text_offsets[n_seqs] = static_cast<uint32_t>(pos);
   return pos;
 }
 

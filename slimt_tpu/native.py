@@ -76,6 +76,14 @@ def _load():
             ctypes.c_void_p,
             ctypes.c_void_p,
         ]
+        lib.slimt_vocab_decode_batch.restype = ctypes.c_int
+        lib.slimt_vocab_decode_batch.argtypes = [
+            ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int,
+            ctypes.c_char_p, ctypes.c_int,
+            ctypes.c_void_p,
+            ctypes.c_void_p,
+        ]
         lib.slimt_hash_words.restype = ctypes.c_uint64
         lib.slimt_hash_words.argtypes = [
             ctypes.c_uint64, ctypes.POINTER(ctypes.c_uint32), ctypes.c_int
@@ -111,6 +119,11 @@ class NativeVocab:
             raise RuntimeError("native library unavailable")
         self._lib = lib
         blob = b"".join(p.piece.encode("utf-8") for p in pieces)
+        # Worst-case per-token surface bytes for decode buffers: the
+        # longest piece, or " ⁇ " (5 bytes) for unknowns.
+        self._max_surface = max(
+            [5] + [len(p.piece.encode("utf-8")) for p in pieces]
+        )
         offsets = np.zeros(len(pieces) + 1, np.uint32)
         np.cumsum(
             [len(p.piece.encode("utf-8")) for p in pieces], out=offsets[1:]
@@ -164,8 +177,7 @@ class NativeVocab:
         # ascontiguousarray: the raw base pointer goes to C++, so a
         # strided ndarray view must be compacted first.
         ids = np.ascontiguousarray(words, np.uint32)
-        # worst case each token is " ⁇ " (5 bytes) or a long piece
-        cap = 16 * (n + 1) + 1024
+        cap = self._max_surface * n + 1024
         text = ctypes.create_string_buffer(cap)
         begin = np.empty(max(n, 1), np.uint32)
         end = np.empty(max(n, 1), np.uint32)
@@ -184,3 +196,48 @@ class NativeVocab:
             text.raw[:length].decode("utf-8", errors="replace"),
             list(zip(begin[:n].tolist(), end[:n].tolist())),
         )
+
+    def decode_batch(
+        self, segments: Sequence[Sequence[int]]
+    ) -> List[Tuple[bytes, List[int]]]:
+        """Decode many id sequences in ONE library call (one per
+        device batch instead of one per sentence). Returns per
+        sequence its UTF-8 text bytes plus per-token end offsets into
+        them (token i spans [end[i-1], end[i]), tokens contiguous from
+        0 — the decode_one contract in native/slimt_host.cpp)."""
+        import itertools
+
+        n_seqs = len(segments)
+        if n_seqs == 0:
+            return []
+        lengths = [len(s) for s in segments]
+        seq_offsets = np.zeros(n_seqs + 1, np.uint32)
+        np.cumsum(lengths, out=seq_offsets[1:])
+        total = int(seq_offsets[-1])
+        ids = np.fromiter(
+            itertools.chain.from_iterable(segments), np.uint32, total
+        )
+        cap = self._max_surface * total + 1024
+        text = ctypes.create_string_buffer(cap)
+        ends = np.empty(max(total, 1), np.uint32)
+        text_offsets = np.empty(n_seqs + 1, np.uint32)
+        length = self._lib.slimt_vocab_decode_batch(
+            self._handle,
+            ids.ctypes.data,
+            seq_offsets.ctypes.data,
+            n_seqs,
+            text,
+            cap,
+            ends.ctypes.data,
+            text_offsets.ctypes.data,
+        )
+        if length < 0:
+            raise RuntimeError("decode capacity exceeded")
+        raw = text.raw
+        to = text_offsets.tolist()
+        so = seq_offsets.tolist()
+        ends_list = ends.tolist()
+        return [
+            (raw[to[i] : to[i + 1]], ends_list[so[i] : so[i + 1]])
+            for i in range(n_seqs)
+        ]

@@ -64,6 +64,16 @@ class Batch:
 
     def complete(self, histories: List[History]) -> None:
         assert len(histories) == len(self.segment_refs)
+        if self.segment_refs:
+            # One batched detokenize call for the whole device batch
+            # (all refs share the model — batchers are per-model);
+            # Request._complete consumes the precomputed bytes.
+            vocabulary = self.segment_refs[0].request.vocabulary
+            decoded = vocabulary.decode_batch(
+                [history.target for history in histories]
+            )
+            for history, d in zip(histories, decoded):
+                history.decoded = d
         for ref, history in zip(self.segment_refs, histories):
             ref.complete(history)
 

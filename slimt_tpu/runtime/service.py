@@ -113,9 +113,10 @@ class Blocking:
     def __init__(self, config: Optional[Config] = None):
         from concurrent.futures import ThreadPoolExecutor
 
-        from slimt_tpu.utils import ServiceMeters
+        from slimt_tpu.utils import ServiceMeters, tune_gc
 
         self.config = config or Config()
+        tune_gc(self.config.gc_gen0_threshold)
         self.cache = make_cache(self.config.cache_size)
         self._ids = itertools.count()
         self.meters = ServiceMeters()
@@ -255,7 +256,10 @@ class Blocking:
 
 class Async:
     def __init__(self, config: Optional[Config] = None):
+        from slimt_tpu.utils import tune_gc
+
         self.config = config or Config()
+        tune_gc(self.config.gc_gen0_threshold)
         self.cache = make_cache(self.config.cache_size)
         self._ids = itertools.count()
         self.batcher = Threadsafe(

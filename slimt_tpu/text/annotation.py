@@ -118,6 +118,23 @@ class AnnotatedText:
         self.gap.append(len(begins) - 1)
         begins.append(offset)
 
+    def append_sentence_raw(
+        self, prefix: str, data: bytes, ends: Sequence[int]
+    ) -> None:
+        """append_sentence for an already-decoded sentence: `data` is
+        its UTF-8 bytes and `ends[i]` the end offset of token i within
+        them (tokens contiguous from 0 — the Vocabulary.decode_batch
+        contract). Skips building per-token string objects."""
+        assert self.token_begin[-1] == len(self._data)
+        self.append_ending_whitespace(prefix)
+
+        offset = len(self._data)
+        self._data += data
+        begins = self.token_begin
+        begins.extend(offset + e for e in ends)
+        self.gap.append(len(begins) - 1)
+        begins.append(offset + (ends[-1] if len(ends) else 0))
+
     def append_ending_whitespace(self, whitespace: str) -> None:
         self._data += whitespace.encode("utf-8")
         self.token_begin[-1] = len(self._data)

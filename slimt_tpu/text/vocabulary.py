@@ -323,6 +323,21 @@ class Vocabulary:
         ]
         return list(enc.ids), ranges
 
+    def decode_batch(
+        self, segments: Sequence[Sequence[int]]
+    ) -> List[Tuple[bytes, List[int]]]:
+        """Decode many segments at once: per segment (UTF-8 bytes,
+        per-token end offsets; tokens contiguous from 0). One native
+        library call when available — the fast path device batches
+        take through Batch.complete."""
+        if self._native is not None:
+            return self._native.decode_batch(segments)
+        out = []
+        for words in segments:
+            text, ranges = self.decode(words, ignore_eos=False)
+            out.append((text.encode("utf-8"), [e for _, e in ranges]))
+        return out
+
     def decode(
         self, words: Sequence[int], ignore_eos: bool = False
     ) -> Tuple[str, List[Tuple[int, int]]]:

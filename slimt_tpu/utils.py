@@ -45,6 +45,21 @@ def configure_compile_cache() -> None:
         pass
 
 
+def tune_gc(gen0_threshold: int) -> None:
+    """Raise (never lower) Python's gen-0 gc threshold. JAX registers
+    an XLA collect_garbage callback on every gc pass (jax issue
+    #14882); at CPython's default gen-0 threshold of 700 allocations,
+    a host-heavy serving loop triggers it hundreds of times per
+    second. Called by the services with Config.gc_gen0_threshold."""
+    if gen0_threshold <= 0:
+        return
+    import gc
+
+    current = gc.get_threshold()
+    if current[0] < gen0_threshold:
+        gc.set_threshold(gen0_threshold, *current[1:])
+
+
 class Timer:
     def __init__(self):
         self.start = time.perf_counter()

@@ -73,3 +73,27 @@ def test_encode_speed_sanity(native_vocab):
     # final range extends to end-of-line (stripped trailing whitespace
     # folds into the last token's span, matching the python backend)
     assert ranges[-1][1] == len(line.encode("utf-8"))
+
+
+def test_decode_batch_parity(py_vocab, native_vocab):
+    """decode_batch == N decode calls, native == python fallback."""
+    segments = []
+    for line in LINES:
+        ids, _ = py_vocab.encode(line, add_eos=True)
+        segments.append(ids)
+    segments.append([])  # empty segment edge case
+    nat = native_vocab.decode_batch(segments)
+    py = py_vocab.decode_batch(segments)
+    assert len(nat) == len(py) == len(segments)
+    for ids, (nd, ne), (pd, pe) in zip(segments, nat, py):
+        assert nd == pd
+        assert list(ne) == list(pe)
+        # cross-check against the per-call decode contract
+        text, ranges = native_vocab.decode(ids)
+        assert nd == text.encode("utf-8")
+        assert list(ne) == [e for _, e in ranges]
+
+
+def test_decode_batch_empty():
+    vocab = build_vocabulary(WORDS, backend="native")
+    assert vocab.decode_batch([]) == []

@@ -162,3 +162,29 @@ def test_py_and_hf_backends_agree():
         hf_ids, hf_ranges = hf.encode(line)
         assert py_ids == hf_ids, line
         assert py_ranges == hf_ranges, line
+
+
+def test_append_sentence_raw_matches_append_sentence():
+    from slimt_tpu.text.annotation import AnnotatedText
+
+    cases = [
+        ("", ["hello", " world"]),
+        (" ", ["héllo", " wörld", ""]),
+        ("\n\n", []),
+        ("", ["", "a", ""]),
+    ]
+    a = AnnotatedText()
+    b = AnnotatedText()
+    for prefix, tokens in cases:
+        a.append_sentence(prefix, tokens)
+        data = "".join(tokens).encode("utf-8")
+        ends, pos = [], 0
+        for t in tokens:
+            pos += len(t.encode("utf-8"))
+            ends.append(pos)
+        b.append_sentence_raw(prefix, data, ends)
+    a.append_ending_whitespace(" tail")
+    b.append_ending_whitespace(" tail")
+    assert a.data == b.data
+    assert a.token_begin == b.token_begin
+    assert a.gap == b.gap
