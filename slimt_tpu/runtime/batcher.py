@@ -97,8 +97,11 @@ class Batcher:
         self._running_max = 0
 
     def enqueue(self, request: Request) -> int:
-        """Insert all uncached segments; returns how many."""
+        """Insert all uncached segments; returns how many. Heap
+        entries are ((request id, index), ref) so heap ordering uses
+        C-speed tuple comparison, not SegmentRef.__lt__."""
         enqueued = 0
+        rid = request.id
         for i in range(request.size()):
             if request.cached(i):
                 continue
@@ -106,7 +109,7 @@ class Batcher:
             length = ref.size()
             while length >= len(self._buckets):
                 self._buckets.append([])
-            heapq.heappush(self._buckets[length], ref)
+            heapq.heappush(self._buckets[length], ((rid, i), ref))
             self._running_max = max(self._running_max, length)
             enqueued += 1
         return enqueued
@@ -123,9 +126,9 @@ class Batcher:
             bucket = self._buckets[length]
             while bucket:
                 if (len(batch) + 1) * max(length, 1) <= self.max_words:
-                    batch.add(heapq.heappop(bucket))
+                    batch.add(heapq.heappop(bucket)[1])
                 elif batch.empty():
-                    batch.add(heapq.heappop(bucket))  # oversize singleton
+                    batch.add(heapq.heappop(bucket)[1])  # oversize singleton
                     return batch
                 else:
                     return batch
@@ -200,6 +203,20 @@ class Threadsafe:
         with self._cond:
             assert not self._shutdown
             count = self._inner.enqueue(*args)
+            self._enqueued += count
+            self._cond.notify_all()
+            return count
+
+    def enqueue_many(self, items) -> int:
+        """Enqueue a batch of argument tuples under ONE lock
+        acquisition and ONE notify — the bulk-ingest path
+        (translate_many); per-call enqueue would wake the workers
+        thousands of times."""
+        with self._cond:
+            assert not self._shutdown
+            count = 0
+            for args in items:
+                count += self._inner.enqueue(*args)
             self._enqueued += count
             self._cond.notify_all()
             return count

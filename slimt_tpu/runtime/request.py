@@ -159,13 +159,14 @@ class Request:
         target = response.target
 
         for sentence_id, history in enumerate(self.histories):
-            prefix = self.source.gap_text(sentence_id)
             if history.decoded is not None:
                 # Batched-decode fast path (Batch.complete): bytes +
                 # end offsets go straight into the annotation, no
-                # per-token string objects.
+                # per-token string objects or str round-trips.
                 data, ends = history.decoded
-                target.append_sentence_raw(prefix, data, ends)
+                target.append_sentence_raw(
+                    self.source.gap_data(sentence_id), data, ends
+                )
             else:
                 words = history.target
                 decoded, views = self.vocabulary.decode(
@@ -179,10 +180,12 @@ class Request:
                         data[b:e].decode("utf-8", errors="replace")
                         for b, e in views
                     ]
-                target.append_sentence(prefix, tokens)
+                target.append_sentence(
+                    self.source.gap_text(sentence_id), tokens
+                )
             if sentence_id + 1 == len(self.histories):
-                target.append_ending_whitespace(
-                    self.source.gap_text(sentence_id + 1)
+                target.append_ending_whitespace_data(
+                    self.source.gap_data(sentence_id + 1)
                 )
             response.alignments.append(history.alignment)
 

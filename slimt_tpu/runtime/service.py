@@ -358,6 +358,7 @@ class Async:
             texts, self.config.wrap_length
         )
         handles = []
+        pending = []
         for html, (annotated, segments) in zip(htmls, processed):
             future: Future = Future()
 
@@ -376,8 +377,11 @@ class Async:
                 needs_alignment=options.alignment or options.html,
             )
             request.on_error = future.set_exception
-            self.batcher.enqueue(model, request)
+            pending.append((model, request))
             handles.append(Handle(request, parts=1, future=future))
+        # One lock/notify for the whole batch: workers wake to a full
+        # queue instead of being poked once per request.
+        self.batcher.enqueue_many(pending)
         return handles
 
     def pivot(

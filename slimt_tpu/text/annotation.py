@@ -95,6 +95,15 @@ class AnnotatedText:
     def gap_text(self, gap_idx: int) -> str:
         return self._view(self.gap_as_range(gap_idx))
 
+    def gap_data(self, gap_idx: int) -> bytes:
+        """Raw bytes of a gap (no str decode) — completion fast path;
+        only valid while encoding is BYTE."""
+        assert self.encoding == Encoding.BYTE
+        token_idx = self.gap[gap_idx]
+        return bytes(
+            self._data[self.token_begin[token_idx] : self.token_begin[token_idx + 1]]
+        )
+
     def words(self, sentence_id: int) -> List[str]:
         return [
             self.word(sentence_id, w) for w in range(self.word_count(sentence_id))
@@ -119,14 +128,15 @@ class AnnotatedText:
         begins.append(offset)
 
     def append_sentence_raw(
-        self, prefix: str, data: bytes, ends: Sequence[int]
+        self, prefix: bytes, data: bytes, ends: Sequence[int]
     ) -> None:
-        """append_sentence for an already-decoded sentence: `data` is
-        its UTF-8 bytes and `ends[i]` the end offset of token i within
-        them (tokens contiguous from 0 — the Vocabulary.decode_batch
-        contract). Skips building per-token string objects."""
+        """append_sentence for an already-decoded sentence: `prefix`
+        (gap) and `data` are UTF-8 bytes, `ends[i]` the end offset of
+        token i within `data` (tokens contiguous from 0 — the
+        Vocabulary.decode_batch contract). Skips building per-token
+        string objects and str round-trips."""
         assert self.token_begin[-1] == len(self._data)
-        self.append_ending_whitespace(prefix)
+        self.append_ending_whitespace_data(prefix)
 
         offset = len(self._data)
         self._data += data
@@ -138,6 +148,11 @@ class AnnotatedText:
     def append_ending_whitespace(self, whitespace: str) -> None:
         self._data += whitespace.encode("utf-8")
         self.token_begin[-1] = len(self._data)
+
+    def append_ending_whitespace_data(self, whitespace: bytes) -> None:
+        if whitespace:
+            self._data += whitespace
+            self.token_begin[-1] = len(self._data)
 
     def record_existing_sentence(
         self, token_ranges: Sequence[Tuple[int, int]], sentence_begin: int

@@ -182,7 +182,7 @@ def test_append_sentence_raw_matches_append_sentence():
         for t in tokens:
             pos += len(t.encode("utf-8"))
             ends.append(pos)
-        b.append_sentence_raw(prefix, data, ends)
+        b.append_sentence_raw(prefix.encode("utf-8"), data, ends)
     a.append_ending_whitespace(" tail")
     b.append_ending_whitespace(" tail")
     assert a.data == b.data
