@@ -207,7 +207,7 @@ def bench_base():
     print(
         json.dumps(
             _decode_bench(
-                batch=256, emb=512, ffn=2048,
+                batch=1024, emb=512, ffn=2048,
                 metric="decode_tokens_per_sec_per_chip_base_int8",
             )
         )
@@ -286,7 +286,7 @@ def bench_multipair(lines_per_model=512):
     )
 
 
-def bench_corpus(path=None, workers=4):
+def bench_corpus(path=None, workers=8):
     """WNGT20-style corpus throughput: pipe a real file through the
     Async service (the reference's scripts/run.sh workload — 10k
     shuffled sources, N workers). Falls back to a synthetic corpus
