@@ -43,6 +43,16 @@ def _tile(ranges):
     that AnnotatedText.record_existing_sentence requires."""
     if not ranges:
         return ranges
+    # Fast path: HF Metaspace offsets already tile on typical text —
+    # verify without allocating per-token tuples.
+    prev_end = ranges[0][1]
+    for i in range(1, len(ranges)):
+        begin, end = ranges[i]
+        if begin != prev_end or end < begin:
+            break
+        prev_end = end
+    else:
+        return ranges
     out = [ranges[0]]
     for begin, end in ranges[1:]:
         prev_end = out[-1][1]
@@ -314,7 +324,9 @@ class Vocabulary:
         # HF offsets are char offsets into the original line → bytes.
         data = line.encode("utf-8")
         if len(data) == len(line):  # pure-ASCII fast path: chars == bytes
-            return list(enc.ids), list(enc.offsets)
+            # .ids/.offsets each materialize a fresh list per access —
+            # no defensive copy needed.
+            return enc.ids, enc.offsets
         prefix = [0]
         for ch in line:
             prefix.append(prefix[-1] + len(ch.encode("utf-8")))
