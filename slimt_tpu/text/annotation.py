@@ -154,6 +154,24 @@ class AnnotatedText:
             self._data += whitespace
             self.token_begin[-1] = len(self._data)
 
+    def record_contiguous_sentence(
+        self, begins: Sequence[int], end: int
+    ) -> None:
+        """record_existing_sentence for tokens already verified to tile
+        contiguously (the Vocabulary.encode_batch_begins contract):
+        `begins[i]` is the byte offset of token i, `end` the end of the
+        last token; a zero-width EOS pseudo-token is appended at `end`.
+        Equivalent to record_existing_sentence(ranges + [(end, end)], …)
+        without building per-token range tuples. `begins` must be
+        non-empty."""
+        assert self.token_begin[-1] == len(self._data)
+        tb = self.token_begin
+        tb[-1:] = begins
+        tb.append(end)  # zero-width EOS begin
+        self.gap.append(len(tb))
+        tb.append(end)
+        tb.append(len(self._data))
+
     def record_existing_sentence(
         self, token_ranges: Sequence[Tuple[int, int]], sentence_begin: int
     ) -> None:

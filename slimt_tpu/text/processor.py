@@ -83,21 +83,21 @@ class TextProcessor:
                 all_sentences.append(sentence)
             plans.append((source, spans))
 
-        encoded = self.vocabulary.encode_batch(all_sentences, add_eos=False)
+        encoded = self.vocabulary.encode_batch_begins(all_sentences)
 
         results = []
         cursor = 0
         for source, spans in plans:
             segments: Segments = []
             for _, byte_offset in spans:
-                ids, ranges = encoded[cursor]
+                ids, begins, end = encoded[cursor]
                 cursor += 1
                 if not ids:
                     continue
-                byte_ranges = [
-                    (byte_offset + b, byte_offset + e) for b, e in ranges
-                ]
-                self._wrap(ids, byte_ranges, segments, source, wrap_length)
+                if byte_offset:  # 0 for the first sentence of a line
+                    begins = [byte_offset + b for b in begins]
+                    end += byte_offset
+                self._wrap(ids, begins, end, segments, source, wrap_length)
             results.append((source, segments))
         return results
 
@@ -109,25 +109,29 @@ class TextProcessor:
     def _wrap(
         self,
         ids: Segment,
-        byte_ranges: List[Tuple[int, int]],
+        begins: List[int],
+        end: int,
         segments: Segments,
         source: AnnotatedText,
         wrap_length: int,
     ) -> None:
         """Wrap at wrap_length-1 tokens + EOS
-        (slimt/TextProcessor.cc:123-157)."""
+        (slimt/TextProcessor.cc:123-157). `begins`/`end` describe the
+        contiguous token byte ranges (encode_batch_begins contract); a
+        zero-width EOS range is recorded at each chunk's end."""
         eos = self.vocabulary.eos_id
         step = wrap_length - 1
-        for offset in range(0, len(ids), step):
-            chunk = ids[offset : offset + step]
-            segments.append(chunk + [eos])
-            chunk_ranges = list(byte_ranges[offset : offset + step])
-            # zero-width EOS range at the end of the last token
-            last_end = chunk_ranges[-1][1]
-            chunk_ranges.append((last_end, last_end))
-            source.record_existing_sentence(
-                chunk_ranges, chunk_ranges[0][0]
-            )
+        n = len(ids)
+        if n <= step:  # common case: sentence fits in one segment
+            segments.append(ids + [eos])
+            source.record_contiguous_sentence(begins, end)
+            return
+        for offset in range(0, n, step):
+            hi = offset + step
+            segments.append(ids[offset:hi] + [eos])
+            # contiguity: a non-final chunk ends where the next begins
+            chunk_end = begins[hi] if hi < n else end
+            source.record_contiguous_sentence(begins[offset:hi], chunk_end)
 
     def process_annotated(
         self, source: AnnotatedText

@@ -305,6 +305,51 @@ class Vocabulary:
             return out
         return [self.encode(line, add_eos) for line in lines]
 
+    def encode_batch_begins(
+        self, lines: Sequence[str]
+    ) -> List[Tuple[List[int], List[int], int]]:
+        """Batch encode returning (ids, token begin offsets, end) per
+        line — the serving ingest fast path. Because token ranges tile
+        contiguously (the _tile contract), the full range list is
+        redundant: begins plus the final end reconstruct it. Extracting
+        just the begins runs at C speed (zip/tuple compare), skipping
+        ~1 tuple allocation per token vs encode_batch."""
+        if self._hf is None:
+            out = []
+            for line in lines:
+                ids, ranges = self.encode(line)
+                if ranges:
+                    b, e = zip(*ranges)
+                    out.append((ids, list(b), e[-1]))
+                else:
+                    out.append((ids, [], 0))
+            return out
+        encs = self._hf.encode_batch(list(lines), add_special_tokens=False)
+        out = []
+        for line, enc in zip(lines, encs):
+            offsets = enc.offsets
+            if not offsets:
+                out.append((enc.ids, [], 0))
+                continue
+            b, e = zip(*offsets)  # C-speed unzip
+            # Contiguity + monotonicity check, all C-speed: tiles iff
+            # each begin equals the previous end and begins ascend
+            # (timsort's run detection makes sorted() O(n) here).
+            if not (
+                b[1:] == e[:-1] and e[-1] >= b[-1] and list(b) == sorted(b)
+            ):
+                b, e = zip(*_tile(offsets))
+            end = e[-1]
+            data = line.encode("utf-8")
+            if len(data) != len(line):  # non-ASCII: char → byte offsets
+                prefix = [0]
+                for ch in line:
+                    prefix.append(prefix[-1] + len(ch.encode("utf-8")))
+                out.append((enc.ids, [prefix[x] for x in b], prefix[end]))
+            else:
+                out.append((enc.ids, list(b), end))
+        return out
+
     def _encode_py(self, line: str):
         normalized, align = self._normalize(line)
         segs = self._viterbi(normalized)
