@@ -82,9 +82,12 @@ class Request:
             return
 
         if cache is not None:
+            # Keys are needed again at store time (process); hash each
+            # segment once.
+            self._keys = [cache_key(model_id, s) for s in segments]
             prefilled = 0
             for idx, segment in enumerate(segments):
-                found, history = cache.find(cache_key(model_id, segment))
+                found, history = cache.find(self._keys[idx])
                 # A cached hypothesis translated without alignments
                 # cannot serve an alignment-needing request.
                 if found and needs_alignment and history.target and not history.alignment:
@@ -130,9 +133,7 @@ class Request:
             self._counter -= 1
             finished = self._counter == 0
         if self.cache is not None:
-            self.cache.store(
-                cache_key(self.model_id, self.segments[index]), history
-            )
+            self.cache.store(self._keys[index], history)
         if finished:
             self._complete()
 

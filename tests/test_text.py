@@ -188,3 +188,43 @@ def test_append_sentence_raw_matches_append_sentence():
     assert a.data == b.data
     assert a.token_begin == b.token_begin
     assert a.gap == b.gap
+
+
+def test_record_contiguous_sentence_matches_existing():
+    text = "  One two.  More text  "
+    a = AnnotatedText(text)
+    ranges = [(2, 5), (5, 9), (9, 10)]
+    a.record_existing_sentence(ranges + [(10, 10)], 2)  # zero-width EOS
+    a.record_existing_sentence([(12, 16), (16, 21), (21, 21)], 12)
+
+    b = AnnotatedText(text)
+    b.record_contiguous_sentence([r[0] for r in ranges], 10)
+    b.record_contiguous_sentence([12, 16], 21)
+
+    assert a.token_begin == b.token_begin
+    assert a.gap == b.gap
+    assert a.data == b.data
+    assert [b.sentence(i) for i in range(2)] == ["One two.", "More text"]
+    assert b.gap_text(1) == "  "
+
+
+@pytest.mark.parametrize("backend", ["none", "hf"])
+def test_encode_batch_begins_matches_encode_batch(backend):
+    words = ["hello", "world", "test", "quick", "brown"]
+    try:
+        vocab = build_vocabulary(words, backend=backend)
+    except Exception:
+        pytest.skip(f"{backend} backend unavailable")
+    lines = [
+        "hello world test",
+        "héllo wörld quick",  # non-ASCII: byte offsets differ from chars
+        "",
+        "brown",
+        "a b  c",
+    ]
+    full = vocab.encode_batch(lines)
+    fast = vocab.encode_batch_begins(lines)
+    for (ids, ranges), (fids, begins, end) in zip(full, fast):
+        assert list(ids) == list(fids)
+        assert begins == [b for b, _ in ranges]
+        assert end == (ranges[-1][1] if ranges else 0)
