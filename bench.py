@@ -238,6 +238,34 @@ def bench_e2e(lines=2048, workers=4):
     )
 
 
+def bench_bulk(lines=10000):
+    """Corpus throughput through the bulk path
+    (Blocking.translate_bulk): flattened segments, one packing pass,
+    pipelined device dispatch, no per-request machinery — the
+    TPU-native answer to the reference's async corpus workload
+    (differential-tested equal outputs, ~2x the host ceiling)."""
+    from slimt_tpu.config import Config
+    from slimt_tpu.runtime.service import Blocking
+
+    model = _model()
+    service = Blocking(Config(cache_size=2048, max_words=8192))
+    tps, swps = _best_service_rate(
+        lambda corpus: service.translate_bulk(model, corpus), lines
+    )
+    print(
+        json.dumps(
+            {
+                "metric": "bulk_corpus_target_tokens_per_sec",
+                "value": round(tps, 1),
+                "unit": "tokens/s",
+                "vs_baseline": round(tps / TARGET, 3),
+                "source_words_per_sec": round(swps, 1),
+                "lines": lines,
+            }
+        )
+    )
+
+
 def bench_multipair(lines_per_model=512):
     """Two resident models (en-de + de-en analog) served through one
     Async service — the multi-pair serving config (BASELINE.json #5,
@@ -361,6 +389,7 @@ def main():
         "shortlist": bench_shortlist,
         "base": bench_base,
         "e2e": bench_e2e,
+        "bulk": bench_bulk,
         "multipair": bench_multipair,
         "corpus": bench_corpus,
         "providers": bench_providers,

@@ -111,7 +111,8 @@ def cmd_translate(args) -> int:
         if follow is not None:
             response = service.pivot(model, follow, [text], options)[0]
         else:
-            response = service.translate(model, [text], options)[0]
+            # bulk: same Responses as translate(), ~2x host throughput
+            response = service.translate_bulk(model, [text], options)[0]
     print(response.target.text)
     return 0
 

@@ -195,6 +195,29 @@ class Blocking:
         assert all(r is not None for r in responses)
         return responses
 
+    def translate_bulk(
+        self,
+        model,
+        sources: List[str],
+        options: Optional[Options] = None,
+    ) -> List[Response]:
+        """Corpus fast path: same Responses as translate() (identical
+        annotations/alignments/cache/HTML semantics — differential-
+        tested), but without per-request machinery; ~1.5x the host
+        throughput. Use for known lists of lines; use translate() /
+        Async when requests arrive independently."""
+        from slimt_tpu.runtime.bulk import translate_bulk
+
+        return translate_bulk(
+            model,
+            sources,
+            self.config,
+            cache=self.cache,
+            options=options,
+            meters=self.meters,
+            pool=self._pool,
+        )
+
     def pivot(
         self,
         first,

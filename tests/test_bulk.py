@@ -1,0 +1,134 @@
+"""Differential tests: Blocking.translate_bulk must produce byte-
+identical Responses to the general Blocking.translate path (same
+annotations, alignments, cache interaction, HTML restore)."""
+
+import pytest
+
+from slimt_tpu.config import Config
+from slimt_tpu.runtime.response import Options
+from slimt_tpu.runtime.service import Blocking
+
+from .helpers import make_model
+
+
+@pytest.fixture(scope="module")
+def model():
+    return make_model()
+
+
+CORPUS = [
+    "hello world",
+    "goodbye test one two three",
+    "",
+    "   ",
+    "héllo wörld",
+    "hello world. goodbye test. one two.",
+    " ".join(["hello"] * 200),  # forces wrap at 128
+    "hello world",  # duplicate: exercises within-call cache behavior
+]
+
+
+def _assert_same(a, b, alignments=True):
+    assert len(a) == len(b)
+    for ra, rb in zip(a, b):
+        assert ra.source.data == rb.source.data
+        assert ra.source.token_begin == rb.source.token_begin
+        assert ra.source.gap == rb.source.gap
+        assert ra.target.data == rb.target.data
+        assert ra.target.token_begin == rb.target.token_begin
+        assert ra.target.gap == rb.target.gap
+        if alignments:
+            assert len(ra.alignments) == len(rb.alignments)
+            for aa, ab in zip(ra.alignments, rb.alignments):
+                assert aa == ab or (
+                    len(aa) == len(ab)
+                    and all(list(x) == list(y) for x, y in zip(aa, ab))
+                )
+
+
+@pytest.mark.parametrize("cache_size", [0, 64])
+def test_bulk_matches_general(model, cache_size):
+    general = Blocking(Config(cache_size=cache_size)).translate(
+        model, CORPUS
+    )
+    bulk = Blocking(Config(cache_size=cache_size)).translate_bulk(
+        model, CORPUS
+    )
+    _assert_same(general, bulk)
+
+
+def test_bulk_with_alignment(model):
+    opts = Options(alignment=True)
+    general = Blocking(Config(cache_size=0)).translate(model, CORPUS, opts)
+    bulk = Blocking(Config(cache_size=0)).translate_bulk(
+        model, CORPUS, opts
+    )
+    _assert_same(general, bulk)
+    for r in bulk:
+        assert all(len(a) > 0 for a in r.alignments)
+
+
+def test_bulk_html(model):
+    html_corpus = ["<b>hello</b> world", "plain text", "<i>one</i> two"]
+    opts = Options(html=True)
+    general = Blocking(Config(cache_size=0)).translate(
+        model, html_corpus, opts
+    )
+    bulk = Blocking(Config(cache_size=0)).translate_bulk(
+        model, html_corpus, opts
+    )
+    assert [r.target.text for r in bulk] == [r.target.text for r in general]
+
+
+def test_bulk_cache_warm_cross_path(model):
+    """Bulk probes/stores the same cache entries as the general path:
+    a bulk run after a general run hits the cache (and vice versa)."""
+    service = Blocking(Config(cache_size=256))
+    first = service.translate(model, ["hello world", "goodbye test"])
+    bulk = service.translate_bulk(model, ["hello world", "goodbye test"])
+    _assert_same(first, bulk, alignments=False)
+
+    service2 = Blocking(Config(cache_size=256))
+    warm = service2.translate_bulk(model, ["one two three"])
+    general = service2.translate(model, ["one two three"])
+    _assert_same(warm, general, alignments=False)
+
+
+def test_bulk_forward_error_propagates(model):
+    service = Blocking(Config(cache_size=0))
+
+    def boom(segments, need_alignment=True):
+        raise RuntimeError("device exploded")
+
+    import unittest.mock as mock
+
+    with mock.patch.object(model, "forward_async", side_effect=boom):
+        with pytest.raises(RuntimeError, match="device exploded"):
+            service.translate_bulk(model, ["hello world"])
+
+
+def test_pack_budget_and_oversize():
+    """_pack follows the Batcher's greedy rule ((n+1)*maxlen <=
+    max_words, slimt/Batcher.cc:95-120) and emits an oversize segment
+    as a singleton batch instead of stalling."""
+    from slimt_tpu.runtime.bulk import _pack
+
+    flat = sorted(
+        [(3, 0, 0, [1] * 3), (3, 1, 0, [2] * 3), (5, 2, 0, [3] * 5),
+         (20, 3, 0, [4] * 20)],
+        key=lambda t: t[0],
+    )
+    batches = _pack(flat, max_words=12)
+    sizes = [[item[0] for item in b] for b in batches]
+    assert sizes == [[3, 3], [5], [20]]  # 3*3<=12, 3*5>12; 20 oversize
+    assert all(b for b in batches)
+
+
+def test_bulk_wrapped_long_sentence(model):
+    """A sentence longer than wrap_length translates identically on
+    both paths (wrapping + small batch budget)."""
+    config = Config(cache_size=0, max_words=32, wrap_length=16)
+    text = " ".join(["hello"] * 40)
+    general = Blocking(config).translate(model, [text])
+    bulk = Blocking(config).translate_bulk(model, [text])
+    _assert_same(general, bulk)
