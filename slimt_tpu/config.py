@@ -72,6 +72,11 @@ class Config:
     # overlapped with the device waits for later batches. 0 = strict
     # reference behavior (complete serially on the caller thread).
     completion_threads: int = 4
+    # Bulk path (Blocking.translate_bulk) ingest chunk size in lines:
+    # each chunk's device batches dispatch before the next chunk
+    # tokenizes, hiding device compute behind host ingest. 0 = one
+    # chunk (ingest everything first).
+    bulk_chunk_lines: int = 2048
     # Raise Python's gen-0 garbage-collection threshold to this many
     # allocations while a service exists (0 = leave gc untouched).
     # JAX runs an XLA collect_garbage callback on EVERY gc pass; at

@@ -70,59 +70,21 @@ def translate_bulk(
     from slimt_tpu.utils import Timer
 
     timer = Timer()
-    processed = model.processor.process_batch(texts, config.wrap_length)
+    vocabulary = model.vocabulary
+    model_id = model.id
 
-    # Flatten segments; probe the cache exactly like Request
-    # construction does (slimt/Request.cc:29-85).
-    flat: List[Tuple[int, int, int, list]] = []  # (len, line, sent, seg)
+    processed: List[tuple] = []
     hyps: List[List[Optional[Hypothesis]]] = []
     keys: List[List[Optional[int]]] = []
-    model_id = model.id
-    for li, (annotated, segments) in enumerate(processed):
-        slots: List[Optional[Hypothesis]] = [None] * len(segments)
-        kslots: List[Optional[int]] = [None] * len(segments)
-        for si, seg in enumerate(segments):
-            if cache is not None:
-                key = cache_key(model_id, seg)
-                kslots[si] = key
-                found, history = cache.find(key)
-                if (
-                    found
-                    and need_alignment
-                    and history.target
-                    and not history.alignment
-                ):
-                    found = False  # cached without alignments
-                if found:
-                    slots[si] = history
-                    continue
-            flat.append((len(seg), li, si, seg))
-        hyps.append(slots)
-        keys.append(kslots)
-
-    flat.sort(key=lambda t: (t[0], t[1], t[2]))
-    batches = _pack(flat, config.max_words)
-
-    # Dispatch everything, then fetch in order: device round trips hide
-    # behind compute (same trick as the Blocking exhaust loop).
-    in_flight = [
-        (
-            b,
-            model.forward_async(
-                [item[3] for item in b], need_alignment=need_alignment
-            ),
-        )
-        for b in batches
-    ]
-
-    vocabulary = model.vocabulary
 
     def fetch(b, finish):
         """Fetch one batch's results and slot them in. Each (li, si)
         slot is written by exactly one batch, so concurrent fetches
         need no locking; finish() releases the GIL during the
-        device→host transfer, so a small pool overlaps the per-batch
-        round-trip latency (~27 ms through the measurement tunnel)."""
+        device→host transfer (and decode_batch during the native
+        call), so a small pool overlaps the per-batch round-trip
+        latency (~27 ms through the measurement tunnel) and the
+        ingest of later chunks."""
         histories = finish()
         decoded = vocabulary.decode_batch(
             [history.target for history in histories]
@@ -142,11 +104,62 @@ def translate_bulk(
             )
             timer.reset()
 
-    if pool is not None and len(in_flight) > 1:
+    # The corpus is ingested in chunks: each chunk's batches are
+    # dispatched (and, with a pool, fetched concurrently) before the
+    # next chunk tokenizes, so device compute and result round-trips
+    # hide behind host ingest instead of following it. Chunking does
+    # not change outputs — segments translate independently and
+    # padding is inert (differential-tested vs the general path).
+    chunk_lines = getattr(config, "bulk_chunk_lines", 2048) or len(texts)
+    in_flight: List[tuple] = []  # serial mode: (batch, finish)
+    fetches: List = []  # pool mode: futures
+    for lo in range(0, len(texts), chunk_lines):
+        chunk = texts[lo : lo + chunk_lines]
+        chunk_processed = model.processor.process_batch(
+            chunk, config.wrap_length
+        )
+
+        # Flatten segments; probe the cache exactly like Request
+        # construction does (slimt/Request.cc:29-85).
+        flat: List[Tuple[int, int, int, list]] = []  # (len, line, sent, seg)
+        for li, (annotated, segments) in enumerate(
+            chunk_processed, start=len(processed)
+        ):
+            slots: List[Optional[Hypothesis]] = [None] * len(segments)
+            kslots: List[Optional[int]] = [None] * len(segments)
+            for si, seg in enumerate(segments):
+                if cache is not None:
+                    key = cache_key(model_id, seg)
+                    kslots[si] = key
+                    found, history = cache.find(key)
+                    if (
+                        found
+                        and need_alignment
+                        and history.target
+                        and not history.alignment
+                    ):
+                        found = False  # cached without alignments
+                    if found:
+                        slots[si] = history
+                        continue
+                flat.append((len(seg), li, si, seg))
+            hyps.append(slots)
+            keys.append(kslots)
+        processed.extend(chunk_processed)
+
+        flat.sort(key=lambda t: (t[0], t[1], t[2]))
+        for b in _pack(flat, config.max_words):
+            finish = model.forward_async(
+                [item[3] for item in b], need_alignment=need_alignment
+            )
+            if pool is not None:
+                fetches.append(pool.submit(fetch, b, finish))
+            else:
+                in_flight.append((b, finish))
+
+    if pool is not None:
         first_err = None
-        for done in [
-            pool.submit(fetch, b, finish) for b, finish in in_flight
-        ]:
+        for done in fetches:
             try:
                 done.result()
             except Exception as e:  # noqa: BLE001

@@ -132,3 +132,27 @@ def test_bulk_wrapped_long_sentence(model):
     general = Blocking(config).translate(model, [text])
     bulk = Blocking(config).translate_bulk(model, [text])
     _assert_same(general, bulk)
+
+
+def test_bulk_chunked_matches_unchunked(model):
+    """Chunked ingest (bulk_chunk_lines) must not change outputs.
+
+    The decode step cap is limit_factor × the batch's longest source
+    (reference slimt/Model.cc:160), so regrouping segments CAN change
+    where a never-ending synthetic decode truncates — that is shared
+    reference semantics, not a chunking artifact. Uniform-length lines
+    pin the cap so outputs must match exactly."""
+    corpus = [
+        "hello world test",
+        "goodbye hello world",
+        "test world hello",
+        "world goodbye test",
+        "hello test goodbye",
+    ]
+    one = Blocking(Config(cache_size=0, bulk_chunk_lines=0)).translate_bulk(
+        model, corpus
+    )
+    chunked = Blocking(
+        Config(cache_size=0, bulk_chunk_lines=2)
+    ).translate_bulk(model, corpus)
+    _assert_same(one, chunked)
