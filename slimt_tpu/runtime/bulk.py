@@ -111,8 +111,7 @@ def translate_bulk(
     # not change outputs — segments translate independently and
     # padding is inert (differential-tested vs the general path).
     chunk_lines = getattr(config, "bulk_chunk_lines", 2048) or len(texts)
-    in_flight: List[tuple] = []  # serial mode: (batch, finish)
-    fetches: List = []  # pool mode: futures
+    chunks: List[tuple] = []  # (line_lo, line_hi, per-chunk fetch work)
     for lo in range(0, len(texts), chunk_lines):
         chunk = texts[lo : lo + chunk_lines]
         chunk_processed = model.processor.process_batch(
@@ -148,47 +147,57 @@ def translate_bulk(
         processed.extend(chunk_processed)
 
         flat.sort(key=lambda t: (t[0], t[1], t[2]))
+        work = []  # pool: futures; serial: (batch, finish) pairs
         for b in _pack(flat, config.max_words):
             finish = model.forward_async(
                 [item[3] for item in b], need_alignment=need_alignment
             )
-            if pool is not None:
-                fetches.append(pool.submit(fetch, b, finish))
-            else:
-                in_flight.append((b, finish))
+            work.append(
+                pool.submit(fetch, b, finish) if pool is not None
+                else (b, finish)
+            )
+        chunks.append((lo, len(processed), work))
 
-    if pool is not None:
-        first_err = None
-        for done in fetches:
+    # Drain and assemble chunk by chunk: while chunk i assembles on
+    # this thread, later chunks' fetches keep running on the pool —
+    # only the last chunk's assembly is not hidden. On any fetch
+    # error, keep draining (no thread may still be mutating state
+    # when the error propagates) but skip further assembly.
+    responses: List[Response] = []
+    first_err = None
+    for lo, hi, work in chunks:
+        for item in work:
             try:
-                done.result()
+                if pool is not None:
+                    item.result()
+                else:
+                    fetch(*item)
             except Exception as e:  # noqa: BLE001
                 if first_err is None:
                     first_err = e
         if first_err is not None:
-            raise first_err
-    else:
-        for b, finish in in_flight:
-            fetch(b, finish)
-
-    # Assemble Responses — the Request._complete loop, inlined.
-    responses = []
-    for (annotated, segments), slots in zip(processed, hyps):
-        response = Response()
-        response.source = annotated
-        target = response.target
-        n = len(slots)
-        for si, history in enumerate(slots):
-            if history.decoded is None:  # cache hit predating decode
-                history.decoded = vocabulary.decode_batch([history.target])[0]
-            data, ends = history.decoded
-            target.append_sentence_raw(annotated.gap_data(si), data, ends)
-            if si + 1 == n:
-                target.append_ending_whitespace_data(annotated.gap_data(n))
-            response.alignments.append(history.alignment)
-        responses.append(response)
-
-    if htmls is not None:
-        for html, response in zip(htmls, responses):
-            html.restore(response)
+            continue
+        # Assemble Responses — the Request._complete loop, inlined.
+        for li in range(lo, hi):
+            annotated, _segments = processed[li]
+            slots = hyps[li]
+            response = Response()
+            response.source = annotated
+            target = response.target
+            n = len(slots)
+            for si, history in enumerate(slots):
+                if history.decoded is None:  # cache hit predating decode
+                    history.decoded = vocabulary.decode_batch(
+                        [history.target]
+                    )[0]
+                data, ends = history.decoded
+                target.append_sentence_raw(annotated.gap_data(si), data, ends)
+                if si + 1 == n:
+                    target.append_ending_whitespace_data(annotated.gap_data(n))
+                response.alignments.append(history.alignment)
+            if htmls is not None:
+                htmls[li].restore(response)
+            responses.append(response)
+    if first_err is not None:
+        raise first_err
     return responses
