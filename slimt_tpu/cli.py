@@ -160,6 +160,42 @@ def cmd_convert(args) -> int:
     return 0
 
 
+def cmd_inspect(args) -> int:
+    """Print the tensor table of a marian .bin model (name, marian
+    type, shape, quantization scale) — the reference's
+    scripts/inspect-bin.py / marian-file-inspect.py workflow. Also
+    reads native .npz checkpoints."""
+    if args.input.endswith(".npz"):
+        import numpy as np
+
+        with np.load(args.input) as z:
+            total = 0
+            for name in z.files:
+                arr = z[name]
+                total += arr.nbytes
+                print(
+                    f"{name:<44s} {str(arr.dtype):<8s} "
+                    f"{'x'.join(map(str, arr.shape))}"
+                )
+            print(f"{len(z.files)} arrays, {total / 1e6:.1f} MB")
+        return 0
+
+    from slimt_tpu.io.marian import TYPE_NAMES, load_items
+
+    items = load_items(args.input)
+    total = 0
+    for item in items:
+        total += item.array.nbytes
+        scale = f" scale={item.scale:.6g}" if item.scale is not None else ""
+        type_name = TYPE_NAMES.get(item.type_code, hex(item.type_code))
+        print(
+            f"{item.name:<44s} {type_name:<10s} "
+            f"{'x'.join(map(str, item.shape)):<14s}{scale}"
+        )
+    print(f"{len(items)} tensors, {total / 1e6:.1f} MB payload")
+    return 0
+
+
 def cmd_ls(args) -> int:
     root = args.root or os.path.expanduser("~/.local/share/slimt_tpu/models")
     if not os.path.isdir(root):
@@ -235,6 +271,12 @@ def main(argv=None) -> int:
     ls.add_argument("--root", default=None)
     ls.set_defaults(fn=cmd_ls)
 
+    ins = sub.add_parser(
+        "inspect", help="print the tensor table of a .bin / .npz model"
+    )
+    ins.add_argument("input")
+    ins.set_defaults(fn=cmd_inspect)
+
     d = sub.add_parser("download", help="(offline stub)")
     d.set_defaults(fn=cmd_download)
 
@@ -249,6 +291,12 @@ def main(argv=None) -> int:
     args = parser.parse_args(argv)
     try:
         return args.fn(args)
+    except BrokenPipeError:
+        # stdout consumer (head, less, …) closed early — not an error
+        import os
+
+        os.dup2(os.open(os.devnull, os.O_WRONLY), sys.stdout.fileno())
+        return 0
     except FileNotFoundError as e:
         print(
             f"error: {e.filename or e}: no such file — check --root/--model/"

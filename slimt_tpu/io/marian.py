@@ -47,6 +47,17 @@ TYPE_FLOAT16 = 0x0400 + 2
 TYPE_FLOAT32 = 0x0400 + 4
 TYPE_INTGEMM8 = 0x0100 + 1 + 0x4000
 
+TYPE_NAMES = {
+    TYPE_INT8: "int8",
+    TYPE_INT16: "int16",
+    TYPE_INT32: "int32",
+    TYPE_UINT8: "uint8",
+    TYPE_UINT32: "uint32",
+    TYPE_FLOAT16: "float16",
+    TYPE_FLOAT32: "float32",
+    TYPE_INTGEMM8: "intgemm8",
+}
+
 _NP_DTYPE = {
     TYPE_INT8: np.int8,
     TYPE_INT16: np.int16,

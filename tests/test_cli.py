@@ -66,3 +66,15 @@ def test_download_stub():
 def test_ls_empty(tmp_path):
     result = _run("ls", "--root", str(tmp_path))
     assert result.returncode == 0
+
+
+def test_cli_inspect(tmp_path, capsys):
+    from slimt_tpu.cli import main
+
+    package = tmp_path / "pkg"
+    assert main(["synth", "--out", str(package)]) == 0
+    capsys.readouterr()
+    assert main(["inspect", str(package / "model.bin")]) == 0
+    out = capsys.readouterr().out
+    assert "Wemb" in out and "intgemm8" in out and "scale=" in out
+    assert "tensors" in out.splitlines()[-1]
