@@ -291,12 +291,6 @@ def main(argv=None) -> int:
     args = parser.parse_args(argv)
     try:
         return args.fn(args)
-    except BrokenPipeError:
-        # stdout consumer (head, less, …) closed early — not an error
-        import os
-
-        os.dup2(os.open(os.devnull, os.O_WRONLY), sys.stdout.fileno())
-        return 0
     except FileNotFoundError as e:
         print(
             f"error: {e.filename or e}: no such file — check --root/--model/"

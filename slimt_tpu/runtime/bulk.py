@@ -22,7 +22,7 @@ from __future__ import annotations
 
 from typing import List, Optional, Tuple
 
-from slimt_tpu.runtime.request import Hypothesis, cache_key
+from slimt_tpu.runtime.request import Hypothesis, cache_key, cache_usable
 from slimt_tpu.runtime.response import Options, Response
 
 
@@ -42,6 +42,55 @@ def _pack(flat, max_words: int):
     if current:
         batches.append(current)
     return batches
+
+
+def _ingest_and_dispatch(
+    texts, chunk_lines, chunks, processed, hyps, keys,
+    model, config, cache, need_alignment, fetch, pool,
+):
+    """Tokenize the corpus chunk by chunk and dispatch each chunk's
+    batches before the next chunk tokenizes (appending per-chunk work
+    to `chunks` as it goes, so a failure can be drained by the
+    caller)."""
+    model_id = model.id
+    for lo in range(0, len(texts), chunk_lines):
+        chunk = texts[lo : lo + chunk_lines]
+        chunk_processed = model.processor.process_batch(
+            chunk, config.wrap_length
+        )
+
+        # Flatten segments; probe the cache exactly like Request
+        # construction does (slimt/Request.cc:29-85).
+        flat: List[Tuple[int, int, int, list]] = []  # (len, line, sent, seg)
+        for li, (annotated, segments) in enumerate(
+            chunk_processed, start=len(processed)
+        ):
+            slots: List[Optional[Hypothesis]] = [None] * len(segments)
+            kslots: List[Optional[int]] = [None] * len(segments)
+            for si, seg in enumerate(segments):
+                if cache is not None:
+                    key = cache_key(model_id, seg)
+                    kslots[si] = key
+                    found, history = cache.find(key)
+                    if found and cache_usable(history, need_alignment):
+                        slots[si] = history
+                        continue
+                flat.append((len(seg), li, si, seg))
+            hyps.append(slots)
+            keys.append(kslots)
+        processed.extend(chunk_processed)
+
+        flat.sort(key=lambda t: (t[0], t[1], t[2]))
+        work = []  # pool: futures; serial: (batch, finish) pairs
+        for b in _pack(flat, config.max_words):
+            finish = model.forward_async(
+                [item[3] for item in b], need_alignment=need_alignment
+            )
+            work.append(
+                pool.submit(fetch, b, finish) if pool is not None
+                else (b, finish)
+            )
+        chunks.append((lo, len(processed), work))
 
 
 def translate_bulk(
@@ -67,11 +116,13 @@ def translate_bulk(
             htmls.append(html)
             texts[i] = html.source
 
+    import threading
+
     from slimt_tpu.utils import Timer
 
     timer = Timer()
+    meter_lock = threading.Lock()  # Timer.elapsed/reset is not atomic
     vocabulary = model.vocabulary
-    model_id = model.id
 
     processed: List[tuple] = []
     hyps: List[List[Optional[Hypothesis]]] = []
@@ -96,13 +147,14 @@ def translate_bulk(
                 cache.store(keys[li][si], history)
         if meters is not None:
             tokens = sum(item[0] for item in b)
-            meters.record_batch(
-                words=tokens,
-                elapsed=timer.elapsed(),
-                used=tokens,
-                capacity=len(b) * max(b[-1][0], 1),
-            )
-            timer.reset()
+            with meter_lock:
+                meters.record_batch(
+                    words=tokens,
+                    elapsed=timer.elapsed(),
+                    used=tokens,
+                    capacity=len(b) * max(b[-1][0], 1),
+                )
+                timer.reset()
 
     # The corpus is ingested in chunks: each chunk's batches are
     # dispatched (and, with a pool, fetched concurrently) before the
@@ -110,53 +162,25 @@ def translate_bulk(
     # hide behind host ingest instead of following it. Chunking does
     # not change outputs — segments translate independently and
     # padding is inert (differential-tested vs the general path).
-    chunk_lines = getattr(config, "bulk_chunk_lines", 2048) or len(texts)
+    chunk_lines = getattr(config, "bulk_chunk_lines", 2048) or len(texts) or 1
     chunks: List[tuple] = []  # (line_lo, line_hi, per-chunk fetch work)
-    for lo in range(0, len(texts), chunk_lines):
-        chunk = texts[lo : lo + chunk_lines]
-        chunk_processed = model.processor.process_batch(
-            chunk, config.wrap_length
+    try:
+        _ingest_and_dispatch(
+            texts, chunk_lines, chunks, processed, hyps, keys,
+            model, config, cache, need_alignment, fetch, pool,
         )
-
-        # Flatten segments; probe the cache exactly like Request
-        # construction does (slimt/Request.cc:29-85).
-        flat: List[Tuple[int, int, int, list]] = []  # (len, line, sent, seg)
-        for li, (annotated, segments) in enumerate(
-            chunk_processed, start=len(processed)
-        ):
-            slots: List[Optional[Hypothesis]] = [None] * len(segments)
-            kslots: List[Optional[int]] = [None] * len(segments)
-            for si, seg in enumerate(segments):
-                if cache is not None:
-                    key = cache_key(model_id, seg)
-                    kslots[si] = key
-                    found, history = cache.find(key)
-                    if (
-                        found
-                        and need_alignment
-                        and history.target
-                        and not history.alignment
-                    ):
-                        found = False  # cached without alignments
-                    if found:
-                        slots[si] = history
-                        continue
-                flat.append((len(seg), li, si, seg))
-            hyps.append(slots)
-            keys.append(kslots)
-        processed.extend(chunk_processed)
-
-        flat.sort(key=lambda t: (t[0], t[1], t[2]))
-        work = []  # pool: futures; serial: (batch, finish) pairs
-        for b in _pack(flat, config.max_words):
-            finish = model.forward_async(
-                [item[3] for item in b], need_alignment=need_alignment
-            )
-            work.append(
-                pool.submit(fetch, b, finish) if pool is not None
-                else (b, finish)
-            )
-        chunks.append((lo, len(processed), work))
+    except BaseException:
+        # An ingest/dispatch failure (bad input, XLA error) must not
+        # leave pool fetches of earlier chunks mutating shared state
+        # after the caller sees the exception.
+        for _lo, _hi, work in chunks:
+            for item in work:
+                if pool is not None:
+                    try:
+                        item.result()
+                    except Exception:  # noqa: BLE001
+                        pass  # the ingest error is what propagates
+        raise
 
     # Drain and assemble chunk by chunk: while chunk i assembles on
     # this thread, later chunks' fetches keep running on the pool —

@@ -37,6 +37,15 @@ class Hypothesis:
 History = Hypothesis  # reference: History = Ptr<Hypothesis>
 
 
+def cache_usable(history, needs_alignment: bool) -> bool:
+    """Whether a cached hypothesis can serve a request: one translated
+    without alignments cannot serve an alignment-needing request
+    (shared by Request construction and the bulk path)."""
+    return not (
+        needs_alignment and history.target and not history.alignment
+    )
+
+
 def cache_key(model_id: int, words: Sequence[int]) -> int:
     """Cache key over (model id, segment words). The reference folds
     hash_combine per word (slimt/Request.cc:20-26); the key never
@@ -88,9 +97,7 @@ class Request:
             prefilled = 0
             for idx, segment in enumerate(segments):
                 found, history = cache.find(self._keys[idx])
-                # A cached hypothesis translated without alignments
-                # cannot serve an alignment-needing request.
-                if found and needs_alignment and history.target and not history.alignment:
+                if found and not cache_usable(history, needs_alignment):
                     found = False
                 if found:
                     self.histories[idx] = history

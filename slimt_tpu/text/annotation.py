@@ -164,6 +164,7 @@ class AnnotatedText:
         Equivalent to record_existing_sentence(ranges + [(end, end)], …)
         without building per-token range tuples. `begins` must be
         non-empty."""
+        assert begins, "record_contiguous_sentence requires tokens"
         assert self.token_begin[-1] == len(self._data)
         tb = self.token_begin
         tb[-1:] = begins

@@ -62,16 +62,14 @@ class TextProcessor:
         loops use. Output identical to per-text process()."""
         plans = []  # per text: (source, [(sentence, byte_offset)])
         all_sentences: List[str] = []
+        from slimt_tpu.text.vocabulary import byte_prefix
+
         for text in texts:
             source = AnnotatedText(text)
             if len(text.encode("utf-8")) == len(text):
                 prefix_bytes = None  # ASCII: char offset == byte offset
             else:
-                prefix_bytes = [0]
-                for ch in text:
-                    prefix_bytes.append(
-                        prefix_bytes[-1] + len(ch.encode("utf-8"))
-                    )
+                prefix_bytes = byte_prefix(text)
             spans = []
             for sentence, begin, _ in SentenceStream(
                 text, self.splitter, self.mode

@@ -36,6 +36,18 @@ SPACE = "▁"  # ▁
 UNK_SURFACE = " ⁇ "  # sentencepiece's default unk_surface " ⁇ "
 
 
+def byte_prefix(text: str) -> List[int]:
+    """Char→byte offset table: byte_prefix(text)[i] is the UTF-8 byte
+    offset of character i (one trailing entry = total byte length)."""
+    prefix = [0]
+    append = prefix.append
+    total = 0
+    for ch in text:
+        total += len(ch.encode("utf-8"))
+        append(total)
+    return prefix
+
+
 def _tile(ranges):
     """Force token byte-ranges to tile contiguously: bytes dropped by
     normalization (e.g. collapsed whitespace) attach to the *following*
@@ -342,9 +354,7 @@ class Vocabulary:
             end = e[-1]
             data = line.encode("utf-8")
             if len(data) != len(line):  # non-ASCII: char → byte offsets
-                prefix = [0]
-                for ch in line:
-                    prefix.append(prefix[-1] + len(ch.encode("utf-8")))
+                prefix = byte_prefix(line)
                 out.append((enc.ids, [prefix[x] for x in b], prefix[end]))
             else:
                 out.append((enc.ids, list(b), end))
@@ -372,9 +382,7 @@ class Vocabulary:
             # .ids/.offsets each materialize a fresh list per access —
             # no defensive copy needed.
             return enc.ids, enc.offsets
-        prefix = [0]
-        for ch in line:
-            prefix.append(prefix[-1] + len(ch.encode("utf-8")))
+        prefix = byte_prefix(line)
         ranges = [
             (prefix[b], prefix[e]) for b, e in enc.offsets
         ]

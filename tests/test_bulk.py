@@ -156,3 +156,8 @@ def test_bulk_chunked_matches_unchunked(model):
         Config(cache_size=0, bulk_chunk_lines=2)
     ).translate_bulk(model, corpus)
     _assert_same(one, chunked)
+
+
+def test_bulk_empty_corpus(model):
+    assert Blocking(Config(bulk_chunk_lines=0)).translate_bulk(model, []) == []
+    assert Blocking(Config()).translate_bulk(model, []) == []
