@@ -264,6 +264,9 @@ def bench_bulk(lines=10000):
     from slimt_tpu.runtime.service import Blocking
 
     model = _model()
+    # ingest_processes measured 10% SLOWER here (551k vs 611k, 4-core
+    # host: IPC unpickle on the main thread beats nothing — in-process
+    # tokenization already overlaps the pool's fetch waits).
     service = Blocking(Config(cache_size=2048, max_words=8192))
     tps, swps = _best_service_rate(
         lambda corpus: service.translate_bulk(model, corpus), lines

@@ -77,6 +77,15 @@ class Config:
     # tokenizes, hiding device compute behind host ingest. 0 = one
     # chunk (ingest everything first).
     bulk_chunk_lines: int = 2048
+    # Bulk-path ingest worker processes: chunks tokenize in this many
+    # spawned processes (each with its own TextProcessor), lifting the
+    # GIL's one-core cap on host ingest. 0 = in-process ingest (the
+    # right choice on few-core hosts — on the 4-core bench machine the
+    # pool measured 10% slower because main-thread unpickling replaced
+    # already-overlapped tokenization; worth enabling on many-core
+    # serving hosts). The pool starts lazily on first multi-chunk
+    # translate_bulk call and lives for the service's lifetime.
+    ingest_processes: int = 0
     # Raise Python's gen-0 garbage-collection threshold to this many
     # allocations while a service exists (0 = leave gc untouched).
     # JAX runs an XLA collect_garbage callback on EVERY gc pass; at

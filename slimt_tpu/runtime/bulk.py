@@ -47,16 +47,31 @@ def _pack(flat, max_words: int):
 def _ingest_and_dispatch(
     texts, chunk_lines, chunks, processed, hyps, keys,
     model, config, cache, need_alignment, fetch, pool,
+    ingest_pool=None,
 ):
     """Tokenize the corpus chunk by chunk and dispatch each chunk's
     batches before the next chunk tokenizes (appending per-chunk work
     to `chunks` as it goes, so a failure can be drained by the
-    caller)."""
+    caller). With `ingest_pool`, all chunks fan out to worker
+    processes immediately and this thread consumes them in order —
+    tokenization then scales across cores instead of being capped by
+    this process's GIL."""
     model_id = model.id
+    pending = []  # (lo, chunk texts, ingest future or None)
     for lo in range(0, len(texts), chunk_lines):
         chunk = texts[lo : lo + chunk_lines]
-        chunk_processed = model.processor.process_batch(
-            chunk, config.wrap_length
+        future = (
+            ingest_pool.submit(model, chunk, config.wrap_length)
+            if ingest_pool is not None and len(texts) > chunk_lines
+            else None
+        )
+        pending.append((lo, chunk, future))
+
+    for lo, chunk, future in pending:
+        chunk_processed = (
+            future.result()
+            if future is not None
+            else model.processor.process_batch(chunk, config.wrap_length)
         )
 
         # Flatten segments; probe the cache exactly like Request
@@ -101,6 +116,7 @@ def translate_bulk(
     options: Optional[Options] = None,
     meters=None,
     pool=None,
+    ingest_pool=None,
 ) -> List[Response]:
     options = options or Options()
     need_alignment = bool(options.alignment or options.html)
@@ -168,6 +184,7 @@ def translate_bulk(
         _ingest_and_dispatch(
             texts, chunk_lines, chunks, processed, hyps, keys,
             model, config, cache, need_alignment, fetch, pool,
+            ingest_pool=ingest_pool,
         )
     except BaseException:
         # An ingest/dispatch failure (bad input, XLA error) must not

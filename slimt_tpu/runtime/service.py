@@ -128,12 +128,20 @@ class Blocking:
             if self.config.completion_threads > 0
             else None
         )
+        self._ingest_pool = None
+        if self.config.ingest_processes > 0:
+            from slimt_tpu.text.ingest_pool import IngestPool
+
+            self._ingest_pool = IngestPool(self.config.ingest_processes)
 
     def close(self) -> None:
-        """Shut down the completion pool (idempotent)."""
+        """Shut down the completion + ingest pools (idempotent)."""
         if self._pool is not None:
             self._pool.shutdown(wait=True)
             self._pool = None
+        if self._ingest_pool is not None:
+            self._ingest_pool.close()
+            self._ingest_pool = None
 
     def __enter__(self):
         return self
@@ -145,6 +153,9 @@ class Blocking:
         pool = getattr(self, "_pool", None)
         if pool is not None:
             pool.shutdown(wait=False)
+        ingest = getattr(self, "_ingest_pool", None)
+        if ingest is not None:
+            ingest.close()
 
     def translate(
         self,
@@ -216,6 +227,7 @@ class Blocking:
             options=options,
             meters=self.meters,
             pool=self._pool,
+            ingest_pool=self._ingest_pool,
         )
 
     def pivot(

@@ -37,6 +37,7 @@ class TextProcessor:
     ):
         self.mode = SplitMode(mode)
         self.vocabulary = vocabulary
+        self.splitter_data = splitter_data  # kept for worker respawn
         if splitter_data is None:
             # Fallback English prefix set; a package-provided ssplit
             # file always wins (reference warns when absent,
@@ -45,6 +46,17 @@ class TextProcessor:
 
             splitter_data = ENGLISH
         self.splitter = Splitter(splitter_data)
+
+    def spec(self) -> tuple:
+        """Serializable recipe for rebuilding an equivalent processor
+        in an ingest worker process (same vocab bytes, same splitter
+        data, same batch tokenizer backend)."""
+        return (
+            self.mode.value,
+            self.vocabulary.serialized,
+            self.splitter_data,
+            self.vocabulary.resolved_batch_backend,
+        )
 
     def process(
         self, text: str, wrap_length: int

@@ -76,6 +76,7 @@ class Vocabulary:
     """encode/decode with byte-range views (slimt/Vocabulary.hh:14-29)."""
 
     def __init__(self, serialized: bytes, backend: str = "auto"):
+        self.serialized = bytes(serialized)  # kept for worker respawn
         self.model = spm_proto.parse_model(serialized)
         self.pieces = self.model.pieces
         self._ids = {p.piece: i for i, p in enumerate(self.pieces)}
@@ -118,6 +119,17 @@ class Vocabulary:
                 if backend == "native":
                     raise
                 self._native = None
+
+    @property
+    def resolved_batch_backend(self) -> str:
+        """The backend the *batch* encode path uses ('hf' preferred,
+        then 'native', else 'none') — ingest worker processes must
+        build the same one so tokenizations match bit-for-bit."""
+        if self._hf is not None:
+            return "hf"
+        if self._native is not None:
+            return "native"
+        return "none"
 
     # -- basic ids ----------------------------------------------------
 

@@ -161,3 +161,16 @@ def test_bulk_chunked_matches_unchunked(model):
 def test_bulk_empty_corpus(model):
     assert Blocking(Config(bulk_chunk_lines=0)).translate_bulk(model, []) == []
     assert Blocking(Config()).translate_bulk(model, []) == []
+
+
+def test_bulk_process_ingest_matches(model):
+    """ingest_processes > 0 (worker-process tokenization) must produce
+    identical outputs to in-process ingest."""
+    inproc = Blocking(
+        Config(cache_size=0, bulk_chunk_lines=2)
+    ).translate_bulk(model, CORPUS)
+    with Blocking(
+        Config(cache_size=0, ingest_processes=2, bulk_chunk_lines=2)
+    ) as svc:
+        multi = svc.translate_bulk(model, CORPUS)
+    _assert_same(inproc, multi)
