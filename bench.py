@@ -285,40 +285,51 @@ def bench_bulk(lines=10000):
     )
 
 
-def bench_multipair(lines_per_model=512):
+def bench_multipair(lines_per_model=2048):
     """Two resident models (en-de + de-en analog) served through one
     Async service — the multi-pair serving config (BASELINE.json #5,
-    reference AggregateBatcher slimt/Batcher.hh:130-180)."""
+    reference AggregateBatcher slimt/Batcher.hh:130-180). `value`
+    uses batch submission per model (translate_many, the corpus
+    ingest API); per-line submission (one Handle per request, the
+    interactive pattern) is reported alongside."""
     from slimt_tpu.config import Config
     from slimt_tpu.runtime.service import Async
 
     model_a = _model()
     model_b = _model()
 
-    def run(corpus):
+    def run(corpus, per_line):
         with Async(Config(cache_size=0, max_words=4096, workers=2, batch_latency=0.05)) as svc:
-            handles = []
-            for line in corpus:
-                handles.append((svc.translate(model_a, line)))
-                handles.append((svc.translate(model_b, line)))
+            if per_line:
+                handles = []
+                for line in corpus:
+                    handles.append(svc.translate(model_a, line))
+                    handles.append(svc.translate(model_b, line))
+            else:
+                handles = svc.translate_many(model_a, corpus)
+                handles += svc.translate_many(model_b, corpus)
             responses = [h.result(600) for h in handles]
         return responses
 
-    run(_service_corpus(0, lines_per_model, low=6, high=20))  # warm both models
-    best = 0.0
-    responses = []
-    for it in (1, 2, 3):
-        corpus = _service_corpus(it, lines_per_model, low=6, high=20)
-        t0 = time.perf_counter()
-        responses = run(corpus)
-        elapsed = time.perf_counter() - t0
-        tokens = sum(
-            r.target.word_count(s)
-            for r in responses
-            for s in range(r.target.sentence_count())
-        )
-        best = max(best, tokens / elapsed)
-    tokens_per_sec = best
+    def measure(per_line):
+        best = 0.0
+        responses = []
+        for it in (1, 2, 3):
+            corpus = _service_corpus(it, lines_per_model, low=6, high=20)
+            t0 = time.perf_counter()
+            responses = run(corpus, per_line)
+            elapsed = time.perf_counter() - t0
+            tokens = sum(
+                r.target.word_count(s)
+                for r in responses
+                for s in range(r.target.sentence_count())
+            )
+            best = max(best, tokens / elapsed)
+        return best, len(responses)
+
+    run(_service_corpus(0, lines_per_model, low=6, high=20), False)  # warm
+    tokens_per_sec, n = measure(per_line=False)
+    per_line_tps, _ = measure(per_line=True)
     print(
         json.dumps(
             {
@@ -326,8 +337,9 @@ def bench_multipair(lines_per_model=512):
                 "value": round(tokens_per_sec, 1),
                 "unit": "tokens/s",
                 "vs_baseline": round(tokens_per_sec / TARGET, 3),
+                "per_line_tokens_per_sec": round(per_line_tps, 1),
                 "models": 2,
-                "requests": len(responses),
+                "requests": n,
             }
         )
     )

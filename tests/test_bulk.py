@@ -174,3 +174,27 @@ def test_bulk_process_ingest_matches(model):
     ) as svc:
         multi = svc.translate_bulk(model, CORPUS)
     _assert_same(inproc, multi)
+
+
+def test_ingest_pool_fallback_after_close():
+    """A closed/broken IngestPool returns None from submit; callers
+    fall back to in-process ingest."""
+    from slimt_tpu.text.ingest_pool import IngestPool
+
+    pool = IngestPool(workers=1)
+    pool.close()
+    assert pool.submit(None, ["x"], 128) is None
+
+
+def test_service_facade_translate_bulk(model):
+    from slimt_tpu.bindings import Service
+
+    svc = Service(workers=1, cache_size=64)
+    try:
+        general = svc.translate(model, ["hello world", "goodbye test"])
+        bulk = svc.translate_bulk(model, ["hello world", "goodbye test"])
+        assert [r.target.text for r in bulk] == [
+            r.target.text for r in general
+        ]
+    finally:
+        svc.close()
