@@ -26,6 +26,13 @@ from slimt_tpu.runtime.request import Hypothesis, cache_key, cache_usable
 from slimt_tpu.runtime.response import Options, Response
 
 
+# Tokenize the next chunk on the completion pool while the main
+# thread flattens/dispatches the current one (the Rust batch encoder
+# releases the GIL, so the stages overlap). Module flag so A/B
+# measurement and emergency rollback don't need a code edit.
+THREAD_LOOKAHEAD = True
+
+
 def _pack(flat, max_words: int):
     """Greedy shortest-first packing under the `(n+1)*maxlen <=
     max_words` budget (slimt/Batcher.cc:95-120); an oversize segment
@@ -67,12 +74,51 @@ def _ingest_and_dispatch(
         )
         pending.append((lo, chunk, future))
 
-    for lo, chunk, future in pending:
+    lookahead = (
+        THREAD_LOOKAHEAD
+        and ingest_pool is None
+        and pool is not None
+        and len(pending) > 1
+    )
+    if lookahead:
+        # Thread-lookahead: tokenize the NEXT chunk on the completion
+        # pool while this thread flattens/packs/dispatches the current
+        # one. The Rust batch tokenizer releases the GIL, so the two
+        # stages genuinely overlap. Submitted one ahead (not all at
+        # once) so ingest tasks never queue behind this chunk's
+        # fetches on the shared pool.
+        pending = [
+            (
+                lo,
+                chunk,
+                pool.submit(
+                    model.processor.process_batch, chunk, config.wrap_length
+                )
+                if i == 1
+                else None,
+            )
+            for i, (lo, chunk, _) in enumerate(pending)
+        ]
+
+    for idx, (lo, chunk, future) in enumerate(pending):
         chunk_processed = (
             future.result()
             if future is not None
             else model.processor.process_batch(chunk, config.wrap_length)
         )
+        if (
+            lookahead
+            and idx + 2 < len(pending)
+            and pending[idx + 2][2] is None
+        ):
+            nlo, nchunk, _ = pending[idx + 2]
+            pending[idx + 2] = (
+                nlo,
+                nchunk,
+                pool.submit(
+                    model.processor.process_batch, nchunk, config.wrap_length
+                ),
+            )
 
         # Flatten segments; probe the cache exactly like Request
         # construction does (slimt/Request.cc:29-85).
