@@ -15,6 +15,7 @@ Modes (BASELINE.json configs):
 """
 
 import json
+import os
 import sys
 import time
 
@@ -81,7 +82,7 @@ def _decode_bench(
             max_steps=max_steps,
             num_heads=config.num_heads,
             provider=provider,
-            kv_dtype="bfloat16",
+            kv_dtype=os.environ.get("BENCH_KV", "bfloat16"),
         )
     )
     # Distinct inputs per iteration: identical dispatches can be
@@ -95,14 +96,23 @@ def _decode_bench(
     mask_j = jnp.asarray(mask)
     np.asarray(fn(params, variants[0], mask_j).tokens)  # warmup/compile
     # Pipelined like the serving exhaust loop (forward_async): dispatch
-    # every batch, then materialize every result on the host.
-    t0 = time.perf_counter()
-    outs = [fn(params, idx, mask_j) for idx in variants]
-    checksum = sum(
-        int(np.asarray(out.tokens)[0, 0]) + int(np.asarray(out.valid).sum())
-        for out in outs
-    )
-    elapsed = time.perf_counter() - t0
+    # every batch, then materialize every result on the host — with
+    # fetches on a small thread pool exactly like the service's
+    # completion pool, so per-call tunnel round-trips overlap instead
+    # of serializing into a tail (each call still transfers its full
+    # [B, steps] token matrix: what serving pays).
+    from concurrent.futures import ThreadPoolExecutor
+
+    def materialize(out):
+        return int(np.asarray(out.tokens)[0, 0]) + int(
+            np.asarray(out.valid).sum()
+        )
+
+    with ThreadPoolExecutor(max_workers=4) as fetch_pool:
+        t0 = time.perf_counter()
+        outs = [fn(params, idx, mask_j) for idx in variants]
+        checksum = sum(fetch_pool.map(materialize, outs))
+        elapsed = time.perf_counter() - t0
     tps = batch * max_steps * iters / elapsed
     return {
         "metric": metric,
