@@ -16,10 +16,12 @@
 // Python backend is enforced by tests/test_native.py.
 
 #include <algorithm>
+#include <atomic>
 #include <cstdint>
 #include <cstring>
 #include <string>
 #include <string_view>
+#include <thread>
 #include <unordered_map>
 #include <vector>
 
@@ -46,6 +48,10 @@ struct Vocab {
   float unk_score = 0.0F;
   size_t max_piece_len = 1;
   std::unordered_map<std::string_view, uint32_t> ids;
+  // Per first byte, a bitmask of piece byte-lengths that exist (bit
+  // l-1 for length l in 1..32; bit 31 also means "lengths >= 32
+  // exist"). Skips hash probes for candidate spans that cannot match.
+  uint32_t len_mask[256] = {0};
 
   std::string_view piece(uint32_t id) const {
     return std::string_view(blob).substr(offsets[id],
@@ -65,13 +71,19 @@ inline int utf8_len(unsigned char c) {
 struct Normalized {
   std::string text;              // normalized utf8
   std::vector<uint32_t> align;   // per normalized byte: original byte pos
+
+  void clear() {
+    text.clear();
+    align.clear();
+  }
 };
 
 // Mirrors Vocabulary._normalize (python) / sentencepiece preprocessing:
 // strip + collapse spaces, escape ' ' to U+2581, optional dummy prefix.
-Normalized normalize(const char* text, int len, bool add_dummy_prefix,
-                     bool escape_ws, bool remove_extra_ws) {
-  Normalized out;
+// Appends into `out` (caller clears; buffers are reused across calls
+// on the batch path).
+void normalize_into(const char* text, int len, bool add_dummy_prefix,
+                    bool escape_ws, bool remove_extra_ws, Normalized& out) {
   out.text.reserve(len + kSpaceLen);
   out.align.reserve(len + kSpaceLen);
 
@@ -117,56 +129,40 @@ Normalized normalize(const char* text, int len, bool add_dummy_prefix,
     i += n;
   }
   out.align.push_back(static_cast<uint32_t>(len));
-  return out;
 }
 
-}  // namespace
-
-extern "C" {
-
-void* slimt_vocab_create(const char* blob, const uint32_t* offsets,
-                         const float* scores, const uint8_t* types,
-                         uint32_t n, uint32_t unk_id) {
-  auto* v = new Vocab();
-  v->offsets.assign(offsets, offsets + n + 1);
-  v->blob.assign(blob, offsets[n]);
-  v->scores.assign(scores, scores + n);
-  v->types.assign(types, types + n);
-  v->unk_id = unk_id;
-  float min_score = 0.0F;
-  bool seen = false;
-  for (uint32_t i = 0; i < n; i++) {
-    std::string_view piece = v->piece(i);
-    v->max_piece_len = std::max(v->max_piece_len, piece.size());
-    v->ids.emplace(piece, i);
-    if (types[i] == kNormal || types[i] == kUserDefined) {
-      if (!seen || scores[i] < min_score) min_score = scores[i];
-      seen = true;
-    }
-  }
-  v->unk_score = min_score - 10.0F;  // sentencepiece kUnkPenalty
-  return v;
-}
-
-void slimt_vocab_destroy(void* handle) { delete static_cast<Vocab*>(handle); }
+// Reusable buffers for one segmentation call; a batch call reuses one
+// Workspace per thread so short sentences don't pay per-call
+// allocation churn.
+struct Workspace {
+  Normalized norm;
+  std::vector<int> starts;
+  std::vector<float> best;
+  std::vector<int> back_start;
+  std::vector<uint32_t> back_id;
+  std::vector<uint32_t> ids;
+  std::vector<int> seg_start, seg_end;
+};
 
 // Viterbi segmentation over normalized UTF-8 *characters* (the lattice
 // steps by codepoint like sentencepiece). Returns the token count, or
 // -1 if `cap` is too small. Outputs: ids, and byte ranges into the
-// ORIGINAL text.
-int slimt_vocab_encode(void* handle, const char* text, int len,
-                       int add_dummy_prefix, int escape_ws,
-                       int remove_extra_ws, uint32_t* out_ids,
-                       uint32_t* out_begin, uint32_t* out_end, int cap) {
-  const Vocab& v = *static_cast<Vocab*>(handle);
-  Normalized norm = normalize(text, len, add_dummy_prefix != 0,
-                              escape_ws != 0, remove_extra_ws != 0);
+// ORIGINAL text (not tiled; adjacent unknowns merged).
+int encode_core(const Vocab& v, const char* text, int len,
+                bool add_dummy_prefix, bool escape_ws, bool remove_extra_ws,
+                Workspace& ws, uint32_t* out_ids, uint32_t* out_begin,
+                uint32_t* out_end, int cap) {
+  ws.norm.clear();
+  normalize_into(text, len, add_dummy_prefix, escape_ws, remove_extra_ws,
+                 ws.norm);
+  const Normalized& norm = ws.norm;
   const std::string& s = norm.text;
   const int nbytes = static_cast<int>(s.size());
   if (nbytes == 0) return 0;
 
   // Character starts (in bytes) of the normalized string.
-  std::vector<int> starts;
+  std::vector<int>& starts = ws.starts;
+  starts.clear();
   starts.reserve(nbytes + 1);
   for (int i = 0; i < nbytes;
        i += utf8_len(static_cast<unsigned char>(s[i]))) {
@@ -176,21 +172,28 @@ int slimt_vocab_encode(void* handle, const char* text, int len,
   const int nchars = static_cast<int>(starts.size()) - 1;
 
   constexpr float kNegInf = -1e30F;
-  std::vector<float> best(nchars + 1, kNegInf);
-  std::vector<int> back_start(nchars + 1, -1);
-  std::vector<uint32_t> back_id(nchars + 1, 0);
+  ws.best.assign(nchars + 1, kNegInf);
+  ws.back_start.assign(nchars + 1, -1);
+  ws.back_id.assign(nchars + 1, 0);
+  std::vector<float>& best = ws.best;
+  std::vector<int>& back_start = ws.back_start;
+  std::vector<uint32_t>& back_id = ws.back_id;
   best[0] = 0.0F;
 
+  const std::string_view sv(s);
   for (int start = 0; start < nchars; start++) {
     if (best[start] == kNegInf) continue;
     const float base = best[start];
+    const uint32_t mask =
+        v.len_mask[static_cast<unsigned char>(s[starts[start]])];
     bool found_single = false;
     for (int end = start + 1; end <= nchars; end++) {
       size_t span = static_cast<size_t>(starts[end] - starts[start]);
       if (span > v.max_piece_len) break;
-      std::string_view cand =
-          std::string_view(s).substr(starts[start], span);
-      auto it = v.ids.find(cand);
+      // Cheap length filter: no piece starting with this byte has this
+      // byte length (bit 31 covers every length >= 32).
+      if (!(mask & (1U << std::min<size_t>(span - 1, 31)))) continue;
+      auto it = v.ids.find(sv.substr(starts[start], span));
       if (it == v.ids.end()) continue;
       uint8_t type = v.types[it->second];
       if (type == kControl || type == kUnknown || type == kUnused) continue;
@@ -213,8 +216,12 @@ int slimt_vocab_encode(void* handle, const char* text, int len,
   }
 
   // Backtrack (reversed), merging adjacent unknowns.
-  std::vector<uint32_t> ids;
-  std::vector<int> seg_start, seg_end;
+  std::vector<uint32_t>& ids = ws.ids;
+  std::vector<int>& seg_start = ws.seg_start;
+  std::vector<int>& seg_end = ws.seg_end;
+  ids.clear();
+  seg_start.clear();
+  seg_end.clear();
   int pos = nchars;
   while (pos > 0) {
     int start = back_start[pos];
@@ -250,6 +257,150 @@ int slimt_vocab_encode(void* handle, const char* text, int len,
     count++;
   }
   return count;
+}
+
+}  // namespace
+
+extern "C" {
+
+void* slimt_vocab_create(const char* blob, const uint32_t* offsets,
+                         const float* scores, const uint8_t* types,
+                         uint32_t n, uint32_t unk_id) {
+  auto* v = new Vocab();
+  v->offsets.assign(offsets, offsets + n + 1);
+  v->blob.assign(blob, offsets[n]);
+  v->scores.assign(scores, scores + n);
+  v->types.assign(types, types + n);
+  v->unk_id = unk_id;
+  float min_score = 0.0F;
+  bool seen = false;
+  for (uint32_t i = 0; i < n; i++) {
+    std::string_view piece = v->piece(i);
+    v->max_piece_len = std::max(v->max_piece_len, piece.size());
+    v->ids.emplace(piece, i);
+    if (!piece.empty()) {
+      v->len_mask[static_cast<unsigned char>(piece[0])] |=
+          1U << std::min<size_t>(piece.size() - 1, 31);
+    }
+    if (types[i] == kNormal || types[i] == kUserDefined) {
+      if (!seen || scores[i] < min_score) min_score = scores[i];
+      seen = true;
+    }
+  }
+  v->unk_score = min_score - 10.0F;  // sentencepiece kUnkPenalty
+  return v;
+}
+
+void slimt_vocab_destroy(void* handle) { delete static_cast<Vocab*>(handle); }
+
+// Viterbi segmentation over normalized UTF-8 *characters* (the lattice
+// steps by codepoint like sentencepiece). Returns the token count, or
+// -1 if `cap` is too small. Outputs: ids, and byte ranges into the
+// ORIGINAL text.
+int slimt_vocab_encode(void* handle, const char* text, int len,
+                       int add_dummy_prefix, int escape_ws,
+                       int remove_extra_ws, uint32_t* out_ids,
+                       uint32_t* out_begin, uint32_t* out_end, int cap) {
+  Workspace ws;
+  return encode_core(*static_cast<Vocab*>(handle), text, len,
+                     add_dummy_prefix != 0, escape_ws != 0,
+                     remove_extra_ws != 0, ws, out_ids, out_begin, out_end,
+                     cap);
+}
+
+// Batched, multithreaded segmentation over n_sents concatenated
+// sentences (offsets: n_sents+1 byte offsets into text). Emits flat
+// per-token ids and *tiled* begins (token i of a sentence spans
+// [begins[i], begins[i+1]) within that sentence, the last ending at
+// out_ends[s] — the Vocabulary.encode_batch_begins contract), plus
+// per-sentence token counts. out_ids/out_begins must hold
+// offsets[n_sents] + n_sents entries (worst case: one token per input
+// byte plus the dummy prefix). Returns the total token count, or -1
+// on capacity overflow (impossible at the documented sizing).
+int64_t slimt_vocab_encode_batch(void* handle, const char* text,
+                                 const uint64_t* offsets, int n_sents,
+                                 int add_dummy_prefix, int escape_ws,
+                                 int remove_extra_ws, int n_threads,
+                                 uint32_t* out_ids, uint32_t* out_begins,
+                                 uint32_t* out_counts, uint32_t* out_ends) {
+  const Vocab& v = *static_cast<Vocab*>(handle);
+  if (n_sents <= 0) return 0;
+
+  std::atomic<bool> failed(false);
+  auto worker = [&](int lo, int hi) {
+    Workspace ws;
+    std::vector<uint32_t> ends;  // scratch, reused across sentences
+    for (int s = lo; s < hi && !failed.load(std::memory_order_relaxed);
+         s++) {
+      const char* sent = text + offsets[s];
+      const int len = static_cast<int>(offsets[s + 1] - offsets[s]);
+      // Each sentence writes into its own disjoint slot; slots are
+      // compacted after the join. Slot capacity len+1 bounds the
+      // token count (<= normalized chars <= bytes + dummy prefix).
+      const int64_t slot = static_cast<int64_t>(offsets[s]) + s;
+      const int slot_cap = len + 1;
+      if (static_cast<size_t>(slot_cap) > ends.size()) {
+        ends.resize(slot_cap);
+      }
+      int count =
+          encode_core(v, sent, len, add_dummy_prefix != 0, escape_ws != 0,
+                      remove_extra_ws != 0, ws, out_ids + slot,
+                      out_begins + slot, ends.data(), slot_cap);
+      if (count < 0) {
+        failed.store(true, std::memory_order_relaxed);
+        return;
+      }
+      out_counts[s] = static_cast<uint32_t>(count);
+      // Tile ranges in place (Vocabulary._tile): begins[0] stays,
+      // begins[i>0] = running end, out_ends[s] = final running end.
+      uint32_t run_end = 0;
+      uint32_t* begins = out_begins + slot;
+      for (int i = 0; i < count; i++) {
+        if (i > 0) begins[i] = run_end;
+        run_end = std::max(run_end, ends[i]);
+      }
+      out_ends[s] = count > 0 ? run_end : 0;
+    }
+  };
+
+  const int64_t total_bytes = static_cast<int64_t>(offsets[n_sents]);
+  int threads = std::max(1, n_threads);
+  threads = std::min<int64_t>(threads, n_sents);
+  if (total_bytes < (64 << 10)) threads = 1;  // not worth spawning
+  if (threads == 1) {
+    worker(0, n_sents);
+  } else {
+    // Partition sentences into contiguous ranges of ~equal bytes.
+    std::vector<std::thread> pool;
+    pool.reserve(threads);
+    int lo = 0;
+    for (int t = 0; t < threads && lo < n_sents; t++) {
+      const uint64_t target =
+          offsets[lo] + (offsets[n_sents] - offsets[lo]) / (threads - t);
+      int hi = (t == threads - 1) ? n_sents : lo;
+      while (hi < n_sents && offsets[hi] < target) hi++;
+      if (hi == lo) hi++;
+      pool.emplace_back(worker, lo, hi);
+      lo = hi;
+    }
+    for (auto& th : pool) th.join();
+  }
+  if (failed.load()) return -1;
+
+  // Compact slots left-to-right into flat arrays (safe: the compact
+  // position never exceeds the slot position).
+  int64_t out = 0;
+  for (int s = 0; s < n_sents; s++) {
+    const int64_t slot = static_cast<int64_t>(offsets[s]) + s;
+    const int count = static_cast<int>(out_counts[s]);
+    if (out != slot && count > 0) {
+      std::memmove(out_ids + out, out_ids + slot, count * sizeof(uint32_t));
+      std::memmove(out_begins + out, out_begins + slot,
+                   count * sizeof(uint32_t));
+    }
+    out += count;
+  }
+  return out;
 }
 
 // ids -> utf8 text + per-token byte ranges; control pieces surface

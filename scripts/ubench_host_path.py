@@ -89,9 +89,23 @@ def run(model, lines, workers):
         return [h.result(600) for h in handles]
 
 
+def run_bulk(model, lines, workers):
+    from slimt_tpu.runtime.service import Blocking
+
+    with Blocking(
+        Config(
+            cache_size=2048, max_words=8192,
+            completion_threads=workers,
+        )
+    ) as svc:
+        return svc.translate_bulk(model, lines)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--profile", action="store_true")
+    ap.add_argument("--bulk", action="store_true",
+                    help="profile translate_bulk instead of Async")
     ap.add_argument("--workers", type=int, default=4)
     ap.add_argument("--lines", type=int, default=10000)
     args = ap.parse_args()
@@ -100,13 +114,14 @@ def main():
     stub_forward(model)
     lines = corpus(args.lines)
 
-    run(model, lines[:256], args.workers)  # warm imports/caches
+    runner = run_bulk if args.bulk else run
+    runner(model, lines[:256], args.workers)  # warm imports/caches
 
     if args.profile:
         prof = cProfile.Profile()
         prof.enable()
     t0 = time.perf_counter()
-    responses = run(model, lines, args.workers)
+    responses = runner(model, lines, args.workers)
     elapsed = time.perf_counter() - t0
     if args.profile:
         prof.disable()

@@ -76,6 +76,14 @@ def _load():
             ctypes.c_void_p,
             ctypes.c_void_p,
         ]
+        lib.slimt_vocab_encode_batch.restype = ctypes.c_int64
+        lib.slimt_vocab_encode_batch.argtypes = [
+            ctypes.c_void_p,
+            ctypes.c_char_p, ctypes.c_void_p, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p,
+        ]
         lib.slimt_vocab_decode_batch.restype = ctypes.c_int
         lib.slimt_vocab_decode_batch.argtypes = [
             ctypes.c_void_p,
@@ -169,6 +177,58 @@ class NativeVocab:
             ids[:count].tolist(),
             list(zip(begin[:count].tolist(), end[:count].tolist())),
         )
+
+    def encode_batch_begins(
+        self, lines: Sequence[str], n_threads: int = 0
+    ) -> List[Tuple[List[int], List[int], int]]:
+        """Segment many lines in ONE multithreaded library call,
+        returning (ids, tiled token begins, final end) per line — the
+        Vocabulary.encode_batch_begins contract. The C++ side spreads
+        sentences across threads (the ctypes call releases the GIL) and
+        writes flat arrays; the only per-line Python work is slicing
+        two pre-converted lists."""
+        n = len(lines)
+        if n == 0:
+            return []
+        if n_threads <= 0:
+            n_threads = min(4, os.cpu_count() or 1)
+        datas = [line.encode("utf-8") for line in lines]
+        blob = b"".join(datas)
+        offsets = np.zeros(n + 1, np.uint64)
+        np.cumsum([len(d) for d in datas], out=offsets[1:])
+        cap = len(blob) + n
+        ids = np.empty(max(cap, 1), np.uint32)
+        begins = np.empty(max(cap, 1), np.uint32)
+        counts = np.empty(n, np.uint32)
+        ends = np.empty(n, np.uint32)
+        norm = self._norm
+        total = self._lib.slimt_vocab_encode_batch(
+            self._handle,
+            blob,
+            offsets.ctypes.data,
+            n,
+            int(norm.add_dummy_prefix),
+            int(norm.escape_whitespaces),
+            int(norm.remove_extra_whitespaces),
+            n_threads,
+            ids.ctypes.data,
+            begins.ctypes.data,
+            counts.ctypes.data,
+            ends.ctypes.data,
+        )
+        if total < 0:
+            raise RuntimeError("encode capacity exceeded")
+        ids_list = ids[:total].tolist()
+        begins_list = begins[:total].tolist()
+        counts_list = counts.tolist()
+        ends_list = ends.tolist()
+        out = []
+        pos = 0
+        for count, end in zip(counts_list, ends_list):
+            hi = pos + count
+            out.append((ids_list[pos:hi], begins_list[pos:hi], end))
+            pos = hi
+        return out
 
     def decode(
         self, words: Sequence[int]

@@ -122,13 +122,25 @@ class Vocabulary:
 
     @property
     def resolved_batch_backend(self) -> str:
-        """The backend the *batch* encode path uses ('hf' preferred,
-        then 'native', else 'none') — ingest worker processes must
-        build the same one so tokenizations match bit-for-bit."""
-        if self._hf is not None:
+        """The backend the *batch* encode path uses — ingest worker
+        processes must build the same one so tokenizations match
+        bit-for-bit. Preference: the C++ batch segmenter (one
+        multithreaded call, flat-array outputs — no per-token Python
+        objects) over HF tokenizers (fast Rust encode, but offset
+        extraction crosses one Python tuple per token), overridable
+        with SLIMT_TPU_BATCH_BACKEND=hf|native. The backends are
+        parity-tested to tokenize identically (tests/test_native.py)."""
+        import os
+
+        forced = os.environ.get("SLIMT_TPU_BATCH_BACKEND", "")
+        if forced == "hf" and self._hf is not None:
             return "hf"
+        if forced == "native" and self._native is not None:
+            return "native"
         if self._native is not None:
             return "native"
+        if self._hf is not None:
+            return "hf"
         return "none"
 
     # -- basic ids ----------------------------------------------------
@@ -338,6 +350,8 @@ class Vocabulary:
         redundant: begins plus the final end reconstruct it. Extracting
         just the begins runs at C speed (zip/tuple compare), skipping
         ~1 tuple allocation per token vs encode_batch."""
+        if self.resolved_batch_backend == "native":
+            return self._native.encode_batch_begins(lines)
         if self._hf is None:
             out = []
             for line in lines:
