@@ -403,6 +403,182 @@ int64_t slimt_vocab_encode_batch(void* handle, const char* text,
   return out;
 }
 
+// Tokenize + hard-wrap + annotate a batch of lines in one call — the
+// whole TextProcessor.process_batch hot loop
+// (slimt/TextProcessor.cc:96-157 semantics) behind one GIL release.
+// Sentence splitting stays on the Python side (it is cheap); this
+// consumes per-line sentence byte spans and emits, per line, the
+// wrapped segments (EOS appended) plus the AnnotatedText
+// token_begin/gap contents exactly as repeated
+// record_contiguous_sentence calls build them:
+//   token_begin = [0] ++ per segment (tiled begins ++ [end, end]) ++ [L]
+//   gap         = [0] ++ per segment (index after the first end)
+//
+// Lines parallelize across threads via caller-provided slot offset
+// arrays (id_slot/tb_slot/gap_slot, each n_lines+1 int64 cumsums of
+// the documented per-line bounds — see native.py ingest_lines); the
+// call compacts slots into flat arrays before returning. seg_sizes is
+// gap-slot-sized scratch; seg_bounds (total_segments+1) and seg_line
+// (total_segments) are written compactly during the final pass.
+// Returns the total segment count, or -1 on slot overflow (impossible
+// at the documented sizing).
+int64_t slimt_ingest_lines(
+    void* handle, const char* lines, const uint64_t* line_offsets,
+    int n_lines, const uint32_t* sent_begin, const uint32_t* sent_end,
+    const int32_t* sent_counts, const int64_t* sent_starts,
+    int wrap_length, uint32_t eos_id, int add_dummy_prefix, int escape_ws,
+    int remove_extra_ws, int n_threads, const int64_t* id_slot,
+    const int64_t* tb_slot, const int64_t* gap_slot, uint32_t* seg_ids,
+    uint32_t* seg_sizes, uint32_t* tb, int32_t* tb_counts, uint32_t* gap,
+    int32_t* gap_counts, int32_t* seg_counts, uint64_t* seg_bounds,
+    int32_t* seg_line) {
+  const Vocab& v = *static_cast<Vocab*>(handle);
+  if (n_lines <= 0) return 0;
+  const int step = std::max(1, wrap_length - 1);
+
+  std::atomic<bool> failed(false);
+  auto worker = [&](int lo, int hi) {
+    Workspace ws;
+    std::vector<uint32_t> ids, begins, ends;
+    for (int l = lo; l < hi && !failed.load(std::memory_order_relaxed);
+         l++) {
+      const char* line = lines + line_offsets[l];
+      const uint32_t line_len =
+          static_cast<uint32_t>(line_offsets[l + 1] - line_offsets[l]);
+      uint32_t* ids_out = seg_ids + id_slot[l];
+      uint32_t* tb_out = tb + tb_slot[l];
+      uint32_t* gap_out = gap + gap_slot[l];
+      uint32_t* sizes_out = seg_sizes + gap_slot[l];
+      const int64_t id_cap = id_slot[l + 1] - id_slot[l];
+      const int64_t tb_cap = tb_slot[l + 1] - tb_slot[l];
+      const int64_t gap_cap = gap_slot[l + 1] - gap_slot[l];
+
+      int64_t tb_len = 0, ids_len = 0;
+      int32_t n_gaps = 0, n_segs = 0;
+      tb_out[tb_len++] = 0;
+      gap_out[n_gaps++] = 0;
+
+      const int32_t n_sents = sent_counts[l];
+      const int64_t sent0 = sent_starts[l];
+      bool overflow = false;
+      for (int32_t si = 0; si < n_sents && !overflow; si++) {
+        const uint32_t b = sent_begin[sent0 + si];
+        const int slen = static_cast<int>(sent_end[sent0 + si] - b);
+        if (static_cast<size_t>(slen + 1) > ids.size()) {
+          ids.resize(slen + 1);
+          begins.resize(slen + 1);
+          ends.resize(slen + 1);
+        }
+        int count = encode_core(v, line + b, slen, add_dummy_prefix != 0,
+                                escape_ws != 0, remove_extra_ws != 0, ws,
+                                ids.data(), begins.data(), ends.data(),
+                                slen + 1);
+        if (count < 0) {
+          overflow = true;
+          break;
+        }
+        if (count == 0) continue;  // empty sentence: no segment
+        // Tile ranges (Vocabulary._tile) and shift into line offsets.
+        uint32_t run_end = ends[0];
+        begins[0] += b;
+        for (int i = 1; i < count; i++) {
+          begins[i] = run_end + b;
+          if (ends[i] > run_end) run_end = ends[i];
+        }
+        const uint32_t final_end = run_end + b;
+        // Hard-wrap at `step` tokens + EOS per wrapped segment
+        // (TextProcessor._wrap).
+        for (int off = 0; off < count; off += step) {
+          const int hi_tok = std::min(off + step, count);
+          const int n_tok = hi_tok - off;
+          if (ids_len + n_tok + 1 > id_cap || tb_len + n_tok + 2 > tb_cap ||
+              n_gaps + 1 > gap_cap) {
+            overflow = true;
+            break;
+          }
+          std::memcpy(ids_out + ids_len, ids.data() + off,
+                      n_tok * sizeof(uint32_t));
+          ids_len += n_tok;
+          ids_out[ids_len++] = eos_id;
+          const uint32_t chunk_end =
+              (hi_tok < count) ? begins[hi_tok] : final_end;
+          std::memcpy(tb_out + tb_len, begins.data() + off,
+                      n_tok * sizeof(uint32_t));
+          tb_len += n_tok;
+          tb_out[tb_len++] = chunk_end;
+          gap_out[n_gaps++] = static_cast<uint32_t>(tb_len);
+          sizes_out[n_segs++] = static_cast<uint32_t>(n_tok + 1);
+          tb_out[tb_len++] = chunk_end;
+        }
+      }
+      if (overflow) {
+        failed.store(true, std::memory_order_relaxed);
+        return;
+      }
+      tb_out[tb_len++] = line_len;
+      tb_counts[l] = static_cast<int32_t>(tb_len);
+      gap_counts[l] = n_gaps;
+      seg_counts[l] = n_segs;
+    }
+  };
+
+  int threads = std::max(1, n_threads);
+  threads = std::min(threads, n_lines);
+  if (static_cast<int64_t>(line_offsets[n_lines]) < (64 << 10)) threads = 1;
+  if (threads == 1) {
+    worker(0, n_lines);
+  } else {
+    std::vector<std::thread> pool;
+    pool.reserve(threads);
+    int lo = 0;
+    for (int t = 0; t < threads && lo < n_lines; t++) {
+      const uint64_t target =
+          line_offsets[lo] +
+          (line_offsets[n_lines] - line_offsets[lo]) / (threads - t);
+      int hi = (t == threads - 1) ? n_lines : lo;
+      while (hi < n_lines && line_offsets[hi] < target) hi++;
+      if (hi == lo) hi++;
+      pool.emplace_back(worker, lo, hi);
+      lo = hi;
+    }
+    for (auto& th : pool) th.join();
+  }
+  if (failed.load()) return -1;
+
+  // Compact slots left-to-right into flat arrays (compact positions
+  // never exceed slot positions, so in-place memmove is safe) and
+  // emit the clean seg_bounds/seg_line outputs.
+  int64_t ids_pos = 0, tb_pos = 0, gap_pos = 0, seg_pos = 0;
+  seg_bounds[0] = 0;
+  for (int l = 0; l < n_lines; l++) {
+    const int32_t n_segs = seg_counts[l];
+    const uint32_t* sizes = seg_sizes + gap_slot[l];
+    int64_t ids_len = 0;
+    for (int32_t s = 0; s < n_segs; s++) {
+      ids_len += sizes[s];
+      seg_bounds[seg_pos + 1] = static_cast<uint64_t>(ids_pos + ids_len);
+      seg_line[seg_pos] = l;
+      seg_pos++;
+    }
+    if (ids_pos != id_slot[l] && ids_len > 0) {
+      std::memmove(seg_ids + ids_pos, seg_ids + id_slot[l],
+                   ids_len * sizeof(uint32_t));
+    }
+    if (tb_pos != tb_slot[l]) {
+      std::memmove(tb + tb_pos, tb + tb_slot[l],
+                   tb_counts[l] * sizeof(uint32_t));
+    }
+    if (gap_pos != gap_slot[l]) {
+      std::memmove(gap + gap_pos, gap + gap_slot[l],
+                   gap_counts[l] * sizeof(uint32_t));
+    }
+    ids_pos += ids_len;
+    tb_pos += tb_counts[l];
+    gap_pos += gap_counts[l];
+  }
+  return seg_pos;
+}
+
 // ids -> utf8 text + per-token byte ranges; control pieces surface
 // empty, unknowns as sentencepiece's " ⁇ ". Returns text length in
 // bytes, or -1 if caps are insufficient. out_begin may be null

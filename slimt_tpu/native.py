@@ -84,6 +84,20 @@ def _load():
             ctypes.c_void_p, ctypes.c_void_p,
             ctypes.c_void_p, ctypes.c_void_p,
         ]
+        lib.slimt_ingest_lines.restype = ctypes.c_int64
+        lib.slimt_ingest_lines.argtypes = [
+            ctypes.c_void_p,
+            ctypes.c_char_p, ctypes.c_void_p, ctypes.c_int,
+            ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_int, ctypes.c_uint32,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p,
+        ]
         lib.slimt_vocab_decode_batch.restype = ctypes.c_int
         lib.slimt_vocab_decode_batch.argtypes = [
             ctypes.c_void_p,
@@ -228,6 +242,168 @@ class NativeVocab:
             hi = pos + count
             out.append((ids_list[pos:hi], begins_list[pos:hi], end))
             pos = hi
+        return out
+
+    # Scratch buffers for ingest_lines, reused across calls so repeat
+    # ingests don't re-pay page-fault costs on fresh allocations.
+    # Thread-local: the bulk path's lookahead tokenizes the next chunk
+    # on a pool thread while the main thread ingests the current one.
+    _scratch_tls = threading.local()
+
+    @classmethod
+    def _scratch(cls, key: str, size: int, dtype):
+        bufs = getattr(cls._scratch_tls, "bufs", None)
+        if bufs is None:
+            bufs = cls._scratch_tls.bufs = {}
+        arr = bufs.get(key)
+        if arr is None or arr.size < size or arr.dtype != dtype:
+            arr = np.empty(int(size * 5 // 4) + 64, dtype)
+            bufs[key] = arr
+        return arr
+
+    def ingest_lines(
+        self,
+        line_datas: Sequence[bytes],
+        sent_begin: Sequence[int],
+        sent_end: Sequence[int],
+        sent_counts: Sequence[int],
+        wrap_length: int,
+        eos_id: int,
+        n_threads: int = 0,
+        raw: bool = False,
+    ):
+        """Tokenize + hard-wrap + annotate a batch of lines in ONE
+        multithreaded library call (the TextProcessor.process_batch
+        hot loop). Sentences are given as byte [begin,end) spans within
+        each line (flat arrays + per-line counts, from the Python
+        splitter).
+
+        Default form returns per line (segments, token_begin, gap) —
+        segments as lists of ids with EOS appended, token_begin/gap
+        being the AnnotatedText annotation contents that repeated
+        record_contiguous_sentence calls would produce. With raw=True
+        returns the columnar form instead — COPIES of the flat arrays
+        (the scratch is reused by the next call):
+        (seg_ids u32, seg_bounds u64 [S+1], seg_line i32 [S],
+        tb u32 flat, tb_counts i32, gap u32 flat, gap_counts i32)."""
+        n = len(line_datas)
+        if n == 0:
+            return []
+        if n_threads <= 0:
+            n_threads = min(4, os.cpu_count() or 1)
+        blob = b"".join(line_datas)
+        line_off = self._scratch("line_off", n + 1, np.uint64)
+        line_off[0] = 0
+        np.cumsum([len(d) for d in line_datas], out=line_off[1 : n + 1])
+        sb = np.ascontiguousarray(sent_begin, np.uint32)
+        se = np.ascontiguousarray(sent_end, np.uint32)
+        sc = np.ascontiguousarray(sent_counts, np.int32)
+        ss = np.zeros(n, np.int64)
+        np.cumsum(sc[:-1], out=ss[1:])  # sentence start index per line
+
+        # Per-line output bounds: tokens per sentence <= bytes + 1
+        # (dummy prefix), so T = sentence bytes + sentence count bounds
+        # the line's token total; segments per sentence <=
+        # 1 + bytes // step, and the annotation structure gives the
+        # slot sizes below.
+        nsent = len(sb)
+        step = max(1, wrap_length - 1)
+        cs = np.zeros(nsent + 1, np.int64)
+        np.cumsum((se.astype(np.int64) - sb), out=cs[1:])
+        sent_bytes = cs[ss + sc] - cs[ss]
+        t_line = sent_bytes + sc  # max tokens per line
+        s_line = sc + sent_bytes // step  # max segments per line
+        id_slot = self._scratch("id_slot", n + 1, np.int64)
+        id_slot[0] = 0
+        np.cumsum(t_line + s_line, out=id_slot[1 : n + 1])
+        tb_slot = self._scratch("tb_slot", n + 1, np.int64)
+        tb_slot[0] = 0
+        np.cumsum(t_line + 2 * s_line + 2, out=tb_slot[1 : n + 1])
+        gap_slot = self._scratch("gap_slot", n + 1, np.int64)
+        gap_slot[0] = 0
+        np.cumsum(s_line + 1, out=gap_slot[1 : n + 1])
+
+        seg_ids = self._scratch("seg_ids", int(id_slot[n]), np.uint32)
+        seg_sizes = self._scratch("seg_sizes", int(gap_slot[n]), np.uint32)
+        tb = self._scratch("tb", int(tb_slot[n]), np.uint32)
+        gap = self._scratch("gap", int(gap_slot[n]), np.uint32)
+        tb_counts = self._scratch("tb_counts", n, np.int32)
+        gap_counts = self._scratch("gap_counts", n, np.int32)
+        seg_counts = self._scratch("seg_counts", n, np.int32)
+        max_segs = int(gap_slot[n])  # segments + 1 per line, summed
+        seg_bounds = self._scratch("seg_bounds", max_segs + 1, np.uint64)
+        seg_line = self._scratch("seg_line", max_segs, np.int32)
+
+        norm = self._norm
+        total_segs = self._lib.slimt_ingest_lines(
+            self._handle,
+            blob,
+            line_off.ctypes.data,
+            n,
+            sb.ctypes.data,
+            se.ctypes.data,
+            sc.ctypes.data,
+            ss.ctypes.data,
+            wrap_length,
+            eos_id,
+            int(norm.add_dummy_prefix),
+            int(norm.escape_whitespaces),
+            int(norm.remove_extra_whitespaces),
+            n_threads,
+            id_slot.ctypes.data,
+            tb_slot.ctypes.data,
+            gap_slot.ctypes.data,
+            seg_ids.ctypes.data,
+            seg_sizes.ctypes.data,
+            tb.ctypes.data,
+            tb_counts.ctypes.data,
+            gap.ctypes.data,
+            gap_counts.ctypes.data,
+            seg_counts.ctypes.data,
+            seg_bounds.ctypes.data,
+            seg_line.ctypes.data,
+        )
+        if total_segs < 0:
+            raise RuntimeError("ingest capacity exceeded")
+
+        tb_counts_l = tb_counts[:n].tolist()
+        gap_counts_l = gap_counts[:n].tolist()
+        if raw:
+            total_ids = int(seg_bounds[total_segs]) if total_segs else 0
+            return (
+                seg_ids[:total_ids].copy(),
+                seg_bounds[: total_segs + 1].astype(np.int64),
+                seg_line[:total_segs].copy(),
+                tb[: sum(tb_counts_l)].copy(),
+                tb_counts_l,
+                gap[: sum(gap_counts_l)].copy(),
+                gap_counts_l,
+            )
+
+        bounds = seg_bounds[: total_segs + 1].tolist()
+        total_ids = bounds[-1] if total_segs else 0
+        ids_list = seg_ids[:total_ids].tolist()
+        seg_counts_l = seg_counts[:n].tolist()
+        tb_list = tb[: sum(tb_counts_l)].tolist()
+        gap_list = gap[: sum(gap_counts_l)].tolist()
+
+        out = []
+        tb_pos = 0
+        gap_pos = 0
+        seg_pos = 0
+        for l in range(n):
+            segments = [
+                ids_list[bounds[s] : bounds[s + 1]]
+                for s in range(seg_pos, seg_pos + seg_counts_l[l])
+            ]
+            seg_pos += seg_counts_l[l]
+            tb_hi = tb_pos + tb_counts_l[l]
+            gap_hi = gap_pos + gap_counts_l[l]
+            out.append(
+                (segments, tb_list[tb_pos:tb_hi], gap_list[gap_pos:gap_hi])
+            )
+            tb_pos = tb_hi
+            gap_pos = gap_hi
         return out
 
     def decode(

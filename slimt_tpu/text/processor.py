@@ -72,6 +72,8 @@ class TextProcessor:
         in one vocabulary.encode_batch call (parallel in the Rust
         tokenizers backend) — the host-throughput path the serving
         loops use. Output identical to per-text process()."""
+        if self.vocabulary.resolved_batch_backend == "native":
+            return self._process_batch_native(texts, wrap_length)
         plans = []  # per text: (source, [(sentence, byte_offset)])
         all_sentences: List[str] = []
         from slimt_tpu.text.vocabulary import byte_prefix
@@ -108,6 +110,56 @@ class TextProcessor:
                     begins = [byte_offset + b for b in begins]
                     end += byte_offset
                 self._wrap(ids, begins, end, segments, source, wrap_length)
+            results.append((source, segments))
+        return results
+
+    def _process_batch_native(
+        self, texts: Sequence[str], wrap_length: int
+    ) -> List[Tuple[AnnotatedText, Segments]]:
+        """process_batch via ONE native slimt_ingest_lines call:
+        splitting stays here (cheap), but tokenization, wrap-at-128 and
+        the AnnotatedText token_begin/gap construction all run in
+        multithreaded C++ — output identical to the generic path
+        (differential-tested in tests/test_processor.py)."""
+        from slimt_tpu.text.vocabulary import byte_prefix
+
+        sources = []
+        sent_begin: List[int] = []
+        sent_end: List[int] = []
+        sent_counts: List[int] = []
+        line_datas: List[bytes] = []
+        for text in texts:
+            source = AnnotatedText(text)
+            sources.append(source)
+            line_datas.append(source.data)
+            count = 0
+            prefix = (
+                None
+                if len(line_datas[-1]) == len(text)  # ASCII: char == byte
+                else byte_prefix(text)
+            )
+            for sentence, begin, end in SentenceStream(
+                text, self.splitter, self.mode
+            ):
+                if not sentence:
+                    continue  # paragraph-boundary marker
+                if prefix is None:
+                    sent_begin.append(begin)
+                    sent_end.append(end)
+                else:
+                    sent_begin.append(prefix[begin])
+                    sent_end.append(prefix[end])
+                count += 1
+            sent_counts.append(count)
+
+        ingested = self.vocabulary._native.ingest_lines(
+            line_datas, sent_begin, sent_end, sent_counts,
+            wrap_length, self.vocabulary.eos_id,
+        )
+        results = []
+        for source, (segments, token_begin, gap) in zip(sources, ingested):
+            source.token_begin = token_begin
+            source.gap = gap
             results.append((source, segments))
         return results
 
