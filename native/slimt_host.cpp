@@ -664,6 +664,166 @@ int slimt_vocab_decode_batch(void* handle, const uint32_t* ids,
   return pos;
 }
 
+// Decode rows of a padded token matrix — the device result layout —
+// in one call: row r uses ids[r*stride : r*stride + steps[r]]. Emits
+// one flat text blob plus flat per-token end offsets, with
+// out_text_off / out_ends_off (n_rows+1 each) locating each row's
+// spans. Returns total text bytes, or -1 if text_cap is insufficient.
+int64_t slimt_vocab_decode_padded(void* handle, const int32_t* ids,
+                                  int64_t stride, const int32_t* steps,
+                                  int n_rows, char* out_text,
+                                  int64_t text_cap, uint32_t* out_ends,
+                                  uint64_t* out_ends_off,
+                                  uint64_t* out_text_off) {
+  const Vocab& v = *static_cast<Vocab*>(handle);
+  int64_t pos = 0;
+  int64_t ends_pos = 0;
+  for (int r = 0; r < n_rows; r++) {
+    out_text_off[r] = static_cast<uint64_t>(pos);
+    out_ends_off[r] = static_cast<uint64_t>(ends_pos);
+    const int n = steps[r];
+    int wrote = decode_one(
+        v, reinterpret_cast<const uint32_t*>(ids) + r * stride, n,
+        out_text + pos, static_cast<int>(std::min<int64_t>(
+                            text_cap - pos, INT32_MAX)),
+        nullptr, out_ends + ends_pos);
+    if (wrote < 0) return -1;
+    pos += wrote;
+    ends_pos += n;
+  }
+  out_text_off[n_rows] = static_cast<uint64_t>(pos);
+  out_ends_off[n_rows] = static_cast<uint64_t>(ends_pos);
+  return pos;
+}
+
+// Assemble per-line target text + annotation arrays from per-batch
+// decode buffers — the Request._complete / append_sentence_raw loop
+// (slimt/Request.cc:136-170) for a whole chunk in one call. Each
+// line's sentences are located via (seg_batch, seg_row) into the
+// pointer tables over per-batch slimt_vocab_decode_padded outputs;
+// inter-sentence gap bytes come from the chunk's SOURCE annotation
+// arrays (src_tb/src_gap, the ingest outputs). A line with
+// seg_counts[l] < 0 is skipped (its outputs are empty) — the caller
+// assembles it in Python (cache-hit content lives outside the batch
+// buffers). Slot offset arrays partition the outputs per line;
+// compaction happens before return, leaving out_text_off (n_lines+1)
+// locating each line's text. Returns total text bytes, or -1 on slot
+// overflow (impossible at the documented sizing).
+int64_t slimt_assemble_lines(
+    int n_lines, const char* src_blob, const uint64_t* src_line_off,
+    const uint32_t* src_tb, const int64_t* src_tb_off,
+    const uint32_t* src_gap, const int64_t* src_gap_off,
+    const int32_t* seg_counts, const int64_t* seg_starts,
+    const int32_t* seg_batch, const int32_t* seg_row,
+    const char* const* batch_text, const uint64_t* const* batch_text_off,
+    const uint32_t* const* batch_ends, const uint64_t* const* batch_ends_off,
+    const int64_t* text_slot, const int64_t* tb_slot,
+    const int64_t* gap_slot, char* out_text, uint32_t* out_tb,
+    uint32_t* out_gap, int64_t* out_text_off, int32_t* tb_counts,
+    int32_t* gap_counts) {
+  for (int l = 0; l < n_lines; l++) {
+    const int32_t n_segs = seg_counts[l];
+    char* text = out_text + text_slot[l];
+    uint32_t* tb = out_tb + tb_slot[l];
+    uint32_t* gap = out_gap + gap_slot[l];
+    const int64_t text_cap = text_slot[l + 1] - text_slot[l];
+    const int64_t tb_cap = tb_slot[l + 1] - tb_slot[l];
+    const int64_t gap_cap = gap_slot[l + 1] - gap_slot[l];
+    int64_t text_len = 0, tb_len = 0;
+    int32_t n_gaps = 0;
+    if (n_segs < 0) {  // cache-hit line: assembled by the caller
+      tb_counts[l] = 0;
+      gap_counts[l] = 0;
+      continue;
+    }
+    // AnnotatedText("") starts as token_begin=[0,0], gap=[0].
+    tb[tb_len++] = 0;
+    tb[tb_len++] = 0;
+    gap[n_gaps++] = 0;
+    const char* src_line = src_blob + src_line_off[l];
+    const uint32_t* stb = src_tb + src_tb_off[l];
+    const uint32_t* sgap = src_gap + src_gap_off[l];
+    bool overflow = tb_cap < 2 || gap_cap < 1;
+    for (int32_t si = 0; si < n_segs && !overflow; si++) {
+      // append_ending_whitespace_data(source.gap_data(si))
+      const uint32_t g0 = stb[sgap[si]];
+      const uint32_t g1 = stb[sgap[si] + 1];
+      const int32_t glen = static_cast<int32_t>(g1 - g0);
+      const int32_t b = seg_batch[seg_starts[l] + si];
+      const int32_t r = seg_row[seg_starts[l] + si];
+      const uint64_t t0 = batch_text_off[b][r];
+      const uint64_t t1 = batch_text_off[b][r + 1];
+      const uint64_t e0 = batch_ends_off[b][r];
+      const uint64_t e1 = batch_ends_off[b][r + 1];
+      const int64_t n_tok = static_cast<int64_t>(e1 - e0);
+      if (text_len + glen + static_cast<int64_t>(t1 - t0) > text_cap ||
+          tb_len + n_tok + 1 > tb_cap || n_gaps + 1 > gap_cap) {
+        overflow = true;
+        break;
+      }
+      if (glen > 0) {
+        std::memcpy(text + text_len, src_line + g0, glen);
+        text_len += glen;
+        tb[tb_len - 1] = static_cast<uint32_t>(text_len);
+      }
+      // append_sentence_raw(data, ends)
+      const int64_t offset = text_len;
+      std::memcpy(text + text_len, batch_text[b] + t0, t1 - t0);
+      text_len += static_cast<int64_t>(t1 - t0);
+      const uint32_t* ends = batch_ends[b] + e0;
+      uint32_t last = 0;
+      for (int64_t i = 0; i < n_tok; i++) {
+        last = ends[i];
+        tb[tb_len++] = static_cast<uint32_t>(offset) + last;
+      }
+      gap[n_gaps++] = static_cast<uint32_t>(tb_len - 1);
+      tb[tb_len++] = static_cast<uint32_t>(offset) + last;
+      if (si + 1 == n_segs) {
+        // append_ending_whitespace_data(source.gap_data(n_segs))
+        const uint32_t f0 = stb[sgap[n_segs]];
+        const uint32_t f1 = stb[sgap[n_segs] + 1];
+        const int32_t flen = static_cast<int32_t>(f1 - f0);
+        if (flen > 0) {
+          if (text_len + flen > text_cap) {
+            overflow = true;
+            break;
+          }
+          std::memcpy(text + text_len, src_line + f0, flen);
+          text_len += flen;
+          tb[tb_len - 1] = static_cast<uint32_t>(text_len);
+        }
+      }
+    }
+    if (overflow) return -1;
+    tb_counts[l] = static_cast<int32_t>(tb_len);
+    gap_counts[l] = n_gaps;
+    out_text_off[l] = text_len;  // per-line length; offsets after compaction
+  }
+
+  // Compact slots into flat arrays; out_text_off becomes offsets.
+  int64_t text_pos = 0, tb_pos = 0, gap_pos = 0;
+  for (int l = 0; l < n_lines; l++) {
+    const int64_t tlen = (seg_counts[l] < 0) ? 0 : out_text_off[l];
+    if (text_pos != text_slot[l] && tlen > 0) {
+      std::memmove(out_text + text_pos, out_text + text_slot[l], tlen);
+    }
+    if (tb_pos != tb_slot[l] && tb_counts[l] > 0) {
+      std::memmove(out_tb + tb_pos, out_tb + tb_slot[l],
+                   tb_counts[l] * sizeof(uint32_t));
+    }
+    if (gap_pos != gap_slot[l] && gap_counts[l] > 0) {
+      std::memmove(out_gap + gap_pos, out_gap + gap_slot[l],
+                   gap_counts[l] * sizeof(uint32_t));
+    }
+    out_text_off[l] = text_pos;
+    text_pos += tlen;
+    tb_pos += tb_counts[l];
+    gap_pos += gap_counts[l];
+  }
+  out_text_off[n_lines] = text_pos;
+  return text_pos;
+}
+
 // boost-style hash_combine fold with identity hash
 // (reference slimt/Utils.hh:47-67).
 uint64_t slimt_hash_words(uint64_t seed, const uint32_t* words, int n) {

@@ -57,7 +57,22 @@ def stub_forward(model):
         ]
         return lambda: hyps
 
+    def forward_async_arrays(
+        indices, mask, lengths, batch, need_alignment=False,
+        shortlist_words=None, raw=False,
+    ):
+        steps = np.asarray(lengths, np.int32)
+        if raw:
+            return lambda: (indices, steps, None)
+        return lambda: [
+            Hypothesis(
+                target=indices[i, : steps[i]].tolist(), alignment=[]
+            )
+            for i in range(batch)
+        ]
+
     model.forward_async = forward_async
+    model.forward_async_arrays = forward_async_arrays
     model.forward = lambda segments, need_alignment=True: forward_async(
         segments, need_alignment
     )()

@@ -179,11 +179,6 @@ class Model:
         callers can launch several batches back-to-back and fetch
         results later — hiding the host↔device round-trip behind
         compute (the serving loops use this to pipeline batches)."""
-        import jax
-        import jax.numpy as jnp
-
-        from slimt_tpu.models.decode import translate_batch_jit
-
         batch = len(segments)
         lengths = [len(s) for s in segments]
         # power-of-two bucket, rounded to a multiple of the data axis
@@ -197,9 +192,50 @@ class Model:
             indices[i, : len(segment)] = segment
             mask[i, : len(segment)] = 1.0
 
-        shortlist = None
+        words = None
         if self.shortlist_generator is not None:
             words = [w for s in segments for w in s]
+        return self._dispatch(
+            indices, mask, lengths, batch, need_alignment, words
+        )
+
+    def forward_async_arrays(
+        self,
+        indices: np.ndarray,
+        mask: np.ndarray,
+        lengths,
+        batch: int,
+        need_alignment: bool = False,
+        shortlist_words=None,
+        raw: bool = False,
+    ):
+        """Columnar forward: the caller packed the padded [B,T]
+        indices/mask arrays itself (one vectorized scatter from flat
+        token arrays — the bulk lane). With raw=True the finish()
+        returns the result arrays (tokens [B,T'], steps per row,
+        alignment or None) instead of per-row Hypothesis objects."""
+        return self._dispatch(
+            indices, mask, lengths, batch, need_alignment,
+            shortlist_words, raw=raw,
+        )
+
+    def _dispatch(
+        self, indices, mask, lengths, batch, need_alignment,
+        shortlist_words, raw: bool = False,
+    ):
+        import jax
+        import jax.numpy as jnp
+
+        from slimt_tpu.models.decode import translate_batch_jit
+
+        b_pad, t_pad = indices.shape
+        shortlist = None
+        if self.shortlist_generator is not None:
+            words = shortlist_words
+            if words is None:
+                words = []
+            elif isinstance(words, np.ndarray):
+                words = words.tolist()
             shortlist = self.shortlist_generator.generate_padded(
                 words, SHORTLIST_BUCKET
             ).astype(np.int32)
@@ -268,6 +304,10 @@ class Model:
                 align = (
                     np.asarray(result.alignment) if need_alignment else None
                 )
+
+            if raw:
+                steps = valid[:batch].sum(axis=1).astype(np.int32)
+                return tokens, steps, align
 
             histories = []
             for i in range(batch):

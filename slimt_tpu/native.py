@@ -98,6 +98,27 @@ def _load():
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
             ctypes.c_void_p, ctypes.c_void_p,
         ]
+        lib.slimt_vocab_decode_padded.restype = ctypes.c_int64
+        lib.slimt_vocab_decode_padded.argtypes = [
+            ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p, ctypes.c_int,
+            ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+        ]
+        lib.slimt_assemble_lines.restype = ctypes.c_int64
+        lib.slimt_assemble_lines.argtypes = [
+            ctypes.c_int,
+            ctypes.c_char_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+        ]
         lib.slimt_vocab_decode_batch.restype = ctypes.c_int
         lib.slimt_vocab_decode_batch.argtypes = [
             ctypes.c_void_p,
@@ -406,6 +427,37 @@ class NativeVocab:
             gap_pos = gap_hi
         return out
 
+    def decode_padded(self, tokens: np.ndarray, steps: np.ndarray):
+        """Decode rows of the padded device-result token matrix in ONE
+        call — no per-row Python slicing. Returns
+        (text uint8 array, text_off uint64 [n+1], ends uint32 flat,
+        ends_off uint64 [n+1]); buffers are freshly allocated (they
+        outlive the call: the assemble step reads them per chunk)."""
+        n = tokens.shape[0]
+        tokens = np.ascontiguousarray(tokens, np.int32)
+        steps = np.ascontiguousarray(steps, np.int32)
+        total_steps = int(steps.sum())
+        cap = self._max_surface * total_steps + 1024
+        text = np.empty(cap, np.uint8)
+        ends = np.empty(max(total_steps, 1), np.uint32)
+        ends_off = np.empty(n + 1, np.uint64)
+        text_off = np.empty(n + 1, np.uint64)
+        wrote = self._lib.slimt_vocab_decode_padded(
+            self._handle,
+            tokens.ctypes.data,
+            tokens.shape[1] if tokens.ndim == 2 else 0,
+            steps.ctypes.data,
+            n,
+            text.ctypes.data,
+            cap,
+            ends.ctypes.data,
+            ends_off.ctypes.data,
+            text_off.ctypes.data,
+        )
+        if wrote < 0:
+            raise RuntimeError("decode capacity exceeded")
+        return text, text_off, ends, ends_off
+
     def decode(
         self, words: Sequence[int]
     ) -> Tuple[str, List[Tuple[int, int]]]:
@@ -477,3 +529,116 @@ class NativeVocab:
             (raw[to[i] : to[i + 1]], ends_list[so[i] : so[i + 1]])
             for i in range(n_seqs)
         ]
+
+
+def assemble_lines(
+    src_blob: bytes,
+    src_line_off: np.ndarray,
+    src_tb: np.ndarray,
+    src_tb_off: np.ndarray,
+    src_gap: np.ndarray,
+    src_gap_off: np.ndarray,
+    seg_counts: np.ndarray,
+    seg_starts: np.ndarray,
+    seg_batch: np.ndarray,
+    seg_row: np.ndarray,
+    batches,
+    seg_text_len: np.ndarray,
+    seg_steps: np.ndarray,
+):
+    """Assemble per-line target text + annotation arrays from
+    per-batch decode_padded outputs in ONE library call (the
+    append_sentence_raw loop for a whole chunk). `batches` is a list
+    of (text, text_off, ends, ends_off) arrays; (seg_batch, seg_row)
+    locate each line-major segment in them; seg_text_len/seg_steps are
+    the per-segment decoded byte/token counts (for exact output
+    sizing). Lines with seg_counts < 0 are skipped (the caller
+    assembles them — cache-hit content lives outside batch buffers).
+
+    Returns (text uint8, text_off int64 [n+1], tb uint32 flat,
+    tb_counts, gap uint32 flat, gap_counts) — freshly allocated; the
+    caller wraps them in lazy AnnotatedText views."""
+    lib = _load()
+    n = len(seg_counts)
+    line_len = np.diff(src_line_off.astype(np.int64))
+    # Group boundaries come from seg_starts (the TRUE line-major
+    # segment layout) so a skipped line (seg_counts = -1) does not
+    # shift later lines' groups; slot sizes are upper bounds, so
+    # including skipped lines' segment sizes merely oversizes.
+    total_segs = len(seg_text_len)
+    bounds_idx = np.empty(n + 1, np.int64)
+    bounds_idx[:n] = seg_starts
+    bounds_idx[n] = total_segs
+    true_counts = np.diff(bounds_idx)
+    if total_segs:
+        ext = np.concatenate([seg_text_len.astype(np.int64), [0]])
+        text_per_line = np.add.reduceat(ext, bounds_idx[:-1])
+        ext2 = np.concatenate([seg_steps.astype(np.int64), [0]])
+        steps_per_line = np.add.reduceat(ext2, bounds_idx[:-1])
+        # np.add.reduceat quirk: a zero-length group at index i
+        # returns element[i]; mask those out explicitly.
+        empty = true_counts == 0
+        text_per_line = np.where(empty, 0, text_per_line)
+        steps_per_line = np.where(empty, 0, steps_per_line)
+    else:
+        text_per_line = np.zeros(n, np.int64)
+        steps_per_line = np.zeros(n, np.int64)
+
+    text_slot = np.zeros(n + 1, np.int64)
+    np.cumsum(line_len + text_per_line, out=text_slot[1:])
+    tb_slot = np.zeros(n + 1, np.int64)
+    np.cumsum(steps_per_line + true_counts + 2, out=tb_slot[1:])
+    gap_slot = np.zeros(n + 1, np.int64)
+    np.cumsum(true_counts + 1, out=gap_slot[1:])
+
+    out_text = np.empty(max(int(text_slot[-1]), 1), np.uint8)
+    out_tb = np.empty(max(int(tb_slot[-1]), 1), np.uint32)
+    out_gap = np.empty(max(int(gap_slot[-1]), 1), np.uint32)
+    out_text_off = np.empty(n + 1, np.int64)
+    tb_counts = np.empty(n, np.int32)
+    gap_counts = np.empty(n, np.int32)
+
+    n_batches = max(len(batches), 1)
+    ptr_text = np.empty(n_batches, np.uint64)
+    ptr_text_off = np.empty(n_batches, np.uint64)
+    ptr_ends = np.empty(n_batches, np.uint64)
+    ptr_ends_off = np.empty(n_batches, np.uint64)
+    for i, (text, text_off, ends, ends_off) in enumerate(batches):
+        ptr_text[i] = text.ctypes.data
+        ptr_text_off[i] = text_off.ctypes.data
+        ptr_ends[i] = ends.ctypes.data
+        ptr_ends_off[i] = ends_off.ctypes.data
+
+    sc = np.ascontiguousarray(seg_counts, np.int32)
+    ss = np.ascontiguousarray(seg_starts, np.int64)
+    sb = np.ascontiguousarray(seg_batch, np.int32)
+    sr = np.ascontiguousarray(seg_row, np.int32)
+    total = lib.slimt_assemble_lines(
+        n,
+        src_blob,
+        src_line_off.ctypes.data,
+        src_tb.ctypes.data,
+        src_tb_off.ctypes.data,
+        src_gap.ctypes.data,
+        src_gap_off.ctypes.data,
+        sc.ctypes.data,
+        ss.ctypes.data,
+        sb.ctypes.data,
+        sr.ctypes.data,
+        ptr_text.ctypes.data,
+        ptr_text_off.ctypes.data,
+        ptr_ends.ctypes.data,
+        ptr_ends_off.ctypes.data,
+        text_slot.ctypes.data,
+        tb_slot.ctypes.data,
+        gap_slot.ctypes.data,
+        out_text.ctypes.data,
+        out_tb.ctypes.data,
+        out_gap.ctypes.data,
+        out_text_off.ctypes.data,
+        tb_counts.ctypes.data,
+        gap_counts.ctypes.data,
+    )
+    if total < 0:
+        raise RuntimeError("assemble capacity exceeded")
+    return out_text, out_text_off, out_tb, tb_counts, out_gap, gap_counts

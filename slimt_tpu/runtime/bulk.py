@@ -167,6 +167,16 @@ def translate_bulk(
     options = options or Options()
     need_alignment = bool(options.alignment or options.html)
 
+    if (
+        not need_alignment
+        and ingest_pool is None
+        and not getattr(model, "_multiprocess", False)
+        and model.vocabulary.resolved_batch_backend == "native"
+    ):
+        return _translate_bulk_columnar(
+            model, sources, config, cache=cache, meters=meters, pool=pool
+        )
+
     htmls = None
     texts = list(sources)
     if options.html:
@@ -285,6 +295,358 @@ def translate_bulk(
             if htmls is not None:
                 htmls[li].restore(response)
             responses.append(response)
+    if first_err is not None:
+        raise first_err
+    return responses
+
+
+def _translate_bulk_columnar(
+    model, sources: List[str], config, cache=None, meters=None, pool=None
+) -> List[Response]:
+    """The columnar bulk lane: per chunk, ONE native ingest call
+    (tokenize + wrap + annotate), vectorized numpy batch packing, raw
+    device results decoded straight from the padded token matrix in
+    ONE native call per batch, and per-line target text/annotations
+    built by ONE native assemble call — no per-token Python objects
+    anywhere. Sources/targets carry lazy annotations (materialized on
+    first access). Output identical to the general bulk path
+    (differential-tested); lines touching the translation cache fall
+    back to per-line Python assembly (their content lives outside the
+    batch buffers). Alignment/HTML requests use the general path."""
+    import threading
+
+    import numpy as np
+
+    from slimt_tpu import native as native_mod
+    from slimt_tpu.models.model import _bucket_batch, _bucket_seq
+    from slimt_tpu.text.annotation import AnnotatedText
+    from slimt_tpu.text.splitter import SentenceStream
+    from slimt_tpu.text.vocabulary import byte_prefix
+    from slimt_tpu.utils import Timer
+
+    vocab = model.vocabulary
+    nat = vocab._native
+    eos = vocab.eos_id
+    pad_id = vocab.pad_id
+    model_id = model.id
+    wrap = config.wrap_length
+    max_words = config.max_words
+    data_size = getattr(model, "_data_size", 1)
+    processor = model.processor
+
+    timer = Timer()
+    meter_lock = threading.Lock()
+
+    texts = list(sources)
+    chunk_lines = getattr(config, "bulk_chunk_lines", 2048) or len(texts) or 1
+
+    def split_chunk(chunk_texts):
+        line_datas: List[bytes] = []
+        sent_begin: List[int] = []
+        sent_end: List[int] = []
+        sent_counts: List[int] = []
+        for text in chunk_texts:
+            data = text.encode("utf-8")
+            line_datas.append(data)
+            count = 0
+            prefix = None if len(data) == len(text) else byte_prefix(text)
+            for s, b, e in SentenceStream(
+                text, processor.splitter, processor.mode
+            ):
+                if not s:
+                    continue
+                if prefix is None:
+                    sent_begin.append(b)
+                    sent_end.append(e)
+                else:
+                    sent_begin.append(prefix[b])
+                    sent_end.append(prefix[e])
+                count += 1
+            sent_counts.append(count)
+        return line_datas, sent_begin, sent_end, sent_counts
+
+    class Chunk:
+        __slots__ = (
+            "line_datas", "seg_ids", "bounds", "seg_line", "tb",
+            "tb_counts", "gap", "gap_counts", "lengths", "seg_starts",
+            "seg_counts", "keys", "hits", "seg_batch", "seg_row",
+            "seg_text_len", "seg_steps", "brecs", "work",
+        )
+
+    def ingest_chunk(split):
+        line_datas, sent_begin, sent_end, sent_counts = split
+        c = Chunk()
+        c.line_datas = line_datas
+        n = len(line_datas)
+        (c.seg_ids, c.bounds, c.seg_line, c.tb, c.tb_counts,
+         c.gap, c.gap_counts) = nat.ingest_lines(
+            line_datas, sent_begin, sent_end, sent_counts, wrap, eos,
+            raw=True,
+        )
+        S = len(c.seg_line)
+        c.lengths = np.diff(c.bounds)
+        counts = (
+            np.bincount(c.seg_line, minlength=n).astype(np.int64)
+            if S
+            else np.zeros(n, np.int64)
+        )
+        c.seg_counts = counts
+        c.seg_starts = np.zeros(n, np.int64)
+        if n:
+            np.cumsum(counts[:-1], out=c.seg_starts[1:])
+        c.seg_batch = np.full(S, -1, np.int32)
+        c.seg_row = np.zeros(S, np.int32)
+        c.seg_text_len = np.zeros(S, np.int64)
+        c.seg_steps = np.zeros(S, np.int32)
+        c.brecs = []
+        c.keys = None
+        c.hits = {}
+        if cache is not None and S:
+            ids_list = c.seg_ids.tolist()
+            b_list = c.bounds.tolist()
+            keys = []
+            hit = []
+            for s in range(S):
+                key = hash((model_id, *ids_list[b_list[s] : b_list[s + 1]]))
+                keys.append(key)
+                found, h = cache.find(key)
+                if found and cache_usable(h, False):
+                    c.hits[s] = h
+                    hit.append(s)
+            c.keys = keys
+            fresh = np.ones(S, bool)
+            if hit:
+                fresh[hit] = False
+            c.work = np.nonzero(fresh)[0]
+        else:
+            c.work = np.arange(S)
+        return c
+
+    def dispatch_chunk(c):
+        """Pack fresh segments shortest-first under the max_words rule
+        (slimt/Batcher.cc:95-120) and dispatch every batch; returns
+        (batch_no, idx array, finish) triples."""
+        work = c.work
+        if len(work) == 0:
+            return []
+        order = work[np.argsort(c.lengths[work], kind="stable")]
+        lens = c.lengths[order].tolist()
+        # greedy packing: boundaries over the sorted run
+        batches = []
+        start = 0
+        count = 0
+        for i, length in enumerate(lens):
+            length = max(length, 1)
+            if count and (count + 1) * length > max_words:
+                batches.append((start, i))
+                start = i
+                count = 0
+            count += 1
+        if count:
+            batches.append((start, len(lens)))
+
+        out = []
+        for bno, (lo, hi) in enumerate(batches):
+            idx = order[lo:hi]
+            n_rows = len(idx)
+            lens_b = c.lengths[idx]
+            t_pad = _bucket_seq(int(lens_b[-1]))
+            b_pad = -(-_bucket_batch(n_rows) // data_size) * data_size
+            indices = np.full((b_pad, t_pad), pad_id, np.int32)
+            mask = np.zeros((b_pad, t_pad), np.float32)
+            col = np.arange(t_pad)[None, :]
+            colmask = col < lens_b[:, None]
+            srcpos = (c.bounds[idx][:, None] + col)[colmask]
+            gathered = c.seg_ids[srcpos]
+            indices[:n_rows][colmask] = gathered
+            mask[:n_rows][colmask] = 1.0
+            words = (
+                gathered if model.shortlist_generator is not None else None
+            )
+            finish = model.forward_async_arrays(
+                indices, mask, lens_b, n_rows,
+                need_alignment=False, shortlist_words=words, raw=True,
+            )
+            c.brecs.append(None)
+            out.append((bno, idx, finish))
+        return out
+
+    def fetch(c, bno, idx, finish):
+        """Fetch one batch: decode the padded token matrix natively and
+        record per-segment locations; GIL-releasing device transfer +
+        native decode overlap across the pool."""
+        tokens, steps, _align = finish()
+        n_rows = len(idx)
+        text, text_off, ends, ends_off = nat.decode_padded(
+            tokens[:n_rows], steps
+        )
+        c.brecs[bno] = (text, text_off, ends, ends_off)
+        c.seg_batch[idx] = bno
+        c.seg_row[idx] = np.arange(n_rows, dtype=np.int32)
+        c.seg_text_len[idx] = np.diff(text_off.astype(np.int64))
+        c.seg_steps[idx] = steps
+        if cache is not None:
+            steps_l = steps.tolist()
+            rows = tokens[:n_rows].tolist()
+            for i, s in enumerate(idx.tolist()):
+                cache.store(
+                    c.keys[s],
+                    Hypothesis(
+                        target=rows[i][: steps_l[i]], alignment=[]
+                    ),
+                )
+        if meters is not None:
+            used = int(c.lengths[idx].sum())
+            with meter_lock:
+                meters.record_batch(
+                    words=used,
+                    elapsed=timer.elapsed(),
+                    used=used,
+                    capacity=n_rows * max(int(c.lengths[idx][-1]), 1),
+                )
+                timer.reset()
+
+    def assemble_chunk(c):
+        n = len(c.line_datas)
+        line_has_hit = np.zeros(n, bool)
+        if c.hits:
+            line_has_hit[c.seg_line[list(c.hits)]] = True
+        seg_counts_c = c.seg_counts.astype(np.int32)
+        if c.hits:
+            seg_counts_c = seg_counts_c.copy()
+            seg_counts_c[line_has_hit] = -1
+        src_blob = b"".join(c.line_datas)
+        src_line_off = np.zeros(n + 1, np.uint64)
+        np.cumsum([len(d) for d in c.line_datas], out=src_line_off[1:])
+        src_tb_off = np.zeros(n + 1, np.int64)
+        np.cumsum(c.tb_counts, out=src_tb_off[1:])
+        src_gap_off = np.zeros(n + 1, np.int64)
+        np.cumsum(c.gap_counts, out=src_gap_off[1:])
+
+        (out_text, out_text_off, out_tb, out_tbc, out_gap, out_gapc) = (
+            native_mod.assemble_lines(
+                src_blob, src_line_off, c.tb, src_tb_off, c.gap,
+                src_gap_off, seg_counts_c, c.seg_starts, c.seg_batch,
+                c.seg_row, c.brecs, c.seg_text_len, c.seg_steps,
+            )
+            if n
+            else (None,) * 6
+        )
+        tb_l = src_tb_off.tolist()
+        gap_l = src_gap_off.tolist()
+        out_text_l = out_text_off.tolist() if n else []
+        out_tb_off = np.zeros(n + 1, np.int64)
+        out_gap_off = np.zeros(n + 1, np.int64)
+        if n:
+            np.cumsum(out_tbc, out=out_tb_off[1:])
+            np.cumsum(out_gapc, out=out_gap_off[1:])
+        out_tb_l = out_tb_off.tolist()
+        out_gap_l = out_gap_off.tolist()
+
+        seg_starts_l = c.seg_starts.tolist()
+        seg_counts_l = c.seg_counts.tolist()
+        responses = []
+        for li in range(n):
+            response = Response()
+            response.source = AnnotatedText.from_arrays(
+                c.line_datas[li],
+                c.tb[tb_l[li] : tb_l[li + 1]],
+                c.gap[gap_l[li] : gap_l[li + 1]],
+            )
+            k = seg_counts_l[li]
+            if not line_has_hit[li]:
+                response.target = AnnotatedText.from_arrays(
+                    out_text[out_text_l[li] : out_text_l[li + 1]],
+                    out_tb[out_tb_l[li] : out_tb_l[li + 1]],
+                    out_gap[out_gap_l[li] : out_gap_l[li + 1]],
+                )
+                response.alignments = [[] for _ in range(k)]
+            else:
+                target = response.target
+                annotated = response.source
+                lo = seg_starts_l[li]
+                for si in range(k):
+                    s = lo + si
+                    hit = c.hits.get(s)
+                    if hit is not None:
+                        if hit.decoded is None:
+                            hit.decoded = vocab.decode_batch(
+                                [hit.target]
+                            )[0]
+                        data, ends = hit.decoded
+                    else:
+                        bno = int(c.seg_batch[s])
+                        row = int(c.seg_row[s])
+                        text, text_off, ends_arr, ends_off = c.brecs[bno]
+                        t0, t1 = int(text_off[row]), int(text_off[row + 1])
+                        e0, e1 = int(ends_off[row]), int(ends_off[row + 1])
+                        data = text[t0:t1].tobytes()
+                        ends = ends_arr[e0:e1].tolist()
+                    target.append_sentence_raw(
+                        annotated.gap_data(si), data, ends
+                    )
+                    if si + 1 == k:
+                        target.append_ending_whitespace_data(
+                            annotated.gap_data(k)
+                        )
+                    response.alignments.append(
+                        hit.alignment if hit is not None else []
+                    )
+            responses.append(response)
+        return responses
+
+    # Chunk pipeline: split chunk i+1 on the pool while chunk i
+    # ingests/dispatches here; fetches run on the pool; per-chunk
+    # assembly overlaps later chunks' fetches (same structure as the
+    # general bulk path).
+    spans = [
+        texts[lo : lo + chunk_lines]
+        for lo in range(0, len(texts), chunk_lines)
+    ]
+    lookahead = THREAD_LOOKAHEAD and pool is not None and len(spans) > 1
+    split_futures: List = [None] * len(spans)
+    if lookahead:
+        split_futures[1] = pool.submit(split_chunk, spans[1])
+
+    chunk_work = []  # (chunk, [fetch futures or (args) tuples])
+    try:
+        for i, span in enumerate(spans):
+            fut = split_futures[i]
+            split = fut.result() if fut is not None else split_chunk(span)
+            if lookahead and i + 2 < len(spans):
+                split_futures[i + 2] = pool.submit(split_chunk, spans[i + 2])
+            c = ingest_chunk(split)
+            triples = dispatch_chunk(c)
+            work = [
+                pool.submit(fetch, c, bno, idx, fin) if pool is not None
+                else (c, bno, idx, fin)
+                for bno, idx, fin in triples
+            ]
+            chunk_work.append((c, work))
+    except BaseException:
+        for _c, work in chunk_work:
+            for item in work:
+                if pool is not None:
+                    try:
+                        item.result()
+                    except Exception:  # noqa: BLE001
+                        pass
+        raise
+
+    responses: List[Response] = []
+    first_err = None
+    for c, work in chunk_work:
+        for item in work:
+            try:
+                if pool is not None:
+                    item.result()
+                else:
+                    fetch(*item)
+            except Exception as e:  # noqa: BLE001
+                if first_err is None:
+                    first_err = e
+        if first_err is None:
+            responses.extend(assemble_chunk(c))
     if first_err is not None:
         raise first_err
     return responses

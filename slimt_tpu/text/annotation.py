@@ -48,6 +48,38 @@ class AnnotatedText:
         self.gap: List[int] = [0]
         self.encoding = Encoding.BYTE
 
+    @classmethod
+    def from_arrays(cls, data, token_begin, gap) -> "AnnotatedText":
+        """Columnar fast path: adopt pre-built annotation arrays (the
+        native ingest/assemble emit token_begin/gap in exactly the
+        record_contiguous_sentence / append_sentence_raw layout).
+        `data` may be a bytes-like view and `token_begin`/`gap` numpy
+        views — all three are adopted LAZILY and only materialized on
+        first access (__getattr__ below), so a Response whose
+        text/annotations are never inspected pays nothing."""
+        out = cls.__new__(cls)
+        out.encoding = Encoding.BYTE
+        out._lazy = (data, token_begin, gap)
+        return out
+
+    def __getattr__(self, name):
+        # Only consulted when normal lookup fails — i.e. exactly for
+        # _data/token_begin/gap on a from_arrays instance before use.
+        if (
+            name not in ("_data", "token_begin", "gap")
+            or "_lazy" not in self.__dict__
+        ):
+            raise AttributeError(name)
+        data, token_begin, gap = self.__dict__.pop("_lazy")
+        self._data = data if isinstance(data, bytearray) else bytearray(data)
+        self.token_begin = (
+            token_begin
+            if isinstance(token_begin, list)
+            else token_begin.tolist()
+        )
+        self.gap = gap if isinstance(gap, list) else gap.tolist()
+        return getattr(self, name)
+
     # -- content access ------------------------------------------------
 
     @property

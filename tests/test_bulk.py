@@ -97,12 +97,18 @@ def test_bulk_cache_warm_cross_path(model):
 def test_bulk_forward_error_propagates(model):
     service = Blocking(Config(cache_size=0))
 
-    def boom(segments, need_alignment=True):
+    def boom(*args, **kwargs):
         raise RuntimeError("device exploded")
 
     import unittest.mock as mock
 
-    with mock.patch.object(model, "forward_async", side_effect=boom):
+    # Both bulk lanes must propagate device errors: the columnar lane
+    # dispatches via forward_async_arrays, the general one via
+    # forward_async.
+    with mock.patch.object(model, "forward_async", side_effect=boom), \
+         mock.patch.object(
+             model, "forward_async_arrays", side_effect=boom, create=True
+         ):
         with pytest.raises(RuntimeError, match="device exploded"):
             service.translate_bulk(model, ["hello world"])
 
@@ -198,3 +204,26 @@ def test_service_facade_translate_bulk(model):
         ]
     finally:
         svc.close()
+
+
+def test_bulk_partial_cache_hit_line(model):
+    """A multi-sentence line where SOME sentences are already cached:
+    the columnar lane assembles such lines per-segment (mixing cached
+    content with fresh batch output) — must still match the general
+    path byte for byte."""
+    service = Blocking(Config(cache_size=256))
+    service.translate_bulk(model, ["hello world."])  # warms one segment
+    mixed = ["hello world. goodbye test. one two.", "hello world."]
+    bulk = service.translate_bulk(model, mixed)
+    general = Blocking(Config(cache_size=0)).translate(model, mixed)
+    _assert_same(bulk, general, alignments=False)
+
+
+def test_bulk_cache_warm_bulk_then_general(model):
+    """Cache entries stored by the bulk lane serve the general path
+    (decoded text is rebuilt on demand when the stored hypothesis
+    carries none)."""
+    service = Blocking(Config(cache_size=256))
+    bulk = service.translate_bulk(model, ["hello world", "goodbye test"])
+    general = service.translate(model, ["hello world", "goodbye test"])
+    _assert_same(bulk, general, alignments=False)
