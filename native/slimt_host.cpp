@@ -39,6 +39,60 @@ enum PieceType : uint8_t {
   kByte = 6,
 };
 
+// sentencepiece precompiled charsmap: a darts-clone double-array trie
+// mapping byte sequences to replacement strings in a NUL-separated
+// pool (blob layout: u32 trie_size_bytes, trie units, pool). The
+// traversal below follows darts-clone's commonPrefixSearch unit
+// semantics: label = unit & 0x800000FF, has_leaf = bit 8, offset =
+// (unit >> 10) << ((unit & 0x200) >> 6), child at node ^ offset ^ c,
+// value unit at child slot 0 with bit 31 set.
+struct Charsmap {
+  std::vector<uint32_t> units;
+  std::string pool;
+
+  bool load(const char* blob, size_t len) {
+    if (len < 4) return false;
+    uint32_t trie_bytes;
+    std::memcpy(&trie_bytes, blob, 4);
+    if (4 + static_cast<size_t>(trie_bytes) > len || trie_bytes % 4 != 0) {
+      return false;
+    }
+    units.resize(trie_bytes / 4);
+    std::memcpy(units.data(), blob + 4, trie_bytes);
+    pool.assign(blob + 4 + trie_bytes, len - 4 - trie_bytes);
+    return !units.empty();
+  }
+
+  static inline uint32_t offset(uint32_t u) {
+    return (u >> 10) << ((u & 0x200) >> 6);
+  }
+
+  // Longest match at s[0..maxlen); returns match byte length (0 if
+  // none) and sets *value to the pool offset of the replacement.
+  inline int longest(const char* s, int maxlen, uint32_t* value) const {
+    const size_t n = units.size();
+    uint32_t node_pos = offset(units[0]);
+    int best = 0;
+    for (int i = 0; i < maxlen; i++) {
+      const uint32_t c = static_cast<unsigned char>(s[i]);
+      const uint32_t next = node_pos ^ c;
+      if (next >= n) break;
+      const uint32_t unit = units[next];
+      if ((unit & 0x800000FFU) != c) break;
+      node_pos = next ^ offset(unit);
+      if ((unit & 0x100U) && node_pos < n) {
+        best = i + 1;
+        *value = units[node_pos] & 0x7FFFFFFFU;
+      }
+    }
+    return best;
+  }
+
+  inline const char* replacement(uint32_t value) const {
+    return value < pool.size() ? pool.data() + value : "";
+  }
+};
+
 struct Vocab {
   std::string blob;                   // concatenated piece bytes
   std::vector<uint32_t> offsets;      // n+1
@@ -48,6 +102,9 @@ struct Vocab {
   float unk_score = 0.0F;
   size_t max_piece_len = 1;
   std::unordered_map<std::string_view, uint32_t> ids;
+  Charsmap charsmap;
+  bool has_charsmap = false;
+  int cap_mult = 1;  // worst-case normalized chars per input byte
   // Per first byte, a bitmask of piece byte-lengths that exist (bit
   // l-1 for length l in 1..32; bit 31 also means "lengths >= 32
   // exist"). Skips hash probes for candidate spans that cannot match.
@@ -81,9 +138,14 @@ struct Normalized {
 // Mirrors Vocabulary._normalize (python) / sentencepiece preprocessing:
 // strip + collapse spaces, escape ' ' to U+2581, optional dummy prefix.
 // Appends into `out` (caller clears; buffers are reused across calls
-// on the batch path).
+// on the batch path). `align_map` (optional) maps each position of
+// `text` to an offset in the ORIGINAL input (the charsmap pass
+// produces it); `orig_len` is the original input's byte length for
+// the trailing alignment entry.
 void normalize_into(const char* text, int len, bool add_dummy_prefix,
-                    bool escape_ws, bool remove_extra_ws, Normalized& out) {
+                    bool escape_ws, bool remove_extra_ws, Normalized& out,
+                    const uint32_t* align_map = nullptr, int orig_len = -1) {
+  if (orig_len < 0) orig_len = len;
   out.text.reserve(len + kSpaceLen);
   out.align.reserve(len + kSpaceLen);
 
@@ -106,29 +168,31 @@ void normalize_into(const char* text, int len, bool add_dummy_prefix,
       continue;
     }
     prev_space = is_space;
+    const uint32_t pos =
+        align_map ? align_map[i] : static_cast<uint32_t>(i);
     if (first && add_dummy_prefix) {
       const char* prefix = escape_ws ? kSpace : " ";
       int plen = escape_ws ? kSpaceLen : 1;
       for (int k = 0; k < plen; k++) {
         out.text.push_back(prefix[k]);
-        out.align.push_back(static_cast<uint32_t>(i));
+        out.align.push_back(pos);
       }
     }
     first = false;
     if (is_space && escape_ws) {
       for (int k = 0; k < kSpaceLen; k++) {
         out.text.push_back(kSpace[k]);
-        out.align.push_back(static_cast<uint32_t>(i));
+        out.align.push_back(pos);
       }
     } else {
       for (int k = 0; k < n; k++) {
         out.text.push_back(text[i + k]);
-        out.align.push_back(static_cast<uint32_t>(i));
+        out.align.push_back(pos);
       }
     }
     i += n;
   }
-  out.align.push_back(static_cast<uint32_t>(len));
+  out.align.push_back(static_cast<uint32_t>(orig_len));
 }
 
 // Reusable buffers for one segmentation call; a batch call reuses one
@@ -136,6 +200,8 @@ void normalize_into(const char* text, int len, bool add_dummy_prefix,
 // allocation churn.
 struct Workspace {
   Normalized norm;
+  std::string cm_text;             // charsmap output
+  std::vector<uint32_t> cm_align;  // per charsmap-output byte: orig pos
   std::vector<int> starts;
   std::vector<float> best;
   std::vector<int> back_start;
@@ -143,6 +209,39 @@ struct Workspace {
   std::vector<uint32_t> ids;
   std::vector<int> seg_start, seg_end;
 };
+
+// Apply the precompiled charsmap (sentencepiece
+// Normalizer::NormalizePrefix semantics): at each position take the
+// LONGEST trie match and emit its replacement, else copy one UTF-8
+// character unchanged; every emitted byte aligns to the start of the
+// consumed chunk.
+void apply_charsmap(const Charsmap& cm, const char* text, int len,
+                    std::string& out, std::vector<uint32_t>& align) {
+  out.clear();
+  align.clear();
+  out.reserve(len);
+  align.reserve(len);
+  int i = 0;
+  while (i < len) {
+    uint32_t value = 0;
+    int matched = cm.longest(text + i, len - i, &value);
+    if (matched > 0) {
+      for (const char* r = cm.replacement(value); *r != '\0'; r++) {
+        out.push_back(*r);
+        align.push_back(static_cast<uint32_t>(i));
+      }
+      i += matched;
+    } else {
+      int n = utf8_len(static_cast<unsigned char>(text[i]));
+      if (i + n > len) n = 1;
+      for (int k = 0; k < n; k++) {
+        out.push_back(text[i + k]);
+        align.push_back(static_cast<uint32_t>(i));
+      }
+      i += n;
+    }
+  }
+}
 
 // Viterbi segmentation over normalized UTF-8 *characters* (the lattice
 // steps by codepoint like sentencepiece). Returns the token count, or
@@ -153,8 +252,15 @@ int encode_core(const Vocab& v, const char* text, int len,
                 Workspace& ws, uint32_t* out_ids, uint32_t* out_begin,
                 uint32_t* out_end, int cap) {
   ws.norm.clear();
-  normalize_into(text, len, add_dummy_prefix, escape_ws, remove_extra_ws,
-                 ws.norm);
+  if (v.has_charsmap) {
+    apply_charsmap(v.charsmap, text, len, ws.cm_text, ws.cm_align);
+    normalize_into(ws.cm_text.data(), static_cast<int>(ws.cm_text.size()),
+                   add_dummy_prefix, escape_ws, remove_extra_ws, ws.norm,
+                   ws.cm_align.data(), len);
+  } else {
+    normalize_into(text, len, add_dummy_prefix, escape_ws, remove_extra_ws,
+                   ws.norm);
+  }
   const Normalized& norm = ws.norm;
   const std::string& s = norm.text;
   const int nbytes = static_cast<int>(s.size());
@@ -293,6 +399,38 @@ void* slimt_vocab_create(const char* blob, const uint32_t* offsets,
 
 void slimt_vocab_destroy(void* handle) { delete static_cast<Vocab*>(handle); }
 
+// Attach a precompiled charsmap (sentencepiece NormalizerSpec
+// precompiled_charsmap blob). Returns 1 on success, 0 on a malformed
+// blob (the vocab then behaves as if none was set).
+int slimt_vocab_set_charsmap(void* handle, const char* blob, uint64_t len) {
+  Vocab& v = *static_cast<Vocab*>(handle);
+  v.has_charsmap = v.charsmap.load(blob, static_cast<size_t>(len));
+  v.cap_mult = 1;
+  if (v.has_charsmap) {
+    // Worst-case normalized chars per input byte: a 1-byte key may
+    // map to the pool's longest replacement (counted in chars).
+    const std::string& pool = v.charsmap.pool;
+    int chars = 0;
+    for (size_t i = 0; i < pool.size(); i++) {
+      if (pool[i] == '\0') {
+        v.cap_mult = std::max(v.cap_mult, chars);
+        chars = 0;
+      } else if ((static_cast<unsigned char>(pool[i]) & 0xC0) != 0x80) {
+        chars++;  // UTF-8 lead byte
+      }
+    }
+    v.cap_mult = std::max(v.cap_mult, chars);
+    v.cap_mult = std::max(v.cap_mult, 1);
+  }
+  return v.has_charsmap ? 1 : 0;
+}
+
+// Token-capacity scale factor callers must apply to byte-based
+// bounds (1 without a charsmap).
+int slimt_vocab_cap_multiplier(void* handle) {
+  return static_cast<Vocab*>(handle)->cap_mult;
+}
+
 // Viterbi segmentation over normalized UTF-8 *characters* (the lattice
 // steps by codepoint like sentencepiece). Returns the token count, or
 // -1 if `cap` is too small. Outputs: ids, and byte ranges into the
@@ -314,8 +452,8 @@ int slimt_vocab_encode(void* handle, const char* text, int len,
 // [begins[i], begins[i+1]) within that sentence, the last ending at
 // out_ends[s] — the Vocabulary.encode_batch_begins contract), plus
 // per-sentence token counts. out_ids/out_begins must hold
-// offsets[n_sents] + n_sents entries (worst case: one token per input
-// byte plus the dummy prefix). Returns the total token count, or -1
+// cap_multiplier * offsets[n_sents] + n_sents entries (worst case:
+// one token per normalized char plus the dummy prefix). Returns the total token count, or -1
 // on capacity overflow (impossible at the documented sizing).
 int64_t slimt_vocab_encode_batch(void* handle, const char* text,
                                  const uint64_t* offsets, int n_sents,
@@ -335,10 +473,11 @@ int64_t slimt_vocab_encode_batch(void* handle, const char* text,
       const char* sent = text + offsets[s];
       const int len = static_cast<int>(offsets[s + 1] - offsets[s]);
       // Each sentence writes into its own disjoint slot; slots are
-      // compacted after the join. Slot capacity len+1 bounds the
-      // token count (<= normalized chars <= bytes + dummy prefix).
-      const int64_t slot = static_cast<int64_t>(offsets[s]) + s;
-      const int slot_cap = len + 1;
+      // compacted after the join. Slot capacity m*len+1 bounds the
+      // token count (<= normalized chars <= cap_mult*bytes + dummy
+      // prefix).
+      const int64_t slot = v.cap_mult * static_cast<int64_t>(offsets[s]) + s;
+      const int slot_cap = v.cap_mult * len + 1;
       if (static_cast<size_t>(slot_cap) > ends.size()) {
         ends.resize(slot_cap);
       }
@@ -391,7 +530,7 @@ int64_t slimt_vocab_encode_batch(void* handle, const char* text,
   // position never exceeds the slot position).
   int64_t out = 0;
   for (int s = 0; s < n_sents; s++) {
-    const int64_t slot = static_cast<int64_t>(offsets[s]) + s;
+    const int64_t slot = v.cap_mult * static_cast<int64_t>(offsets[s]) + s;
     const int count = static_cast<int>(out_counts[s]);
     if (out != slot && count > 0) {
       std::memmove(out_ids + out, out_ids + slot, count * sizeof(uint32_t));
@@ -464,15 +603,16 @@ int64_t slimt_ingest_lines(
       for (int32_t si = 0; si < n_sents && !overflow; si++) {
         const uint32_t b = sent_begin[sent0 + si];
         const int slen = static_cast<int>(sent_end[sent0 + si] - b);
-        if (static_cast<size_t>(slen + 1) > ids.size()) {
-          ids.resize(slen + 1);
-          begins.resize(slen + 1);
-          ends.resize(slen + 1);
+        const int sent_cap = v.cap_mult * slen + 1;
+        if (static_cast<size_t>(sent_cap) > ids.size()) {
+          ids.resize(sent_cap);
+          begins.resize(sent_cap);
+          ends.resize(sent_cap);
         }
         int count = encode_core(v, line + b, slen, add_dummy_prefix != 0,
                                 escape_ws != 0, remove_extra_ws != 0, ws,
                                 ids.data(), begins.data(), ends.data(),
-                                slen + 1);
+                                sent_cap);
         if (count < 0) {
           overflow = true;
           break;

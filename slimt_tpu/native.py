@@ -57,6 +57,12 @@ def _load():
             ctypes.c_uint32,
         ]
         lib.slimt_vocab_destroy.argtypes = [ctypes.c_void_p]
+        lib.slimt_vocab_set_charsmap.restype = ctypes.c_int
+        lib.slimt_vocab_set_charsmap.argtypes = [
+            ctypes.c_void_p, ctypes.c_char_p, ctypes.c_uint64
+        ]
+        lib.slimt_vocab_cap_multiplier.restype = ctypes.c_int
+        lib.slimt_vocab_cap_multiplier.argtypes = [ctypes.c_void_p]
         lib.slimt_vocab_encode.restype = ctypes.c_int
         lib.slimt_vocab_encode.argtypes = [
             ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int,
@@ -154,7 +160,10 @@ def hash_words(seed: int, words: Sequence[int]) -> Optional[int]:
 
 
 class NativeVocab:
-    """Native unigram segmenter over a piece table."""
+    """Native unigram segmenter over a piece table (plus, when the
+    model ships one, the precompiled charsmap normalization — a
+    darts-trie longest-match pass applied before the whitespace
+    handling, sentencepiece Normalizer semantics)."""
 
     def __init__(self, pieces, unk_id: int, normalizer):
         lib = _load()
@@ -184,6 +193,17 @@ class NativeVocab:
             )
         )
         self._norm = normalizer
+        self._cap_mult = 1
+        charsmap = getattr(normalizer, "precompiled_charsmap", b"")
+        if charsmap:
+            ok = lib.slimt_vocab_set_charsmap(
+                self._handle, bytes(charsmap), len(charsmap)
+            )
+            if not ok:
+                raise RuntimeError("malformed precompiled charsmap")
+            self._cap_mult = int(
+                lib.slimt_vocab_cap_multiplier(self._handle)
+            )
 
     def __del__(self):
         handle = getattr(self, "_handle", None)
@@ -192,7 +212,7 @@ class NativeVocab:
 
     def encode(self, line: str) -> Tuple[List[int], List[Tuple[int, int]]]:
         data = line.encode("utf-8")
-        cap = 2 * len(data) + 8
+        cap = max(2, self._cap_mult) * len(data) + 8
         ids = np.empty(cap, np.uint32)
         begin = np.empty(cap, np.uint32)
         end = np.empty(cap, np.uint32)
@@ -231,7 +251,7 @@ class NativeVocab:
         blob = b"".join(datas)
         offsets = np.zeros(n + 1, np.uint64)
         np.cumsum([len(d) for d in datas], out=offsets[1:])
-        cap = len(blob) + n
+        cap = self._cap_mult * len(blob) + n
         ids = np.empty(max(cap, 1), np.uint32)
         begins = np.empty(max(cap, 1), np.uint32)
         counts = np.empty(n, np.uint32)
@@ -331,7 +351,7 @@ class NativeVocab:
         step = max(1, wrap_length - 1)
         cs = np.zeros(nsent + 1, np.int64)
         np.cumsum((se.astype(np.int64) - sb), out=cs[1:])
-        sent_bytes = cs[ss + sc] - cs[ss]
+        sent_bytes = (cs[ss + sc] - cs[ss]) * self._cap_mult
         t_line = sent_bytes + sc  # max tokens per line
         s_line = sc + sent_bytes // step  # max segments per line
         id_slot = self._scratch("id_slot", n + 1, np.int64)

@@ -91,6 +91,7 @@ class Vocabulary:
         self._max_piece_len = max(
             (len(p.piece) for p in self.pieces), default=1
         )
+        self._charsmap = None  # parsed lazily by _normalize
         self._hf = None
         if backend in ("auto", "hf"):
             try:
@@ -99,13 +100,12 @@ class Vocabulary:
                 if backend == "hf":
                     raise
                 self._hf = None
-        # Native C++ segmenter (native/slimt_host.cpp): used for single
-        # encode/decode when the precompiled charsmap is absent (it
-        # implements the same normalization as the pure-py backend).
+        # Native C++ segmenter (native/slimt_host.cpp). Implements the
+        # full normalization, including the precompiled charsmap
+        # (darts-trie longest-match, sentencepiece Normalizer
+        # semantics) when the model ships one.
         self._native = None
-        if backend in ("auto", "native") and not (
-            self.model.normalizer.precompiled_charsmap
-        ):
+        if backend in ("auto", "native"):
             try:
                 from slimt_tpu import native
 
@@ -175,6 +175,23 @@ class Vocabulary:
         is the byte offset in the *original* text for normalized char i
         (plus one trailing entry = len(original bytes))."""
         ns = self.model.normalizer
+        char_orig = None  # with a charsmap: per char of `text2`, orig pos
+        if ns.precompiled_charsmap:
+            if self._charsmap is None:
+                from slimt_tpu.text.charsmap import Charsmap
+
+                self._charsmap = Charsmap(ns.precompiled_charsmap)
+            data = text.encode("utf-8")
+            norm_bytes, byte_align = self._charsmap.apply(data)
+            text2 = norm_bytes.decode("utf-8", errors="replace")
+            # per-char origin = alignment of the char's first byte
+            char_orig = []
+            bp = 0
+            for ch in text2:
+                char_orig.append(byte_align[bp] if bp < len(byte_align) else len(data))
+                bp += len(ch.encode("utf-8"))
+            orig_len = len(data)
+            return self._normalize_chars(text2, char_orig, orig_len, ns)
         out = []
         align = []
         byte_pos = 0
@@ -214,6 +231,49 @@ class Vocabulary:
         if first and ns.add_dummy_prefix and out == []:
             pass  # empty input stays empty
         align.append(len(text.encode("utf-8")))
+        return "".join(out), align
+
+    @staticmethod
+    def _normalize_chars(
+        text: str, char_orig: List[int], orig_len: int, ns
+    ) -> Tuple[str, List[int]]:
+        """The whitespace half of normalization over charsmap output:
+        identical space handling to _normalize, but each char's origin
+        comes from `char_orig` (the charsmap alignment) instead of its
+        own byte position."""
+        out = []
+        align = []
+        chars = list(text)
+        keep = [True] * len(chars)
+        if ns.remove_extra_whitespaces:
+            i = 0
+            while i < len(chars) and chars[i] == " ":
+                keep[i] = False
+                i += 1
+            j = len(chars) - 1
+            while j >= 0 and chars[j] == " ":
+                keep[j] = False
+                j -= 1
+            prev_space = False
+            for k in range(i, j + 1):
+                if chars[k] == " ":
+                    if prev_space:
+                        keep[k] = False
+                    prev_space = True
+                else:
+                    prev_space = False
+        first = True
+        for ch, k, pos in zip(chars, keep, char_orig):
+            if k:
+                if first and ns.add_dummy_prefix:
+                    out.append(SPACE if ns.escape_whitespaces else " ")
+                    align.append(pos)
+                first = False
+                if ch == " " and ns.escape_whitespaces:
+                    ch = SPACE
+                out.append(ch)
+                align.append(pos)
+        align.append(orig_len)
         return "".join(out), align
 
     # -- pure python Viterbi ------------------------------------------
