@@ -340,6 +340,10 @@ def _translate_bulk_columnar(
     texts = list(sources)
     chunk_lines = getattr(config, "bulk_chunk_lines", 2048) or len(texts) or 1
 
+    from slimt_tpu.text.splitter import SplitMode
+
+    one_per_line = processor.mode == SplitMode.ONE_SENTENCE_PER_LINE
+
     def split_chunk(chunk_texts):
         line_datas: List[bytes] = []
         sent_begin: List[int] = []
@@ -348,6 +352,18 @@ def _translate_bulk_columnar(
         for text in chunk_texts:
             data = text.encode("utf-8")
             line_datas.append(data)
+            if one_per_line and "\n" not in text and not text.endswith(
+                "\r"
+            ):
+                # single line: the sentence IS the whole text
+                # (splitter._read_line semantics)
+                if text:
+                    sent_begin.append(0)
+                    sent_end.append(len(data))
+                    sent_counts.append(1)
+                else:
+                    sent_counts.append(0)
+                continue
             count = 0
             prefix = None if len(data) == len(text) else byte_prefix(text)
             for s, b, e in SentenceStream(
@@ -546,8 +562,10 @@ def _translate_bulk_columnar(
         seg_starts_l = c.seg_starts.tolist()
         seg_counts_l = c.seg_counts.tolist()
         responses = []
+        new_response = Response.__new__  # skip __init__: both
+        # AnnotatedText fields are replaced with lazy views anyway
         for li in range(n):
-            response = Response()
+            response = new_response(Response)
             response.source = AnnotatedText.from_arrays(
                 c.line_datas[li],
                 c.tb[tb_l[li] : tb_l[li + 1]],
@@ -562,7 +580,8 @@ def _translate_bulk_columnar(
                 )
                 response.alignments = [[] for _ in range(k)]
             else:
-                target = response.target
+                response.target = target = AnnotatedText()
+                response.alignments = []
                 annotated = response.source
                 lo = seg_starts_l[li]
                 for si in range(k):
