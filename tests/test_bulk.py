@@ -219,6 +219,36 @@ def test_bulk_partial_cache_hit_line(model):
     _assert_same(bulk, general, alignments=False)
 
 
+def test_bulk_one_sentence_per_line_matches_general(model):
+    """ONE_SENTENCE_PER_LINE: the columnar lane's per-line fast split
+    (whole text = one sentence, splitter._read_line semantics) must
+    match the general path, including texts the fast path must skip
+    (embedded newline, trailing CR) and texts it handles (trailing
+    whitespace, multi-sentence punctuation treated as one sentence)."""
+    from slimt_tpu.text.splitter import SplitMode
+
+    corpus = [
+        "hello world",
+        "",
+        "hello world. goodbye test. one two.",  # one sentence in this mode
+        "trailing space ",
+        "tab\tinside",
+        "line with\ncr embedded",  # fast path skipped: falls back
+        "carriage return\r",  # fast path skipped: falls back
+        "héllo wörld",
+    ]
+    saved = model.processor.mode
+    model.processor.mode = SplitMode.ONE_SENTENCE_PER_LINE
+    try:
+        general = Blocking(Config(cache_size=0)).translate(model, list(corpus))
+        bulk = Blocking(Config(cache_size=0)).translate_bulk(
+            model, list(corpus)
+        )
+        _assert_same(general, bulk)
+    finally:
+        model.processor.mode = saved
+
+
 def test_bulk_cache_warm_bulk_then_general(model):
     """Cache entries stored by the bulk lane serve the general path
     (decoded text is rebuilt on demand when the stored hypothesis
