@@ -301,9 +301,12 @@ def bench_multipair(lines_per_model=2048):
     reference AggregateBatcher slimt/Batcher.hh:130-180). `value`
     uses batch submission per model (translate_many, the corpus
     ingest API); per-line submission (one Handle per request, the
-    interactive pattern) is reported alongside."""
+    interactive pattern) and the bulk lane (both directions'
+    corpora through Blocking.translate_bulk back to back — the
+    throughput-scale multi-direction config) are reported
+    alongside."""
     from slimt_tpu.config import Config
-    from slimt_tpu.runtime.service import Async
+    from slimt_tpu.runtime.service import Async, Blocking
 
     model_a = _model()
     model_b = _model()
@@ -337,12 +340,25 @@ def bench_multipair(lines_per_model=2048):
             best = max(best, tokens / elapsed)
         return best, len(responses)
 
+    def measure_bulk():
+        service = Blocking(Config(cache_size=0, max_words=8192))
+
+        def both(corpus):
+            return service.translate_bulk(
+                model_a, corpus
+            ) + service.translate_bulk(model_b, corpus)
+
+        tps, _ = _best_service_rate(both, lines_per_model)
+        return tps
+
     run(_service_corpus(0, lines_per_model, low=6, high=20), False)  # warm
     tokens_per_sec, n = measure(per_line=False)
     per_line_tps, _ = measure(per_line=True)
+    bulk_tps = measure_bulk()
     print(
         json.dumps(
             {
+                "bulk_tokens_per_sec": round(bulk_tps, 1),
                 "metric": "multipair_async_tokens_per_sec_two_models",
                 "value": round(tokens_per_sec, 1),
                 "unit": "tokens/s",

@@ -249,6 +249,34 @@ def test_bulk_one_sentence_per_line_matches_general(model):
         model.processor.mode = saved
 
 
+@pytest.mark.parametrize(
+    "mode", ["paragraph", "wrapped_text"], ids=["paragraph", "wrapped"]
+)
+def test_bulk_paragraph_modes_match_general(model, mode):
+    """Paragraph/wrapped split modes through the columnar lane: the
+    splitter yields empty paragraph-boundary markers that the lane
+    must skip while preserving the byte gaps around them."""
+    from slimt_tpu.text.splitter import SplitMode
+
+    corpus = [
+        "hello world. goodbye test.\n\nnew paragraph here. one two.",
+        "single line",
+        "",
+        "wrapped text flows\nacross lines. second sentence\nhere too.",
+        "héllo wörld. ünïcode paragraph.\n\nnext pära.",
+    ]
+    saved = model.processor.mode
+    model.processor.mode = SplitMode(mode)
+    try:
+        general = Blocking(Config(cache_size=0)).translate(model, list(corpus))
+        bulk = Blocking(Config(cache_size=0)).translate_bulk(
+            model, list(corpus)
+        )
+        _assert_same(general, bulk)
+    finally:
+        model.processor.mode = saved
+
+
 def test_bulk_cache_warm_bulk_then_general(model):
     """Cache entries stored by the bulk lane serve the general path
     (decoded text is rebuilt on demand when the stored hypothesis
