@@ -341,15 +341,29 @@ def bench_multipair(lines_per_model=2048):
         return best, len(responses)
 
     def measure_bulk():
-        service = Blocking(Config(cache_size=0, max_words=8192))
+        # Same corpora and batch budget as the async runs above, so
+        # the printed bulk/async numbers are directly comparable.
+        service = Blocking(Config(cache_size=0, max_words=4096))
 
         def both(corpus):
             return service.translate_bulk(
                 model_a, corpus
             ) + service.translate_bulk(model_b, corpus)
 
-        tps, _ = _best_service_rate(both, lines_per_model)
-        return tps
+        both(_service_corpus(0, lines_per_model, low=6, high=20))  # warm
+        best = 0.0
+        for it in (1, 2, 3):
+            corpus = _service_corpus(it, lines_per_model, low=6, high=20)
+            t0 = time.perf_counter()
+            responses = both(corpus)
+            elapsed = time.perf_counter() - t0
+            tokens = sum(
+                r.target.word_count(s)
+                for r in responses
+                for s in range(r.target.sentence_count())
+            )
+            best = max(best, tokens / elapsed)
+        return best
 
     run(_service_corpus(0, lines_per_model, low=6, high=20), False)  # warm
     tokens_per_sec, n = measure(per_line=False)

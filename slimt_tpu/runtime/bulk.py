@@ -320,7 +320,7 @@ def _translate_bulk_columnar(
     from slimt_tpu import native as native_mod
     from slimt_tpu.models.model import _bucket_batch, _bucket_seq
     from slimt_tpu.text.annotation import AnnotatedText
-    from slimt_tpu.text.splitter import SentenceStream
+    from slimt_tpu.text.splitter import SentenceStream, SplitMode
     from slimt_tpu.text.vocabulary import byte_prefix
     from slimt_tpu.utils import Timer
 
@@ -339,8 +339,6 @@ def _translate_bulk_columnar(
 
     texts = list(sources)
     chunk_lines = getattr(config, "bulk_chunk_lines", 2048) or len(texts) or 1
-
-    from slimt_tpu.text.splitter import SplitMode
 
     one_per_line = processor.mode == SplitMode.ONE_SENTENCE_PER_LINE
 
@@ -562,10 +560,9 @@ def _translate_bulk_columnar(
         seg_starts_l = c.seg_starts.tolist()
         seg_counts_l = c.seg_counts.tolist()
         responses = []
-        new_response = Response.__new__  # skip __init__: both
-        # AnnotatedText fields are replaced with lazy views anyway
+        blank_response = Response._blank  # every field set below
         for li in range(n):
-            response = new_response(Response)
+            response = blank_response()
             response.source = AnnotatedText.from_arrays(
                 c.line_datas[li],
                 c.tb[tb_l[li] : tb_l[li + 1]],

@@ -34,6 +34,14 @@ class Response:
         self.target = AnnotatedText()
         self.alignments: List[Alignment] = []
 
+    @classmethod
+    def _blank(cls) -> "Response":
+        """Uninitialized instance for assembly paths that set source/
+        target/alignments themselves (skips three default-object
+        allocations per line in the columnar bulk lane). Any field
+        added to __init__ must be handled here or by those callers."""
+        return cls.__new__(cls)
+
     def size(self) -> int:
         return self.source.sentence_count()
 

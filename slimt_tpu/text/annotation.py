@@ -65,12 +65,20 @@ class AnnotatedText:
     def __getattr__(self, name):
         # Only consulted when normal lookup fails — i.e. exactly for
         # _data/token_begin/gap on a from_arrays instance before use.
-        if (
-            name not in ("_data", "token_begin", "gap")
-            or "_lazy" not in self.__dict__
-        ):
+        if name not in ("_data", "token_begin", "gap"):
             raise AttributeError(name)
-        data, token_begin, gap = self.__dict__.pop("_lazy")
+        lazy = self.__dict__.get("_lazy")
+        if lazy is None:
+            # Another thread finished materializing between our failed
+            # lookup and here — the attribute exists now.
+            try:
+                return self.__dict__[name]
+            except KeyError:
+                raise AttributeError(name) from None
+        # Materialize idempotently (read, assign all three, THEN drop
+        # _lazy) so a concurrent first access from another thread can
+        # never observe a popped _lazy with the attributes unset.
+        data, token_begin, gap = lazy
         self._data = data if isinstance(data, bytearray) else bytearray(data)
         self.token_begin = (
             token_begin
@@ -78,6 +86,7 @@ class AnnotatedText:
             else token_begin.tolist()
         )
         self.gap = gap if isinstance(gap, list) else gap.tolist()
+        self.__dict__.pop("_lazy", None)
         return getattr(self, name)
 
     # -- content access ------------------------------------------------

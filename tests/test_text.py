@@ -228,3 +228,50 @@ def test_encode_batch_begins_matches_encode_batch(backend):
         assert list(ids) == list(fids)
         assert begins == [b for b, _ in ranges]
         assert end == (ranges[-1][1] if ranges else 0)
+
+
+def test_from_arrays_lazy_concurrent_first_access():
+    """Lazy materialization (AnnotatedText.from_arrays) must be safe
+    under concurrent first access: materialization is idempotent and
+    _lazy is only dropped after all three attributes are set."""
+    import sys
+    import threading
+
+    import numpy as np
+
+    saved = sys.getswitchinterval()
+    sys.setswitchinterval(1e-6)
+    try:
+        for _ in range(200):
+            a = AnnotatedText.from_arrays(
+                b"hello world",
+                np.array([0, 5, 6, 11, 11], np.int64),
+                np.array([0, 1], np.int64),
+            )
+            errors = []
+            barrier = threading.Barrier(8)
+
+            def read(attr):
+                barrier.wait()
+                try:
+                    getattr(a, attr)
+                except Exception as e:  # pragma: no cover
+                    errors.append(e)
+
+            threads = [
+                threading.Thread(
+                    target=read, args=(("token_begin", "gap", "_data")[i % 3],)
+                )
+                for i in range(8)
+            ]
+            for t in threads:
+                t.start()
+            for t in threads:
+                t.join()
+            assert not errors, errors
+            assert a.token_begin == [0, 5, 6, 11, 11]
+            assert a.gap == [0, 1]
+            assert a.data == b"hello world"
+            assert "_lazy" not in a.__dict__
+    finally:
+        sys.setswitchinterval(saved)
