@@ -197,21 +197,22 @@ def bench_shortlist(lines=2048):
     from slimt_tpu.runtime.service import Blocking
 
     model = _model(with_shortlist=True)
+    # `value` is the public API (Blocking.translate — bulk-routed by
+    # default, differential-tested identical outputs); the pinned
+    # per-request exhaust loop (prefer_bulk=False, comparable with
+    # recorded history) is reported alongside.
     service = Blocking(Config(cache_size=0, max_words=4096))
-    # `value` stays on the general exhaust-loop path (comparable with
-    # recorded history); the bulk path (what the CLI uses for corpus
-    # input, differential-tested identical outputs) is reported
-    # alongside.
     tps, _ = _best_service_rate(
         lambda corpus: service.translate(model, corpus), lines
     )
-    bulk_tps, _ = _best_service_rate(
-        lambda corpus: service.translate_bulk(model, corpus), lines
+    general = Blocking(Config(cache_size=0, max_words=4096, prefer_bulk=False))
+    general_tps, _ = _best_service_rate(
+        lambda corpus: general.translate(model, corpus), lines
     )
     print(
         json.dumps(
             {
-                "bulk_tokens_per_sec": round(bulk_tps, 1),
+                "general_path_tokens_per_sec": round(general_tps, 1),
                 "metric": "shortlist_decode_tokens_per_sec_tiny11_int8",
                 "value": round(tps, 1),
                 "unit": "tokens/s",
@@ -238,21 +239,22 @@ def bench_e2e(lines=2048, workers=4):
     from slimt_tpu.runtime.service import Blocking
 
     model = _model()
+    # `value` is the public API (Blocking.translate — bulk-routed by
+    # default, differential-tested identical outputs); the pinned
+    # per-request exhaust loop (prefer_bulk=False, comparable with
+    # recorded history) is reported alongside.
     service = Blocking(Config(cache_size=0, max_words=4096))
-    # `value` stays on the general exhaust-loop path (comparable with
-    # recorded history); the bulk path (what the CLI uses for corpus
-    # input, differential-tested identical outputs) is reported
-    # alongside.
     tps, swps = _best_service_rate(
         lambda corpus: service.translate(model, corpus), lines
     )
-    bulk_tps, _ = _best_service_rate(
-        lambda corpus: service.translate_bulk(model, corpus), lines
+    general = Blocking(Config(cache_size=0, max_words=4096, prefer_bulk=False))
+    general_tps, _ = _best_service_rate(
+        lambda corpus: general.translate(model, corpus), lines
     )
     print(
         json.dumps(
             {
-                "bulk_tokens_per_sec": round(bulk_tps, 1),
+                "general_path_tokens_per_sec": round(general_tps, 1),
                 "metric": "e2e_target_tokens_per_sec_tiny11_int8",
                 "value": round(tps, 1),
                 "unit": "tokens/s",

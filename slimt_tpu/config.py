@@ -86,6 +86,13 @@ class Config:
     # serving hosts). The pool starts lazily on first multi-chunk
     # translate_bulk call and lives for the service's lifetime.
     ingest_processes: int = 0
+    # Blocking.translate routes through the bulk lane by default: for
+    # a known list of lines it produces byte-identical Responses to
+    # the per-request path (differential-tested: annotations,
+    # alignments, cache interplay, HTML) at ~2.7x the host
+    # throughput. False pins the reference-style Request/Batcher
+    # exhaust loop (slimt/Frontend.cc:91-145) for every call.
+    prefer_bulk: bool = True
     # Raise Python's gen-0 garbage-collection threshold to this many
     # allocations while a service exists (0 = leave gc untouched).
     # JAX runs an XLA collect_garbage callback on EVERY gc pass; at

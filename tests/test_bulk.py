@@ -2,6 +2,8 @@
 identical Responses to the general Blocking.translate path (same
 annotations, alignments, cache interaction, HTML restore)."""
 
+import dataclasses
+
 import pytest
 
 from slimt_tpu.config import Config
@@ -48,7 +50,9 @@ def _assert_same(a, b, alignments=True):
 
 @pytest.mark.parametrize("cache_size", [0, 64])
 def test_bulk_matches_general(model, cache_size):
-    general = Blocking(Config(cache_size=cache_size)).translate(
+    general = Blocking(
+        Config(cache_size=cache_size, prefer_bulk=False)
+    ).translate(
         model, CORPUS
     )
     bulk = Blocking(Config(cache_size=cache_size)).translate_bulk(
@@ -59,7 +63,9 @@ def test_bulk_matches_general(model, cache_size):
 
 def test_bulk_with_alignment(model):
     opts = Options(alignment=True)
-    general = Blocking(Config(cache_size=0)).translate(model, CORPUS, opts)
+    general = Blocking(
+        Config(cache_size=0, prefer_bulk=False)
+    ).translate(model, CORPUS, opts)
     bulk = Blocking(Config(cache_size=0)).translate_bulk(
         model, CORPUS, opts
     )
@@ -71,9 +77,9 @@ def test_bulk_with_alignment(model):
 def test_bulk_html(model):
     html_corpus = ["<b>hello</b> world", "plain text", "<i>one</i> two"]
     opts = Options(html=True)
-    general = Blocking(Config(cache_size=0)).translate(
-        model, html_corpus, opts
-    )
+    general = Blocking(
+        Config(cache_size=0, prefer_bulk=False)
+    ).translate(model, html_corpus, opts)
     bulk = Blocking(Config(cache_size=0)).translate_bulk(
         model, html_corpus, opts
     )
@@ -135,7 +141,9 @@ def test_bulk_wrapped_long_sentence(model):
     both paths (wrapping + small batch budget)."""
     config = Config(cache_size=0, max_words=32, wrap_length=16)
     text = " ".join(["hello"] * 40)
-    general = Blocking(config).translate(model, [text])
+    general = Blocking(
+        dataclasses.replace(config, prefer_bulk=False)
+    ).translate(model, [text])
     bulk = Blocking(config).translate_bulk(model, [text])
     _assert_same(general, bulk)
 
@@ -215,7 +223,9 @@ def test_bulk_partial_cache_hit_line(model):
     service.translate_bulk(model, ["hello world."])  # warms one segment
     mixed = ["hello world. goodbye test. one two.", "hello world."]
     bulk = service.translate_bulk(model, mixed)
-    general = Blocking(Config(cache_size=0)).translate(model, mixed)
+    general = Blocking(
+        Config(cache_size=0, prefer_bulk=False)
+    ).translate(model, mixed)
     _assert_same(bulk, general, alignments=False)
 
 
@@ -240,7 +250,9 @@ def test_bulk_one_sentence_per_line_matches_general(model):
     saved = model.processor.mode
     model.processor.mode = SplitMode.ONE_SENTENCE_PER_LINE
     try:
-        general = Blocking(Config(cache_size=0)).translate(model, list(corpus))
+        general = Blocking(
+        Config(cache_size=0, prefer_bulk=False)
+    ).translate(model, list(corpus))
         bulk = Blocking(Config(cache_size=0)).translate_bulk(
             model, list(corpus)
         )
@@ -268,7 +280,9 @@ def test_bulk_paragraph_modes_match_general(model, mode):
     saved = model.processor.mode
     model.processor.mode = SplitMode(mode)
     try:
-        general = Blocking(Config(cache_size=0)).translate(model, list(corpus))
+        general = Blocking(
+        Config(cache_size=0, prefer_bulk=False)
+    ).translate(model, list(corpus))
         bulk = Blocking(Config(cache_size=0)).translate_bulk(
             model, list(corpus)
         )

@@ -189,3 +189,24 @@ def test_async_translate_many(model):
     assert [r.target.text for r in responses] == [
         r.target.text for r in want
     ]
+
+
+def test_translate_routes_prefer_bulk(model):
+    """Blocking.translate routes through the bulk lane by default;
+    Config(prefer_bulk=False) pins the per-request exhaust loop."""
+    import unittest.mock as mock
+
+    svc = Blocking(Config(cache_size=0))
+    with mock.patch.object(
+        svc, "translate_bulk", wraps=svc.translate_bulk
+    ) as bulk:
+        svc.translate(model, ["hello world"])
+        assert bulk.called
+
+    pinned = Blocking(Config(cache_size=0, prefer_bulk=False))
+    with mock.patch.object(
+        pinned, "translate_bulk", wraps=pinned.translate_bulk
+    ) as bulk:
+        out = pinned.translate(model, ["hello world"])
+        assert not bulk.called
+    assert out[0].target.text
