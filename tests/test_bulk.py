@@ -89,12 +89,12 @@ def test_bulk_html(model):
 def test_bulk_cache_warm_cross_path(model):
     """Bulk probes/stores the same cache entries as the general path:
     a bulk run after a general run hits the cache (and vice versa)."""
-    service = Blocking(Config(cache_size=256))
+    service = Blocking(Config(cache_size=256, prefer_bulk=False))
     first = service.translate(model, ["hello world", "goodbye test"])
     bulk = service.translate_bulk(model, ["hello world", "goodbye test"])
     _assert_same(first, bulk, alignments=False)
 
-    service2 = Blocking(Config(cache_size=256))
+    service2 = Blocking(Config(cache_size=256, prefer_bulk=False))
     warm = service2.translate_bulk(model, ["one two three"])
     general = service2.translate(model, ["one two three"])
     _assert_same(warm, general, alignments=False)
@@ -295,7 +295,7 @@ def test_bulk_cache_warm_bulk_then_general(model):
     """Cache entries stored by the bulk lane serve the general path
     (decoded text is rebuilt on demand when the stored hypothesis
     carries none)."""
-    service = Blocking(Config(cache_size=256))
+    service = Blocking(Config(cache_size=256, prefer_bulk=False))
     bulk = service.translate_bulk(model, ["hello world", "goodbye test"])
     general = service.translate(model, ["hello world", "goodbye test"])
     _assert_same(bulk, general, alignments=False)

@@ -121,7 +121,7 @@ def test_bulk_columnar_fuzz_matches_general():
     rng = random.Random(77)
     model = make_model()
     bulk_svc = Blocking(Config(cache_size=0))
-    plain_svc = Blocking(Config(cache_size=0))
+    plain_svc = Blocking(Config(cache_size=0, prefer_bulk=False))
     for round_no in range(3):
         corpus = [_random_text(rng, 120) for _ in range(40)]
         corpus += corpus[:5]  # repeats within one call
