@@ -387,6 +387,35 @@ def bench_multipair(lines_per_model=2048):
     )
 
 
+def bench_pivot(lines=2048):
+    """Two-leg pivot translation (source→pivot→target, reference
+    slimt/Frontend.cc:147-205) through Blocking.pivot: leg 1 rides the
+    bulk lane (prefer_bulk), leg 2 re-tokenizes the pivot text
+    preserving sentence boundaries. Tokens/s counts final-target
+    tokens (one model-decode each on two models per token)."""
+    from slimt_tpu.config import Config
+    from slimt_tpu.runtime.service import Blocking
+
+    first = _model()
+    second = _model()
+    service = Blocking(Config(cache_size=0, max_words=4096))
+    tps, swps = _best_service_rate(
+        lambda corpus: service.pivot(first, second, corpus), lines
+    )
+    print(
+        json.dumps(
+            {
+                "metric": "pivot_target_tokens_per_sec_tiny11_int8",
+                "value": round(tps, 1),
+                "unit": "tokens/s",
+                "vs_baseline": round(tps / TARGET, 3),
+                "source_words_per_sec": round(swps, 1),
+                "lines": lines,
+            }
+        )
+    )
+
+
 def bench_corpus(path=None, workers=8):
     """WNGT20-style corpus throughput: pipe a real file through the
     Async service (the reference's scripts/run.sh workload — 10k
@@ -464,6 +493,7 @@ def main():
         "e2e": bench_e2e,
         "bulk": bench_bulk,
         "multipair": bench_multipair,
+        "pivot": bench_pivot,
         "corpus": bench_corpus,
         "providers": bench_providers,
     }[mode]()

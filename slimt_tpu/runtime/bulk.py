@@ -54,7 +54,7 @@ def _pack(flat, max_words: int):
 def _ingest_and_dispatch(
     texts, chunk_lines, chunks, processed, hyps, keys,
     model, config, cache, need_alignment, fetch, pool,
-    ingest_pool=None,
+    ingest_pool=None, process=None,
 ):
     """Tokenize the corpus chunk by chunk and dispatch each chunk's
     batches before the next chunk tokenizes (appending per-chunk work
@@ -64,6 +64,9 @@ def _ingest_and_dispatch(
     tokenization then scales across cores instead of being capped by
     this process's GIL."""
     model_id = model.id
+    if process is None:
+        def process(chunk):
+            return model.processor.process_batch(chunk, config.wrap_length)
     pending = []  # (lo, chunk texts, ingest future or None)
     for lo in range(0, len(texts), chunk_lines):
         chunk = texts[lo : lo + chunk_lines]
@@ -91,20 +94,14 @@ def _ingest_and_dispatch(
             (
                 lo,
                 chunk,
-                pool.submit(
-                    model.processor.process_batch, chunk, config.wrap_length
-                )
-                if i == 1
-                else None,
+                pool.submit(process, chunk) if i == 1 else None,
             )
             for i, (lo, chunk, _) in enumerate(pending)
         ]
 
     for idx, (lo, chunk, future) in enumerate(pending):
         chunk_processed = (
-            future.result()
-            if future is not None
-            else model.processor.process_batch(chunk, config.wrap_length)
+            future.result() if future is not None else process(chunk)
         )
         if (
             lookahead
@@ -115,9 +112,7 @@ def _ingest_and_dispatch(
             pending[idx + 2] = (
                 nlo,
                 nchunk,
-                pool.submit(
-                    model.processor.process_batch, nchunk, config.wrap_length
-                ),
+                pool.submit(process, nchunk),
             )
 
         # Flatten segments; probe the cache exactly like Request
@@ -163,12 +158,21 @@ def translate_bulk(
     meters=None,
     pool=None,
     ingest_pool=None,
+    process=None,
 ) -> List[Response]:
+    """`process` overrides the chunk-ingest step (chunk of `sources`
+    → [(AnnotatedText, Segments)]): pivot leg 2 passes re-tokenization
+    of already-annotated pivot texts (process_annotated_batch); the
+    default is the splitter+wrap TextProcessor.process_batch. With a
+    custom process, `sources` need not be strings and the columnar /
+    HTML / worker-process ingest lanes (raw-string-specific) are
+    bypassed."""
     options = options or Options()
     need_alignment = bool(options.alignment or options.html)
 
     if (
-        not need_alignment
+        process is None
+        and not need_alignment
         and ingest_pool is None
         and not getattr(model, "_multiprocess", False)
         and model.vocabulary.resolved_batch_backend == "native"
@@ -176,10 +180,12 @@ def translate_bulk(
         return _translate_bulk_columnar(
             model, sources, config, cache=cache, meters=meters, pool=pool
         )
+    if process is not None:
+        ingest_pool = None
 
     htmls = None
     texts = list(sources)
-    if options.html:
+    if options.html and process is None:
         from slimt_tpu.html.html import HTML
 
         htmls = []
@@ -240,7 +246,7 @@ def translate_bulk(
         _ingest_and_dispatch(
             texts, chunk_lines, chunks, processed, hyps, keys,
             model, config, cache, need_alignment, fetch, pool,
-            ingest_pool=ingest_pool,
+            ingest_pool=ingest_pool, process=process,
         )
     except BaseException:
         # An ingest/dispatch failure (bad input, XLA error) must not

@@ -271,6 +271,35 @@ class Blocking:
         )
         source_to_pivots = self.translate(first, texts, raw)
 
+        if self.config.prefer_bulk:
+            # Leg 2 on the bulk lane: the re-tokenized pivot texts are
+            # a known list, so the Request machinery is skipped; the
+            # custom `process` re-tokenizes each chunk preserving
+            # sentence boundaries (identical outputs to the request
+            # path — differential-tested).
+            from slimt_tpu.runtime.bulk import translate_bulk
+
+            pivot_to_targets = translate_bulk(
+                second,
+                [r.target for r in source_to_pivots],
+                self.config,
+                cache=self.cache,
+                options=raw,
+                meters=self.meters,
+                pool=self._pool,
+                process=second.processor.process_annotated_batch,
+            )
+            responses = [
+                combine(first_leg, second_leg)
+                for first_leg, second_leg in zip(
+                    source_to_pivots, pivot_to_targets
+                )
+            ]
+            if options.html:
+                for html, response in zip(htmls, responses):
+                    html.restore(response)
+            return responses
+
         batcher = Batcher(
             self.config.max_words,
             self.config.wrap_length,
@@ -285,10 +314,11 @@ class Blocking:
 
             return continuation
 
+        processed = second.processor.process_annotated_batch(
+            [r.target for r in source_to_pivots]
+        )
         for i, source_to_pivot in enumerate(source_to_pivots):
-            annotated, segments = second.processor.process_annotated(
-                source_to_pivot.target
-            )
+            annotated, segments = processed[i]
             request = _make_request(
                 self._ids, second, self.cache, annotated, segments,
                 make_continuation(i, source_to_pivot),

@@ -299,3 +299,29 @@ def test_bulk_cache_warm_bulk_then_general(model):
     bulk = service.translate_bulk(model, ["hello world", "goodbye test"])
     general = service.translate(model, ["hello world", "goodbye test"])
     _assert_same(bulk, general, alignments=False)
+
+
+@pytest.mark.parametrize(
+    "opts",
+    [Options(), Options(alignment=True), Options(html=True)],
+    ids=["plain", "alignment", "html"],
+)
+def test_pivot_bulk_leg2_matches_request_path(model, opts):
+    """Blocking.pivot with prefer_bulk (leg 2 on the bulk lane via
+    process_annotated_batch) must match the pinned per-request pivot
+    byte for byte."""
+    corpus = [
+        "hello world",
+        "goodbye test one two three",
+        "",
+        "héllo wörld. second sentence.",
+    ]
+    if opts.html:
+        corpus = ["<b>hello</b> world", "plain text here"]
+    bulk = Blocking(Config(cache_size=0)).pivot(
+        model, model, list(corpus), opts
+    )
+    general = Blocking(Config(cache_size=0, prefer_bulk=False)).pivot(
+        model, model, list(corpus), opts
+    )
+    _assert_same(general, bulk)

@@ -225,3 +225,34 @@ def test_native_ingest_raw_consistent(native_processor):
         tb_pos += tb_counts[l]
         gap_pos += gap_counts[l]
     assert seg_pos == len(sl)
+
+
+@pytest.mark.parametrize("backend", ["none", "auto"])
+def test_process_annotated_batch_matches_single(backend):
+    """process_annotated_batch (pivot leg 2 at corpus scale) must be
+    byte-identical to per-source process_annotated across backends."""
+    import random
+    import string
+
+    try:
+        vocab = build_vocabulary(
+            ["hello", "world", "goodbye", "test", "one", "two"],
+            backend=backend,
+        )
+    except Exception:
+        pytest.skip(f"{backend} backend unavailable")
+    proc = TextProcessor("sentence", vocab)
+    rng = random.Random(5)
+    alphabet = string.ascii_letters + string.digits + " .,!?'\"-äöüé中文"
+    texts = [
+        "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 120)))
+        for _ in range(25)
+    ] + ["", "hello world. goodbye test.", "  spaced  out  "]
+    annotated = [proc.process(t, wrap_length=16)[0] for t in texts]
+    batch = proc.process_annotated_batch(annotated)
+    for source, (brep, bsegs) in zip(annotated, batch):
+        srep, ssegs = proc.process_annotated(source)
+        assert bsegs == ssegs
+        assert brep.data == srep.data
+        assert brep.token_begin == srep.token_begin
+        assert brep.gap == srep.gap
