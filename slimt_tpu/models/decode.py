@@ -49,6 +49,7 @@ def greedy_decode(
     shortlist: Optional[jax.Array] = None,
     decoder_position_zero: bool = True,
     kv_dtype: Optional[str] = None,
+    steps_cap: Optional[jax.Array] = None,
 ) -> GreedyResult:
     batch, t_src, emb_dim = encoder_out.shape
     kv_caches = tfm.precompute_cross_kv(
@@ -76,9 +77,20 @@ def greedy_decode(
 
     sqrt_e = math.sqrt(emb_dim)
 
+    # `max_steps` (static, from the bucketed T) sizes the output
+    # buffers; `steps_cap` (traced, limit_factor × the batch's ACTUAL
+    # longest source — reference slimt/Model.cc:160) bounds the trip
+    # count, so truncation of a never-EOS decode does not depend on
+    # the shape bucket the batch landed in.
+    limit = (
+        max_steps
+        if steps_cap is None
+        else jnp.minimum(max_steps, steps_cap)
+    )
+
     def cond(carry):
         step, _, _, complete, *_ = carry
-        return jnp.logical_and(step < max_steps, ~jnp.all(complete))
+        return jnp.logical_and(step < limit, ~jnp.all(complete))
 
     # With the reference's position-0 behavior the decoder positional
     # signal is a constant — computed once, not per step.
@@ -150,6 +162,7 @@ def translate_batch(
     decoder_position_zero: bool = True,
     flash_attention: bool = False,
     kv_dtype: Optional[str] = None,
+    steps_cap: Optional[jax.Array] = None,
 ) -> GreedyResult:
     """Full forward: embed → encoder → greedy decode
     (slimt/Model.cc:187-204). `indices`/`mask`: [B, T] padded batch in
@@ -172,6 +185,7 @@ def translate_batch(
         shortlist,
         decoder_position_zero,
         kv_dtype,
+        steps_cap,
     )
 
 
@@ -193,6 +207,7 @@ def translate_batch_jit(
     indices,
     mask,
     shortlist,
+    steps_cap=None,
     *,
     eos_id: int,
     max_steps: int,
@@ -203,7 +218,8 @@ def translate_batch_jit(
     flash_attention: bool = False,
     kv_dtype: Optional[str] = None,
 ):
-    """Jitted entry; compile cache keyed on (B, T, S) bucket shapes."""
+    """Jitted entry; compile cache keyed on (B, T, S) bucket shapes.
+    `steps_cap` is a traced scalar (no recompile across values)."""
     return translate_batch(
         params,
         indices,
@@ -216,4 +232,5 @@ def translate_batch_jit(
         decoder_position_zero,
         flash_attention,
         kv_dtype,
+        steps_cap,
     )

@@ -240,7 +240,15 @@ class Model:
                 words, SHORTLIST_BUCKET
             ).astype(np.int32)
 
+        # Static bound (sizes output buffers, keyed into the compile
+        # cache by the bucketed t_pad) vs dynamic cap (the reference's
+        # limit_factor × actual batch max source length,
+        # slimt/Model.cc:160 — a traced scalar, so truncation does not
+        # depend on which shape bucket the batch landed in and varying
+        # it never recompiles).
         max_steps = max(1, int(self.limit_factor * t_pad))
+        actual_max = max((int(n) for n in lengths), default=t_pad)
+        steps_cap = np.int32(max(1, int(self.limit_factor * actual_max)))
         if self._multiprocess:
             # Each process serves its addressable shards of the (host-
             # replicated) global batch.
@@ -264,6 +272,7 @@ class Model:
             jnp.asarray(shortlist) if shortlist is not None else jnp.zeros(
                 (SHORTLIST_BUCKET,), jnp.int32
             ),
+            steps_cap,
             eos_id=self.vocabulary.eos_id,
             max_steps=max_steps,
             num_heads=self.config.num_heads,

@@ -158,7 +158,9 @@ def remap_alignments(first: Response, second: Response) -> List[Alignment]:
 def combine(first: Response, second: Response) -> Response:
     """Merge the two pivot legs (slimt/Response.cc:177-190)."""
     combined = Response()
-    if first.alignments:
+    # Alignment-free pivots carry [[], [], ...] per sentence — skip
+    # the remap (it would only build all-zero matrices).
+    if first.alignments and any(len(a) for a in first.alignments):
         combined.alignments = remap_alignments(first, second)
     combined.source = first.source
     combined.target = second.target

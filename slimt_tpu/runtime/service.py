@@ -226,12 +226,15 @@ class Blocking:
         model,
         sources: List[str],
         options: Optional[Options] = None,
+        process=None,
     ) -> List[Response]:
-        """Corpus fast path: same Responses as translate() (identical
-        annotations/alignments/cache/HTML semantics — differential-
-        tested), but without per-request machinery; ~1.5x the host
-        throughput. Use for known lists of lines; use translate() /
-        Async when requests arrive independently."""
+        """Corpus fast path: same Responses as translate() with
+        prefer_bulk=False (identical annotations/alignments/cache/HTML
+        semantics — differential-tested), but without per-request
+        machinery; ~2.7x the host throughput of the per-request
+        exhaust loop. translate() routes here by default. `process`
+        overrides the chunk-ingest step (see bulk.translate_bulk);
+        pivot leg 2 passes process_annotated_batch."""
         from slimt_tpu.runtime.bulk import translate_bulk
 
         return translate_bulk(
@@ -243,6 +246,7 @@ class Blocking:
             meters=self.meters,
             pool=self._pool,
             ingest_pool=self._ingest_pool,
+            process=process,
         )
 
     def pivot(
@@ -277,16 +281,10 @@ class Blocking:
             # custom `process` re-tokenizes each chunk preserving
             # sentence boundaries (identical outputs to the request
             # path — differential-tested).
-            from slimt_tpu.runtime.bulk import translate_bulk
-
-            pivot_to_targets = translate_bulk(
+            pivot_to_targets = self.translate_bulk(
                 second,
                 [r.target for r in source_to_pivots],
-                self.config,
-                cache=self.cache,
-                options=raw,
-                meters=self.meters,
-                pool=self._pool,
+                raw,
                 process=second.processor.process_annotated_batch,
             )
             responses = [
@@ -295,38 +293,34 @@ class Blocking:
                     source_to_pivots, pivot_to_targets
                 )
             ]
-            if options.html:
-                for html, response in zip(htmls, responses):
-                    html.restore(response)
-            return responses
-
-        batcher = Batcher(
-            self.config.max_words,
-            self.config.wrap_length,
-            self.config.tgt_length_limit_factor,
-        )
-        responses: List[Optional[Response]] = [None] * len(source_to_pivots)
-
-        def make_continuation(i, first_leg):
-            def continuation(pivot_to_target: Response):
-                responses[i] = combine(first_leg, pivot_to_target)
-                return None
-
-            return continuation
-
-        processed = second.processor.process_annotated_batch(
-            [r.target for r in source_to_pivots]
-        )
-        for i, source_to_pivot in enumerate(source_to_pivots):
-            annotated, segments = processed[i]
-            request = _make_request(
-                self._ids, second, self.cache, annotated, segments,
-                make_continuation(i, source_to_pivot),
-                needs_alignment=options.alignment or options.html,
+        else:
+            batcher = Batcher(
+                self.config.max_words,
+                self.config.wrap_length,
+                self.config.tgt_length_limit_factor,
             )
-            batcher.enqueue(request)
+            responses = [None] * len(source_to_pivots)
 
-        _exhaust(second, batcher, self.meters, self._pool)
+            def make_continuation(i, first_leg):
+                def continuation(pivot_to_target: Response):
+                    responses[i] = combine(first_leg, pivot_to_target)
+                    return None
+
+                return continuation
+
+            processed = second.processor.process_annotated_batch(
+                [r.target for r in source_to_pivots]
+            )
+            for i, source_to_pivot in enumerate(source_to_pivots):
+                annotated, segments = processed[i]
+                request = _make_request(
+                    self._ids, second, self.cache, annotated, segments,
+                    make_continuation(i, source_to_pivot),
+                    needs_alignment=options.alignment or options.html,
+                )
+                batcher.enqueue(request)
+
+            _exhaust(second, batcher, self.meters, self._pool)
 
         if options.html:
             for html, response in zip(htmls, responses):

@@ -199,7 +199,13 @@ class TextProcessor:
         self, source: AnnotatedText
     ) -> Tuple[AnnotatedText, Segments]:
         """Re-tokenize an AnnotatedText keeping sentence boundaries
-        (pivot leg 2; slimt/TextProcessor.cc:159-199)."""
+        (pivot leg 2; slimt/TextProcessor.cc:159-199).
+
+        Deliberately NOT implemented via process_annotated_batch: the
+        two are an independent pair whose equality is the differential
+        oracle (tests/test_processor.py
+        test_process_annotated_batch_matches_single) — edits to either
+        must keep that test green."""
         segments: Segments = []
         replacement = AnnotatedText(source.text)
         eos = self.vocabulary.eos_id

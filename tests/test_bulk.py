@@ -219,13 +219,18 @@ def test_bulk_partial_cache_hit_line(model):
     the columnar lane assembles such lines per-segment (mixing cached
     content with fresh batch output) — must still match the general
     path byte for byte."""
+    mixed = ["hello world. goodbye test. one two.", "hello world."]
+    # Both paths follow the SAME warm-then-mixed cache sequence: the
+    # decode-step cap is limit_factor × the batch's actual longest
+    # source (slimt/Model.cc:160), so the cached segment's content
+    # depends on the batch it was first decoded in — shared reference
+    # semantics, not a lane artifact.
     service = Blocking(Config(cache_size=256))
     service.translate_bulk(model, ["hello world."])  # warms one segment
-    mixed = ["hello world. goodbye test. one two.", "hello world."]
     bulk = service.translate_bulk(model, mixed)
-    general = Blocking(
-        Config(cache_size=0, prefer_bulk=False)
-    ).translate(model, mixed)
+    pinned = Blocking(Config(cache_size=256, prefer_bulk=False))
+    pinned.translate(model, ["hello world."])
+    general = pinned.translate(model, mixed)
     _assert_same(bulk, general, alignments=False)
 
 

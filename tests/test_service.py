@@ -210,3 +210,17 @@ def test_translate_routes_prefer_bulk(model):
         out = pinned.translate(model, ["hello world"])
         assert not bulk.called
     assert out[0].target.text
+
+
+def test_decode_cap_uses_actual_length(model):
+    """A never-EOS greedy decode truncates at limit_factor × the
+    batch's ACTUAL longest source (slimt/Model.cc:160), not at the
+    padded shape bucket (t_pad is a multiple of 16)."""
+    seg = [3, 4, 5, 6, 7]  # 5 tokens, bucket pads T to 16
+    hists = model.forward([seg], need_alignment=False)
+    words = list(hists[0].target)
+    cap = int(model.limit_factor * len(seg))
+    eos = model.vocabulary.eos_id
+    if eos in words:
+        pytest.skip("synthetic decode emitted EOS before the cap")
+    assert len(words) == cap
