@@ -330,3 +330,23 @@ def test_pivot_bulk_leg2_matches_request_path(model, opts):
         model, model, list(corpus), opts
     )
     _assert_same(general, bulk)
+
+
+def test_bulk_lazy_response_encoding_conversion(model):
+    """Encoding.to(UTF8/BYTE) on lazy (from_arrays) bulk Responses
+    materializes and converts identically to the request path."""
+    from slimt_tpu.text.annotation import Encoding
+
+    texts = ["héllo wörld", "hello world. ünïcode."]
+    bulk = Blocking(Config(cache_size=0)).translate_bulk(model, texts)
+    general = Blocking(
+        Config(cache_size=0, prefer_bulk=False)
+    ).translate(model, texts)
+    for rb, rg in zip(bulk, general):
+        rb.to(Encoding.UTF8)
+        rg.to(Encoding.UTF8)
+        assert rb.source.token_begin == rg.source.token_begin
+        assert rb.target.token_begin == rg.target.token_begin
+        rb.to(Encoding.BYTE)
+        rg.to(Encoding.BYTE)
+        assert rb.target.token_begin == rg.target.token_begin
