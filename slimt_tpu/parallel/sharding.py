@@ -10,6 +10,14 @@ The reference is single-machine CPU with thread parallelism
     hidden/vocab dimensions of the int8 weights, mirroring megatron
     column→row sharding so each encoder block needs one collective
     pair, and the tied-embedding logit projection is vocab-sharded.
+  - "seq":   sequence parallelism (SP) over ICI — the token dimension
+    of the [B, T] input (and therefore of every [B, T, E] encoder
+    activation and cross-attention KV cache). The reference sidesteps
+    long inputs by hard-wrapping at 128 tokens
+    (slimt/TextProcessor.cc:123-157); with SP an unwrapped long input
+    spreads its O(T²) encoder attention and O(T) KV traffic across
+    chips — XLA/GSPMD inserts the all-gathers for the attention
+    contractions from the input sharding alone.
 
 Sharding is expressed as a PartitionSpec pytree matching the weight
 pytree from slimt_tpu.io.loader; XLA inserts the collectives
@@ -28,16 +36,18 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 def make_mesh(
     data: int = 1,
     model: int = 1,
+    seq: int = 1,
     devices: Optional[Sequence] = None,
 ) -> Mesh:
     devices = list(devices if devices is not None else jax.devices())
-    if data * model > len(devices):
+    need = data * model * seq
+    if need > len(devices):
         raise ValueError(
-            f"mesh {data}x{model} needs {data * model} devices, "
+            f"mesh {data}x{model}x{seq} needs {need} devices, "
             f"have {len(devices)}"
         )
-    grid = np.asarray(devices[: data * model]).reshape(data, model)
-    return Mesh(grid, axis_names=("data", "model"))
+    grid = np.asarray(devices[:need]).reshape(data, model, seq)
+    return Mesh(grid, axis_names=("data", "model", "seq"))
 
 
 def _affine_spec(kind: str) -> dict:
@@ -127,9 +137,11 @@ def weight_pspecs(params: dict) -> dict:
     return spec
 
 
-def batch_pspec() -> P:
-    """Request batches are data-parallel on the leading dim."""
-    return P("data", None)
+def batch_pspec(seq: bool = False) -> P:
+    """Request batches are data-parallel on the leading dim; with
+    seq=True the token dim is additionally sequence-sharded (SP) —
+    every downstream [B, T, ...] activation inherits it."""
+    return P("data", "seq") if seq else P("data", None)
 
 
 def _divisible(arr, spec: P, mesh: Mesh) -> bool:

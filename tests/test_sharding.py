@@ -50,7 +50,9 @@ def _run(params, indices, mask):
 
 def test_mesh_creation():
     mesh = shd.make_mesh(data=4, model=2)
-    assert mesh.shape == {"data": 4, "model": 2}
+    assert mesh.shape == {"data": 4, "model": 2, "seq": 1}
+    mesh = shd.make_mesh(data=2, seq=4)
+    assert mesh.shape == {"data": 2, "model": 1, "seq": 4}
 
 
 def test_pspec_tree_matches_params(params):
@@ -72,6 +74,30 @@ def test_sharded_translate_matches_single_device(params, data, model):
     bspec = NamedSharding(mesh, shd.batch_pspec())
     got = _run(
         params=sharded,
+        indices=jax.device_put(jnp.asarray(indices), bspec),
+        mask=jax.device_put(jnp.asarray(mask), bspec),
+    )
+    np.testing.assert_array_equal(np.asarray(got.valid), np.asarray(want.valid))
+    np.testing.assert_array_equal(
+        np.asarray(got.tokens), np.asarray(want.tokens)
+    )
+
+
+@pytest.mark.parametrize("data,seq", [(1, 8), (2, 4)])
+def test_sequence_sharded_translate_matches_single_device(params, data, seq):
+    """SP: the [B, T] input sharded along tokens — encoder activations
+    and cross-attention KV caches inherit the T sharding, XLA/GSPMD
+    inserts the attention all-gathers. Long-context analog of the
+    reference's hard wrap (slimt/TextProcessor.cc:123-157)."""
+    assert len(jax.devices()) >= 8
+    indices, mask = _batch(b=4, t=16)
+    want = _run(params, indices, mask)
+
+    mesh = shd.make_mesh(data=data, seq=seq)
+    rep = shd.replicate_params(params, mesh)
+    bspec = NamedSharding(mesh, shd.batch_pspec(seq=True))
+    got = _run(
+        params=rep,
         indices=jax.device_put(jnp.asarray(indices), bspec),
         mask=jax.device_put(jnp.asarray(mask), bspec),
     )
