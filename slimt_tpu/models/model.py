@@ -78,12 +78,16 @@ class Model:
         tgt_length_limit_factor: float = 1.5,
         mesh=None,
         sharding: str = "tp",
+        shard_sequence: bool = False,
     ):
-        """`mesh` (a jax.sharding.Mesh with axes "data"/"model") turns
-        the model multi-chip: weights are tensor-parallel sharded over
-        "model" (or replicated with sharding="replicate" — usually
+        """`mesh` (a jax.sharding.Mesh with axes "data"/"model"/"seq")
+        turns the model multi-chip: weights are tensor-parallel sharded
+        over "model" (or replicated with sharding="replicate" — usually
         faster for these tiny models) and request batches data-parallel
-        over "data". Single chip when mesh is None."""
+        over "data". With shard_sequence=True (and a "seq" axis > 1)
+        the token dim of every batch is additionally sequence-sharded
+        (SP) — encoder activations and cross-attention KV caches
+        inherit it. Single chip when mesh is None."""
         import jax
 
         from slimt_tpu.utils import configure_compile_cache
@@ -126,8 +130,16 @@ class Model:
                 self.params = shd.replicate_params(host_params, mesh)
             else:
                 self.params = shd.shard_params(host_params, mesh)
+            seq_axis = mesh.shape.get("seq", 1)
+            shard_seq = shard_sequence and seq_axis > 1
+            if shard_seq and 16 % seq_axis != 0:
+                # T buckets are multiples of 16 (_bucket_seq); the seq
+                # axis must divide them for the [B, T] sharding.
+                raise ValueError(
+                    f"seq axis {seq_axis} must divide the T bucket (16)"
+                )
             self._batch_sharding = jax.sharding.NamedSharding(
-                mesh, shd.batch_pspec()
+                mesh, shd.batch_pspec(seq=shard_seq)
             )
             self._data_size = mesh.shape.get("data", 1)
         else:

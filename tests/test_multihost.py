@@ -77,3 +77,26 @@ def test_scaling_report_harness(package):
     )
     assert set(report["throughput"]) == {1, 2}
     assert report["efficiency"][1] == pytest.approx(1.0)
+
+
+def test_model_sequence_sharded_matches_single_device(package):
+    """Service-level SP: Model(mesh, shard_sequence=True) splits the
+    token dim of every device batch over the "seq" axis; outputs match
+    single device exactly."""
+    single = Model(TINY_TEST_CONFIG, package)
+    mesh = make_mesh(data=2, seq=4)
+    sp = Model(
+        TINY_TEST_CONFIG, package, mesh=mesh, sharding="replicate",
+        shard_sequence=True,
+    )
+    service = Blocking(Config(cache_size=0))
+    sources = ["hello world", "goodbye test", "quick brown fox jumps"]
+    want = service.translate(single, sources)
+    got = service.translate(sp, sources)
+    assert [r.target.text for r in got] == [r.target.text for r in want]
+
+    with pytest.raises(ValueError, match="seq axis"):
+        Model(
+            TINY_TEST_CONFIG, package, mesh=make_mesh(seq=5),
+            shard_sequence=True,
+        )
