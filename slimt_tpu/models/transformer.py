@@ -200,19 +200,29 @@ def _decode_attention_joined(
             acc = jnp.float32
         else:
             k_op, q2_op, acc = k, q2, jnp.int32
+        # K carries PER-ROW (b, t) scales: the dequant folds into the
+        # scores elementwise as a [B, 1, T] broadcast — same VPU work
+        # as the old per-tensor scalar, much tighter quantization.
         scores = jnp.einsum(
             "bte,beh->bht", k_op, q2_op, preferred_element_type=acc
-        ).astype(jnp.float32) * (scale / (kv["kq"] * aq))
+        ).astype(jnp.float32) * (scale / aq) * kv["kqi"][:, None, :]
         scores = scores + mask_add[:, :, 0, :]
         attn = jax.nn.softmax(scores, axis=-1)  # [B, H, T]
-        attn_q = jnp.rint(attn * 127.0).astype(jnp.int8)
+        # V's per-row dequant folds into attn before its quantization;
+        # attn is then re-quantized with a dynamic per-(b, h) scale
+        # (attn_v >= 0, so max == absmax).
+        attn_v = attn * kv["vqi"][:, None, :]
+        s_a = 127.0 / jnp.maximum(
+            jnp.max(attn_v, axis=-1, keepdims=True), 1e-9
+        )  # [B, H, 1]
+        attn_q = jnp.rint(attn_v * s_a).astype(jnp.int8)
         if on_cpu:
             a_op, v_op = attn_q.astype(jnp.float32), v.astype(jnp.float32)
         else:
             a_op, v_op = attn_q, v
         res = jnp.einsum(
             "bht,bte->bhe", a_op, v_op, preferred_element_type=acc
-        ).astype(jnp.float32) * (1.0 / (127.0 * kv["vq"]))
+        ).astype(jnp.float32) / s_a
         selt = _head_selector(e, num_heads, jnp.float32)
     else:
         kv_dtype = k.dtype
@@ -415,20 +425,28 @@ def precompute_cross_kv(
         k = _affine(att["k"], encoder_out, provider)  # [B, T, E]
         v = _affine(att["v"], encoder_out, provider)
         if dtype == jnp.int8:
-            kq = 127.0 / jnp.maximum(jnp.max(jnp.abs(k)), 1e-6)
-            vq = 127.0 / jnp.maximum(jnp.max(jnp.abs(v)), 1e-6)
+            # Per-row (b, t) scales: each cached token row quantizes
+            # against its own absmax. The inverse scales fold into the
+            # decode step's existing elementwise dequants (see
+            # _decode_attention_joined), so the finer granularity is
+            # ~free — and lifts worst-case token agreement to bf16
+            # levels (tests/test_stacked.py).
+            kq = 127.0 / jnp.maximum(
+                jnp.max(jnp.abs(k), axis=-1), 1e-6
+            )  # [B, T]
+            vq = 127.0 / jnp.maximum(jnp.max(jnp.abs(v), axis=-1), 1e-6)
             return {
-                "k": qmm.quantize_activations(k, kq),
-                "v": qmm.quantize_activations(v, vq),
-                "kq": kq,
-                "vq": vq,
+                "k": qmm.quantize_activations(k, kq[..., None]),
+                "v": qmm.quantize_activations(v, vq[..., None]),
+                "kqi": 1.0 / kq,
+                "vqi": 1.0 / vq,
             }
         one = jnp.float32(1.0)
         return {
             "k": k.astype(dtype),
             "v": v.astype(dtype),
-            "kq": one,
-            "vq": one,
+            "kqi": one,
+            "vqi": one,
         }
 
     if isinstance(layers, list):
