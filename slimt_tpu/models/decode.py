@@ -52,8 +52,25 @@ def greedy_decode(
     steps_cap: Optional[jax.Array] = None,
 ) -> GreedyResult:
     batch, t_src, emb_dim = encoder_out.shape
+    if provider == "fused_step" and not isinstance(params["decoder"], list):
+        # The whole-step fused kernel unrolls layers statically:
+        # unstack ONCE here (loop-invariant) rather than per step.
+        n_layers = params["decoder"]["rnn"]["ln"]["scale"].shape[0]
+        params = dict(
+            params,
+            decoder=[
+                jax.tree_util.tree_map(lambda a: a[l], params["decoder"])
+                for l in range(n_layers)
+            ],
+        )
+    if provider == "fused_step" and kv_dtype is None:
+        kv_dtype = "bfloat16"
+    # "fused_step" only changes the decode-step body; every other op
+    # (KV projection here, encoder in translate_batch) runs the
+    # default int8 qmm path.
+    base_provider = None if provider == "fused_step" else provider
     kv_caches = tfm.precompute_cross_kv(
-        params, encoder_out, num_heads, provider,
+        params, encoder_out, num_heads, base_provider,
         dtype=jnp.dtype(kv_dtype) if kv_dtype else None,
     )
     # Loop-invariant output projection (incl. shortlist select).
@@ -171,7 +188,8 @@ def translate_batch(
     word_embedding = tfm.transform_embedding(word_embedding)
     mask_add = tfm.make_additive_mask(mask)
     encoder_out = tfm.encoder_forward(
-        params, word_embedding, mask_add, num_heads, provider,
+        params, word_embedding, mask_add, num_heads,
+        None if provider == "fused_step" else provider,
         flash=flash_attention,
     )
     return greedy_decode(

@@ -504,6 +504,38 @@ def decoder_step(
     fused with the projection on TPU — see output_argmax)."""
     x = prev_embed
     layers = params["decoder"]
+    if provider == "fused_step":
+        # Whole-step Pallas kernel: all layers + shortlisted logits +
+        # argmax in ONE program (small-batch latency regime — see
+        # ops/decoder_step_pallas.whole_decode_step). Requires list
+        # layers (greedy_decode unstacks), a joined float KV cache,
+        # and sample=True.
+        from slimt_tpu.ops import decoder_step_pallas as dsp
+
+        if not (
+            sample
+            and isinstance(layers, list)
+            and isinstance(kv_caches[0], dict)
+            and kv_caches[0]["k"].dtype != jnp.int8
+        ):
+            raise ValueError(
+                "provider 'fused_step' needs sample=True, unstacked "
+                "layers and a bfloat16/float32 joined KV cache"
+            )
+        if projection is None:
+            projection = prepare_output_projection(params, shortlist)
+        choice, new_states, attn0 = dsp.whole_decode_step(
+            layers,
+            states,
+            x,
+            mask_add,
+            kv_caches,
+            num_heads,
+            projection,
+            out_aq=params["out"]["aq"],
+            emb_bq=params["emb"]["scale"],
+        )
+        return choice, new_states, attn0[:, None, None, :]
     if isinstance(layers, list):
         new_states = []
         guided = None

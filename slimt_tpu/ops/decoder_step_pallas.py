@@ -427,3 +427,304 @@ def decoder_layer_step_bte(
         ffn["ln"]["scale"].reshape(1, e), ffn["ln"]["bias"].reshape(1, e),
     )
     return y[:, None, :], c_t[:, None, :], attn0
+
+# --- whole-step fused kernel ------------------------------------------
+#
+# One pallas_call per decode step runs BOTH decoder layers, the
+# (shortlisted) tied-embedding logit projection, and the greedy argmax
+# — replacing the ~35 small XLA ops the while_loop body otherwise
+# schedules. Target: the small-batch / latency regime (p50 sentence
+# latency), where the step cost is per-op overhead rather than HBM
+# bandwidth; the serving-batch regime stays on the XLA path (ablations
+# showed per-step pallas_calls break XLA's cross-step pipelining at
+# B>=512 — see ops/logits_argmax.py STATUS).
+#
+# Grid: (B tiles, vocab tiles). Layer math runs once per B tile (at
+# vocab tile j == 0), stashing the final hidden state in an output ref
+# that persists across j; every j then projects one [E, TILE_S] weight
+# tile on the MXU and folds a running (max, argmax) exactly like
+# ops/logits_argmax.py (strict > across tiles == jnp.argmax's
+# first-maximum semantics).
+
+TILE_S = 2048
+
+
+def _layer_math_bte(
+    x, c, k, v, mask, sel, scales,
+    wf_ref, bf_ref, w_ref, ln_rnn_s, ln_rnn_b,
+    wq_ref, bq_ref, wo_ref, bo_ref, ln_att_s, ln_att_b,
+    w1_ref, b1_ref, w2_ref, b2_ref, ln_ffn_s, ln_ffn_b,
+    num_heads,
+):
+    """SSRU + joined-layout cross-attention + FFN on VMEM-resident
+    values (the body of _kernel_bte, shared with the whole-step
+    kernel). Returns (y, c_t, attn_head0)."""
+    (aqf, invf, aqw, invw, aq_q, inv_q, aq_o, inv_o,
+     aq1, inv1, aq2, inv2) = scales
+    tb, e = x.shape
+    d = e // num_heads
+    scale = 1.0 / math.sqrt(d)
+
+    f = jax.nn.sigmoid(
+        _mm(_q8(x, aqf), wf_ref).astype(jnp.float32) * invf + bf_ref[0, :]
+    )
+    wx = _mm(_q8(x, aqw), w_ref).astype(jnp.float32) * invw
+    c_t = f * c + (1.0 - f) * wx
+    h = _ln(x + jnp.maximum(c_t, 0.0), ln_rnn_s[0, :], ln_rnn_b[0, :])
+
+    q = (
+        _mm(_q8(h, aq_q), wq_ref).astype(jnp.float32) * inv_q
+        + bq_ref[0, :]
+    )  # [TB, E]
+    t = k.shape[1]
+
+    # Round q and attn through the cache dtype, exactly like the XLA
+    # joined path (transformer._decode_attention_joined rounds its
+    # bf16 operands) — keeps the two paths' argmax near-ties aligned.
+    q_r = q.astype(k.dtype).astype(jnp.float32)
+    prod = k.astype(jnp.float32) * q_r[:, None, :]  # [TB, T, E]
+    scores = jax.lax.dot_general(
+        prod.reshape(tb * t, e), sel,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).reshape(tb, t, num_heads) * scale
+    scores = scores + mask[:, :, None]
+    p = jax.nn.softmax(scores, axis=1)  # over T
+    attn0 = p[:, :, 0]
+    p_r = p.astype(k.dtype).astype(jnp.float32)
+    p_full = jax.lax.dot_general(
+        p_r.reshape(tb * t, num_heads), sel,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).reshape(tb, t, e)
+    attn_out = (v.astype(jnp.float32) * p_full).sum(axis=1)  # [TB, E]
+
+    out = (
+        _mm(_q8(attn_out, aq_o), wo_ref).astype(jnp.float32) * inv_o
+        + bo_ref[0, :]
+    )
+    a = _ln(h + out, ln_att_s[0, :], ln_att_b[0, :])
+
+    hidden = jnp.maximum(
+        _mm(_q8(a, aq1), w1_ref).astype(jnp.float32) * inv1 + b1_ref[0, :],
+        0.0,
+    )
+    y = (
+        _mm(_q8(hidden, aq2), w2_ref).astype(jnp.float32) * inv2
+        + b2_ref[0, :]
+    )
+    return (
+        _ln(y + a, ln_ffn_s[0, :], ln_ffn_b[0, :]),
+        c_t,
+        attn0,
+    )
+
+
+_LAYER_REFS = 20  # c, k, v + 17 weight/LN refs per layer
+
+
+def _whole_kernel(
+    scales_ref, x_ref, mask_ref, sel_ref, *refs,
+    num_layers, num_heads, n_out,
+):
+    layer_refs = refs[: num_layers * _LAYER_REFS]
+    wout_ref, bout_ref = refs[num_layers * _LAYER_REFS : num_layers * _LAYER_REFS + 2]
+    outs = refs[num_layers * _LAYER_REFS + 2 :]
+    c_out_refs = outs[:num_layers]
+    attn0_ref, h_ref, val_ref, idx_ref = outs[num_layers : num_layers + 4]
+
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _layers():
+        x = x_ref[:]
+        mask = mask_ref[:]
+        sel = sel_ref[:]
+        attn0 = None
+        for l in range(num_layers):
+            r = layer_refs[l * _LAYER_REFS : (l + 1) * _LAYER_REFS]
+            c_ref, k_ref, v_ref = r[0], r[1], r[2]
+            scales = [scales_ref[l * 12 + i] for i in range(12)]
+            x, c_t, attn0 = _layer_math_bte(
+                x, c_ref[:], k_ref[:], v_ref[:], mask, sel, scales,
+                *r[3:], num_heads=num_heads,
+            )
+            c_out_refs[l][:] = c_t
+        attn0_ref[:] = attn0
+        h_ref[:] = x
+
+    # Projection tile j: int8 MXU matmul + running first-max argmax.
+    aq_out = scales_ref[num_layers * 12]
+    inv_out = scales_ref[num_layers * 12 + 1]
+    h = h_ref[:]
+    x_q = _q8(h, aq_out)
+    logits = (
+        _mm(x_q, wout_ref).astype(jnp.float32) * inv_out + bout_ref[0, :]
+    )
+    cols = j * TILE_S + jax.lax.broadcasted_iota(
+        jnp.int32, logits.shape, 1
+    )
+    logits = jnp.where(cols < n_out, logits, -jnp.inf)
+    tile_max = jnp.max(logits, axis=1)
+    tile_arg = jnp.argmax(logits, axis=1).astype(jnp.int32)
+    cand = j * TILE_S + tile_arg
+
+    @pl.when(j == 0)
+    def _init():
+        val_ref[:, 0] = tile_max
+        idx_ref[:, 0] = cand
+
+    @pl.when(j > 0)
+    def _update():
+        prev = val_ref[:, 0]
+        better = tile_max > prev
+        val_ref[:, 0] = jnp.where(better, tile_max, prev)
+        idx_ref[:, 0] = jnp.where(better, cand, idx_ref[:, 0])
+
+
+def whole_decode_step(
+    layers: list,
+    states: Tuple[jax.Array, ...],  # per layer [B, 1, E]
+    x: jax.Array,  # [B, 1, E] transformed prev embedding
+    mask_add: jax.Array,  # [B, 1, 1, T]
+    kv_caches: Tuple[dict, ...],  # per layer joined dicts (bf16/f32)
+    num_heads: int,
+    projection: Tuple[jax.Array, jax.Array],  # (W [E, S] int8, b [S])
+    out_aq: jax.Array,
+    emb_bq: jax.Array,
+    interpret: Optional[bool] = None,
+    tile_b: int = 32,
+) -> Tuple[jax.Array, Tuple[jax.Array, ...], jax.Array]:
+    """One fused decode step over every decoder layer + shortlisted
+    logits + greedy argmax. Returns (choice [B] int32, new_states,
+    attn_head0 [B, T] of the LAST layer — the alignment consumer,
+    slimt/Model.cc:84-108). KV caches must be the joined [B, T, E]
+    layout in a float dtype (bf16 default; int8 caches stay on the
+    XLA path)."""
+    if interpret is None:
+        interpret = not _on_tpu()
+    b = x.shape[0]
+    e = x.shape[-1]
+    t = kv_caches[0]["k"].shape[1]
+    d = e // num_heads
+    n_layers = len(layers)
+    wout, bout = projection
+    n_out = wout.shape[-1]
+    s_pad = -(-n_out // TILE_S) * TILE_S if n_out > TILE_S else n_out
+    tile_s = min(TILE_S, s_pad)
+
+    scale_list = []
+    for layer in layers:
+        rnn, att, ffn = layer["rnn"], layer["att"], layer["ffn"]
+        for w in (rnn["wf"], rnn["w"], att["q"], att["o"],
+                  ffn["w1"], ffn["w2"]):
+            scale_list += [w["aq"], 1.0 / (w["aq"] * w["bq"])]
+    scale_list += [out_aq, 1.0 / (out_aq * emb_bq)]
+    scales = jnp.stack(scale_list).astype(jnp.float32)
+
+    lanes = jnp.arange(e)[:, None]
+    sel = (lanes // d == jnp.arange(num_heads)[None, :]).astype(jnp.float32)
+
+    tile_b = min(tile_b, b)
+    grid = (pl.cdiv(b, tile_b), pl.cdiv(n_out, tile_s))
+    vmem = functools.partial(pl.BlockSpec, memory_space=pltpu.VMEM)
+
+    def vec(n):
+        return vmem((1, n), lambda i, j, *_: (0, 0))
+
+    def per_b(*shape):
+        return vmem((tile_b,) + shape, lambda i, j, *_: (i,) + (0,) * len(shape))
+
+    def whole(*shape):
+        return vmem(shape, lambda i, j, *_: (0,) * len(shape))
+
+    in_specs = [
+        per_b(e),  # x
+        per_b(t),  # mask
+        whole(e, num_heads),  # sel
+    ]
+    inputs = [
+        x[:, 0, :].astype(jnp.float32),
+        mask_add[:, 0, 0, :].astype(jnp.float32),
+        sel,
+    ]
+    f_dim = layers[0]["ffn"]["w1"]["q"].shape[-1]
+    for layer, state, kv in zip(layers, states, kv_caches):
+        rnn, att, ffn = layer["rnn"], layer["att"], layer["ffn"]
+        wf, w = rnn["wf"], rnn["w"]
+        wq, wo = att["q"], att["o"]
+        w1, w2 = ffn["w1"], ffn["w2"]
+        in_specs += [
+            per_b(e),        # c
+            per_b(t, e),     # k
+            per_b(t, e),     # v
+            whole(e, e), vec(e),             # wf, bf
+            whole(e, e),                      # w
+            vec(e), vec(e),                   # ln_rnn
+            whole(e, e), vec(e),              # wq, bq
+            whole(e, e), vec(e),              # wo, bo
+            vec(e), vec(e),                   # ln_att
+            whole(e, f_dim), vec(f_dim),      # w1, b1
+            whole(f_dim, e), vec(e),          # w2, b2
+            vec(e), vec(e),                   # ln_ffn
+        ]
+        inputs += [
+            state[:, 0, :].astype(jnp.float32),
+            kv["k"], kv["v"],
+            wf["q"], wf["b"].reshape(1, e),
+            w["q"],
+            rnn["ln"]["scale"].reshape(1, e), rnn["ln"]["bias"].reshape(1, e),
+            wq["q"], wq["b"].reshape(1, e),
+            wo["q"], wo["b"].reshape(1, e),
+            att["ln"]["scale"].reshape(1, e), att["ln"]["bias"].reshape(1, e),
+            w1["q"], w1["b"].reshape(1, f_dim),
+            w2["q"], w2["b"].reshape(1, e),
+            ffn["ln"]["scale"].reshape(1, e), ffn["ln"]["bias"].reshape(1, e),
+        ]
+    in_specs += [
+        vmem((e, tile_s), lambda i, j, *_: (0, j)),   # wout
+        vmem((1, tile_s), lambda i, j, *_: (0, j)),   # bout
+    ]
+    inputs += [wout, bout.reshape(1, n_out)]
+
+    out_shape = (
+        tuple(
+            jax.ShapeDtypeStruct((b, e), jnp.float32)
+            for _ in range(n_layers)
+        )
+        + (
+            jax.ShapeDtypeStruct((b, t), jnp.float32),   # attn0
+            jax.ShapeDtypeStruct((b, e), jnp.float32),   # h (persist)
+            jax.ShapeDtypeStruct((b, 1), jnp.float32),   # best value
+            jax.ShapeDtypeStruct((b, 1), jnp.int32),     # best index
+        )
+    )
+    out_specs = (
+        tuple(per_b(e) for _ in range(n_layers))
+        + (per_b(t), per_b(e), per_b(1), per_b(1))
+    )
+
+    results = pl.pallas_call(
+        functools.partial(
+            _whole_kernel,
+            num_layers=n_layers,
+            num_heads=num_heads,
+            n_out=n_out,
+        ),
+        out_shape=out_shape,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=in_specs,
+            out_specs=out_specs,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(scales, *inputs)
+
+    new_states = tuple(c[:, None, :] for c in results[:n_layers])
+    attn0 = results[n_layers]
+    idx = results[n_layers + 3][:, 0]
+    return idx, new_states, attn0

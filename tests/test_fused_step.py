@@ -1,0 +1,99 @@
+"""Whole-step fused decoder kernel (ops/decoder_step_pallas.
+whole_decode_step, provider="fused_step"): every decoder layer +
+shortlisted logit projection + greedy argmax in one Pallas program.
+
+Runs in interpret mode on the CPU suite; parity target is the XLA
+path with the same bfloat16 joined KV cache (identical quantization
+contract, so tokens should match except for rare bf16-rounding
+near-ties)."""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from slimt_tpu.config import ModelConfig
+from slimt_tpu.io import load_items
+from slimt_tpu.io.loader import load_weights, stack_layers
+from slimt_tpu.io.synthetic import synthetic_model_bytes
+from slimt_tpu.models import decode as dec
+
+CONFIG = ModelConfig(encoder_layers=2, decoder_layers=2, num_heads=4)
+VOCAB = 4736  # > 2 projection tiles, not a multiple of TILE_S (2048)
+EMB = 32
+
+
+@pytest.fixture(scope="module")
+def params():
+    blob = synthetic_model_bytes(
+        config=CONFIG, vocab_size=VOCAB, emb_dim=EMB, ffn_dim=64, seed=3
+    )
+    return stack_layers(load_weights(load_items(blob), CONFIG))
+
+
+def _batch(seed, b=5, t=9):
+    rng = np.random.default_rng(seed)
+    indices = rng.integers(3, VOCAB, size=(b, t)).astype(np.uint32)
+    lengths = rng.integers(3, t + 1, size=b)
+    mask = (np.arange(t)[None, :] < lengths[:, None]).astype(np.float32)
+    indices[mask == 0] = 0
+    return jnp.asarray(indices), jnp.asarray(mask)
+
+
+def _run(params, indices, mask, provider, shortlist=None, **kw):
+    return dec.translate_batch(
+        params,
+        indices,
+        mask,
+        eos_id=2,
+        max_steps=12,
+        num_heads=CONFIG.num_heads,
+        provider=provider,
+        shortlist=shortlist,
+        **kw,
+    )
+
+
+def test_fused_step_matches_xla_bf16_full_vocab(params):
+    """Full tied vocab: the projection spans 3 tiles with a partial
+    final tile (mask semantics of the running argmax)."""
+    indices, mask = _batch(seed=1)
+    want = _run(params, indices, mask, "xla_int8", kv_dtype="bfloat16")
+    got = _run(params, indices, mask, "fused_step")
+    agree = (np.asarray(got.tokens) == np.asarray(want.tokens)).mean()
+    assert agree >= 0.95, f"token agreement {agree}"
+    assert np.asarray(got.valid).any()
+    np.testing.assert_allclose(
+        np.asarray(got.alignment),
+        np.asarray(want.alignment),
+        atol=0.05,
+    )
+
+
+def test_fused_step_matches_xla_bf16_shortlist(params):
+    indices, mask = _batch(seed=2)
+    shortlist = jnp.asarray(np.arange(0, VOCAB, 5, dtype=np.int32))
+    want = _run(
+        params, indices, mask, "xla_int8",
+        shortlist=shortlist, kv_dtype="bfloat16",
+    )
+    got = _run(params, indices, mask, "fused_step", shortlist=shortlist)
+    agree = (np.asarray(got.tokens) == np.asarray(want.tokens)).mean()
+    assert agree >= 0.95, f"token agreement {agree}"
+
+
+@pytest.mark.parametrize("b", [1, 3, 33])
+def test_fused_step_batch_sizes(params, b):
+    """Partial B tiles (b=33 crosses the 32-row tile) and the B=1
+    latency shape decode without NaNs leaking from padding rows."""
+    indices, mask = _batch(seed=4, b=b)
+    want = _run(params, indices, mask, "xla_int8", kv_dtype="bfloat16")
+    got = _run(params, indices, mask, "fused_step")
+    agree = (np.asarray(got.tokens) == np.asarray(want.tokens)).mean()
+    assert agree >= 0.9, f"token agreement {agree} at b={b}"
+    assert np.isfinite(np.asarray(got.alignment)).all()
+
+
+def test_fused_step_rejects_int8_kv(params):
+    indices, mask = _batch(seed=6)
+    with pytest.raises(ValueError, match="fused_step"):
+        _run(params, indices, mask, "fused_step", kv_dtype="int8")
