@@ -68,7 +68,10 @@ def _decode_bench(
         )
     )
     params = jax.device_put(stack_layers(load_weights(items, config)))
-    provider = provider or config.qmm_provider
+    # BENCH_PROVIDER overrides the default (e.g. fused_step for the
+    # batch1 latency config); an explicit provider argument (the
+    # `providers` comparison mode) still wins.
+    provider = provider or os.environ.get("BENCH_PROVIDER") or config.qmm_provider
 
     rng = np.random.default_rng(0)
     indices = rng.integers(3, vocab, (batch, seq)).astype(np.int32)

@@ -112,6 +112,12 @@ char** list_to_strings(PyObject* list, int* count_out) {
       return nullptr;
     }
     out[i] = static_cast<char*>(std::malloc(size + 1));
+    if (out[i] == nullptr) {
+      set_error("out of memory");
+      for (Py_ssize_t j = 0; j < i; ++j) std::free(out[j]);
+      std::free(out);
+      return nullptr;
+    }
     std::memcpy(out[i], utf8, size + 1);
   }
   *count_out = static_cast<int>(count);
@@ -150,8 +156,10 @@ SLIMT_API int slimt_init(const char* extra_pythonpath) {
   GilGuard gil;
   if (g_capi_module != nullptr) return 0;
 
+  // Insert-at-0 in {env, extra} order so the explicit API argument
+  // ends up FIRST on sys.path (wins over the env var).
   const char* env_path = std::getenv("SLIMT_TPU_PYTHONPATH");
-  for (const char* path : {extra_pythonpath, env_path}) {
+  for (const char* path : {env_path, extra_pythonpath}) {
     if (path == nullptr || path[0] == '\0') continue;
     PyObject* sys_path = PySys_GetObject("path");  // borrowed
     PyObject* entry = PyUnicode_FromString(path);
@@ -214,10 +222,13 @@ SLIMT_API char** slimt_translate(long long service, long long model,
     capture_py_error("texts");
     return nullptr;
   }
-  PyObject* args = Py_BuildValue("(LLNii)", service, model, list,
+  // "O" (not "N"): on Py_BuildValue failure partway through, "N"
+  // would already have stolen the list into the dying tuple and the
+  // unconditional decref below would double-free it.
+  PyObject* args = Py_BuildValue("(LLOii)", service, model, list,
                                  html != 0 ? 1 : 0, as_json != 0 ? 1 : 0);
+  Py_DECREF(list);
   if (args == nullptr) {
-    Py_DECREF(list);
     capture_py_error("args");
     return nullptr;
   }
@@ -233,10 +244,10 @@ SLIMT_API char** slimt_pivot(long long service, long long first,
     capture_py_error("texts");
     return nullptr;
   }
-  PyObject* args = Py_BuildValue("(LLLNii)", service, first, second, list,
+  PyObject* args = Py_BuildValue("(LLLOii)", service, first, second, list,
                                  html != 0 ? 1 : 0, as_json != 0 ? 1 : 0);
+  Py_DECREF(list);
   if (args == nullptr) {
-    Py_DECREF(list);
     capture_py_error("args");
     return nullptr;
   }

@@ -38,8 +38,15 @@ class Service:
             Config(workers=workers, cache_size=cache_size)
         )
 
-    def translate(self, model, texts, html: bool = False):
-        options = self._options_cls(html=html, alignment=html)
+    def translate(
+        self, model, texts, html: bool = False, alignment: bool = None
+    ):
+        """alignment defaults to the reference pybind behavior
+        (requested only when html needs it); pass True to force
+        alignments into the Responses (the C ABI's as_json path)."""
+        if alignment is None:
+            alignment = html
+        options = self._options_cls(html=html, alignment=alignment)
         handles = self._service.translate_many(model, list(texts), options)
         return [handle.result() for handle in handles]
 

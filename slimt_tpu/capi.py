@@ -104,10 +104,13 @@ def translate(
     as_json: bool = False,
 ) -> List[str]:
     """Translate; returns target texts, or full Response JSON
-    (bindings/python/utils.py to_json shape) when as_json."""
+    (bindings/python/utils.py to_json shape) when as_json — JSON
+    responses always carry alignments, per the slimt_capi.h contract."""
     from slimt_tpu.bindings import to_json
 
-    responses = _get(service).translate(_get(model), texts, html=html)
+    responses = _get(service).translate(
+        _get(model), texts, html=html, alignment=as_json or html
+    )
     if as_json:
         return [to_json(r) for r in responses]
     return [r.target.text for r in responses]

@@ -266,61 +266,18 @@ def _kernel_bte(
     y_ref, c_out_ref, attn0_ref,
     *, num_heads,
 ):
-    (aqf, invf, aqw, invw, aq_q, inv_q, aq_o, inv_o,
-     aq1, inv1, aq2, inv2) = [scales_ref[i] for i in range(12)]
-    x = x_ref[:]  # [TB, E]
-    tb, e = x.shape
-    d = e // num_heads
-    scale = 1.0 / math.sqrt(d)
-
-    f = jax.nn.sigmoid(
-        _mm(_q8(x, aqf), wf_ref).astype(jnp.float32) * invf + bf_ref[0, :]
+    scales = [scales_ref[i] for i in range(12)]
+    y, c_t, attn0 = _layer_math_bte(
+        x_ref[:], c_ref[:], k_ref[:], v_ref[:], mask_ref[:], sel_ref[:],
+        scales,
+        wf_ref, bf_ref, w_ref, ln_rnn_s, ln_rnn_b,
+        wq_ref, bq_ref, wo_ref, bo_ref, ln_att_s, ln_att_b,
+        w1_ref, b1_ref, w2_ref, b2_ref, ln_ffn_s, ln_ffn_b,
+        num_heads=num_heads,
     )
-    wx = _mm(_q8(x, aqw), w_ref).astype(jnp.float32) * invw
-    c_t = f * c_ref[:] + (1.0 - f) * wx
-    h = _ln(x + jnp.maximum(c_t, 0.0), ln_rnn_s[0, :], ln_rnn_b[0, :])
-
-    q = (
-        _mm(_q8(h, aq_q), wq_ref).astype(jnp.float32) * inv_q
-        + bq_ref[0, :]
-    )  # [TB, E]
-    k = k_ref[:]  # [TB, T, E] cache dtype
-    v = v_ref[:]
-    t = k.shape[1]
-    sel = sel_ref[:]  # [E, H] f32 head-membership selector
-
-    prod = k.astype(jnp.float32) * q[:, None, :]  # [TB, T, E]
-    scores = jax.lax.dot_general(
-        prod.reshape(tb * t, e), sel,
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ).reshape(tb, t, num_heads) * scale
-    scores = scores + mask_ref[:][:, :, None]
-    p = jax.nn.softmax(scores, axis=1)  # over T
-    attn0_ref[:] = p[:, :, 0]
-    p_full = jax.lax.dot_general(
-        p.reshape(tb * t, num_heads), sel,
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ).reshape(tb, t, e)
-    attn_out = (v.astype(jnp.float32) * p_full).sum(axis=1)  # [TB, E]
-
-    out = (
-        _mm(_q8(attn_out, aq_o), wo_ref).astype(jnp.float32) * inv_o
-        + bo_ref[0, :]
-    )
-    a = _ln(h + out, ln_att_s[0, :], ln_att_b[0, :])
-
-    hidden = jnp.maximum(
-        _mm(_q8(a, aq1), w1_ref).astype(jnp.float32) * inv1 + b1_ref[0, :],
-        0.0,
-    )
-    y = (
-        _mm(_q8(hidden, aq2), w2_ref).astype(jnp.float32) * inv2
-        + b2_ref[0, :]
-    )
-    y_ref[:] = _ln(y + a, ln_ffn_s[0, :], ln_ffn_b[0, :])
+    y_ref[:] = y
     c_out_ref[:] = c_t
+    attn0_ref[:] = attn0
 
 
 def decoder_layer_step_bte(

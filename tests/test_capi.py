@@ -64,7 +64,8 @@ def test_capi_python_backend(package_dir):
         decoded = json.loads(as_json[0])
         assert decoded["source"]["text"] == "hello world ."
         assert decoded["target"]["text"] == outputs[0]
-        assert "alignments" in decoded
+        # The JSON contract includes alignments even without html=1.
+        assert decoded["alignments"] and decoded["alignments"][0]
 
         pivoted = capi.pivot(service, model, model, ["hello world ."])
         assert len(pivoted) == 1
@@ -120,7 +121,6 @@ def test_capi_shared_library_end_to_end(package_dir, tmp_path):
     (full / "vocab.spm").write_bytes(package.vocabulary)
     from slimt_tpu.io.shortlist import build_synthetic_shortlist
     from slimt_tpu.text.synthetic_vocab import DEFAULT_WORDS, build_spm_model
-    from slimt_tpu.text import spm_proto
 
     vocab_size = max(len(build_spm_model(DEFAULT_WORDS).pieces), 64)
     (full / "shortlist.bin").write_bytes(
