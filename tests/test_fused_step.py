@@ -97,3 +97,28 @@ def test_fused_step_rejects_int8_kv(params):
     indices, mask = _batch(seed=6)
     with pytest.raises(ValueError, match="fused_step"):
         _run(params, indices, mask, "fused_step", kv_dtype="int8")
+
+
+def test_fused_step_through_service():
+    """ModelConfig(qmm_provider='fused_step') end to end through the
+    Blocking service (bucketed shapes, shortlist absent) — outputs
+    must match the default provider's."""
+    import dataclasses
+
+    from slimt_tpu.config import Config
+    from slimt_tpu.models.model import Model
+    from slimt_tpu.runtime.service import Blocking
+    from tests.helpers import TINY_TEST_CONFIG, make_package
+
+    package = make_package()
+    base = Model(TINY_TEST_CONFIG, package)
+    fused = Model(
+        dataclasses.replace(TINY_TEST_CONFIG, qmm_provider="fused_step"),
+        package,
+    )
+    texts = ["hello world", "a quick brown test", "unknown zzz"]
+    with Blocking(Config()) as svc:
+        want = [r.target.text for r in svc.translate(base, texts)]
+    with Blocking(Config()) as svc:
+        got = [r.target.text for r in svc.translate(fused, texts)]
+    assert got == want
