@@ -486,8 +486,39 @@ def bench_providers():
         print(json.dumps(result))
 
 
+def _watchdog(mode, seconds):
+    """If the TPU tunnel wedges (observed: device grant never arrives
+    and the process sits at 0% CPU indefinitely), emit a JSON error
+    line and exit instead of hanging the driver silently."""
+    import threading
+
+    def fire():
+        print(
+            json.dumps(
+                {
+                    "metric": mode,
+                    "value": 0,
+                    "unit": "tokens/s",
+                    "vs_baseline": 0,
+                    "error": (
+                        f"watchdog: no result after {seconds}s "
+                        "(TPU backend unavailable/wedged?)"
+                    ),
+                }
+            ),
+            flush=True,
+        )
+        os._exit(2)
+
+    timer = threading.Timer(seconds, fire)
+    timer.daemon = True
+    timer.start()
+    return timer
+
+
 def main():
     mode = sys.argv[1] if len(sys.argv) > 1 else "headline"
+    timer = _watchdog(mode, int(os.environ.get("BENCH_WATCHDOG_S", 2400)))
     {
         "headline": bench_headline,
         "batch1": bench_batch1,
@@ -500,6 +531,7 @@ def main():
         "corpus": bench_corpus,
         "providers": bench_providers,
     }[mode]()
+    timer.cancel()
 
 
 if __name__ == "__main__":
