@@ -39,18 +39,30 @@ class Service:
         )
 
     def translate(
-        self, model, texts, html: bool = False, alignment: bool = None
+        self,
+        model,
+        texts,
+        html: bool = False,
+        alignment: bool = None,
+        encoding="utf8",
     ):
         """alignment defaults to the reference pybind behavior
         (requested only when html needs it); pass True to force
-        alignments into the Responses (the C ABI's as_json path)."""
+        alignments into the Responses (the C ABI's as_json path).
+        `encoding` converts annotation ranges like the reference's
+        translate(..., encoding) (bindings/python/slimt.cpp:54-83,
+        default UTF8 there too): Encoding.UTF8/BYTE or the strings
+        "utf8"/"byte"; None keeps the engine's native byte ranges."""
         if alignment is None:
             alignment = html
         options = self._options_cls(html=html, alignment=alignment)
         handles = self._service.translate_many(model, list(texts), options)
-        return [handle.result() for handle in handles]
+        responses = [handle.result() for handle in handles]
+        return _convert_encoding(responses, encoding)
 
-    def translate_bulk(self, model, texts, html: bool = False):
+    def translate_bulk(
+        self, model, texts, html: bool = False, encoding="utf8"
+    ):
         """List-in/list-out translate via the bulk corpus path (same
         Responses, ~2x host throughput — see
         runtime/bulk.translate_bulk). Lazily shares one Blocking
@@ -61,20 +73,38 @@ class Service:
             self._bulk = Blocking(self._service.config)
             self._bulk.cache = self._service.cache  # shared cache
         options = self._options_cls(html=html, alignment=html)
-        return self._bulk.translate_bulk(model, list(texts), options)
+        responses = self._bulk.translate_bulk(model, list(texts), options)
+        return _convert_encoding(responses, encoding)
 
-    def pivot(self, first, second, texts, html: bool = False):
+    def pivot(
+        self, first, second, texts, html: bool = False, encoding="utf8"
+    ):
         options = self._options_cls(html=html, alignment=True)
         handles = [
             self._service.pivot(first, second, text, options)
             for text in texts
         ]
-        return [handle.result() for handle in handles]
+        responses = [handle.result() for handle in handles]
+        return _convert_encoding(responses, encoding)
 
     def close(self):
         self._service.close()
         if hasattr(self, "_bulk"):
             self._bulk.close()
+
+
+def _convert_encoding(responses, encoding):
+    """In-place Response.to(encoding); accepts Encoding or its string
+    value, returns the list for chaining."""
+    if encoding is None:
+        return responses
+    from slimt_tpu.text.annotation import Encoding
+
+    if isinstance(encoding, str):
+        encoding = Encoding(encoding.lower())
+    for response in responses:
+        response.to(encoding)
+    return responses
 
 
 def to_json(response: Response, *args, **kwargs) -> str:

@@ -63,3 +63,26 @@ def test_response_encoding_round_trip(model):
     assert byte_words == utf8_words
     response.to(Encoding.BYTE)
     assert byte_words == [w for _, _, _, w in words(response.source)]
+
+
+def test_service_translate_defaults_to_utf8_ranges(model):
+    """The facade converts Responses to UTF-8 ranges by default, like
+    the reference pybind translate(..., encoding=UTF8)
+    (bindings/python/slimt.cpp:54-83); encoding=None keeps the
+    engine's native byte offsets."""
+    text = "héllo wörld"
+    service = Service(workers=1, cache_size=0)
+    try:
+        utf8 = service.translate(model, [text])[0]
+        raw = service.translate(model, [text], encoding=None)[0]
+        via_enum = service.translate(model, [text], encoding=Encoding.BYTE)[0]
+    finally:
+        service.close()
+    assert utf8.source.encoding == Encoding.UTF8
+    assert raw.source.encoding == Encoding.BYTE
+    assert via_enum.source.encoding == Encoding.BYTE
+    # é/ö are 2 bytes: the sentence end differs between encodings.
+    assert (
+        utf8.source.sentence_as_range(0).end
+        < raw.source.sentence_as_range(0).end
+    )
