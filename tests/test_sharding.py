@@ -112,3 +112,31 @@ def test_replicated_params(params):
     rep = shd.replicate_params(params, mesh)
     leaf = rep["emb"]["q"]
     assert leaf.sharding.is_fully_replicated
+
+
+def test_sharded_int8_kv_matches_single_device(params):
+    """The per-row int8 KV cache's [B, T] scale arrays must shard
+    consistently with the [B, T, E] caches under DP×SP (GSPMD infers
+    both from the batch input sharding)."""
+    assert len(jax.devices()) >= 8
+    indices, mask = _batch(b=4, t=16)
+
+    def run(p, i, m):
+        return translate_batch(
+            p, jnp.asarray(i), jnp.asarray(m),
+            eos_id=1, max_steps=6, num_heads=CONFIG.num_heads,
+            provider="xla_int8", kv_dtype="int8",
+        )
+
+    want = run(params, indices, mask)
+    mesh = shd.make_mesh(data=2, seq=4)
+    rep = shd.replicate_params(params, mesh)
+    bspec = NamedSharding(mesh, shd.batch_pspec(seq=True))
+    got = run(
+        rep,
+        jax.device_put(jnp.asarray(indices), bspec),
+        jax.device_put(jnp.asarray(mask), bspec),
+    )
+    np.testing.assert_array_equal(
+        np.asarray(got.tokens), np.asarray(want.tokens)
+    )
