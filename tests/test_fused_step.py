@@ -122,3 +122,23 @@ def test_fused_step_through_service():
     with Blocking(Config()) as svc:
         got = [r.target.text for r in svc.translate(fused, texts)]
     assert got == want
+
+
+def test_fused_step_base_like_shapes():
+    """Shape generality: 8 heads, emb 64, ffn 128 (base-model ratios
+    scaled down) through the fused whole-step kernel."""
+    config = ModelConfig(encoder_layers=2, decoder_layers=2, num_heads=8)
+    blob = synthetic_model_bytes(
+        config=config, vocab_size=512, emb_dim=64, ffn_dim=128, seed=7
+    )
+    p = stack_layers(load_weights(load_items(blob), config))
+    rng = np.random.default_rng(0)
+    indices = jnp.asarray(rng.integers(3, 512, size=(4, 8)).astype(np.uint32))
+    mask = jnp.ones((4, 8), jnp.float32)
+    kw = dict(eos_id=2, max_steps=10, num_heads=8)
+    want = dec.translate_batch(
+        p, indices, mask, provider="xla_int8", kv_dtype="bfloat16", **kw
+    )
+    got = dec.translate_batch(p, indices, mask, provider="fused_step", **kw)
+    agree = (np.asarray(got.tokens) == np.asarray(want.tokens)).mean()
+    assert agree >= 0.9, f"token agreement {agree}"
