@@ -78,3 +78,19 @@ def test_cli_inspect(tmp_path, capsys):
     out = capsys.readouterr().out
     assert "Wemb" in out and "intgemm8" in out and "scale=" in out
     assert "tensors" in out.splitlines()[-1]
+
+
+def test_ci_smoke_sample_txt(tmp_path):
+    """The reference CI smoke (scripts/ci/ubuntu/03-test.sh): pipe
+    data/sample.txt through the CLI, one translation per input line."""
+    out = str(tmp_path / "pkg")
+    assert _run("synth", "--out", out).returncode == 0
+    sample = os.path.join(
+        os.path.dirname(os.path.dirname(__file__)), "data", "sample.txt"
+    )
+    with open(sample, encoding="utf-8") as f:
+        text = f.read()
+    result = _run("translate", "--root", out, input_text=text)
+    assert result.returncode == 0, result.stderr
+    lines = result.stdout.split("\n")
+    assert len([l for l in lines if l]) == 2
