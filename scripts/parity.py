@@ -130,7 +130,10 @@ def mode_providers(args):
     corpus = _corpus(args.lines)
     eos, max_steps = 2, 24
     outputs = {}
-    for provider in ("xla_int8", "pallas"):
+    # xla_int8 vs pallas must agree exactly (identical numerics);
+    # fused_step runs with a bf16 KV cache, so it is reported but
+    # only the first pair gates the exit code.
+    for provider in ("xla_int8", "pallas", "fused_step"):
         config, params = _build(provider)
         outputs[provider] = _decode_jax(
             config, params, corpus, eos, max_steps, provider
@@ -140,9 +143,18 @@ def mode_providers(args):
         for a, b in zip(outputs["xla_int8"], outputs["pallas"])
         if a != b
     )
+    fused_agree = sum(
+        1
+        for a, b in zip(outputs["xla_int8"], outputs["fused_step"])
+        if a == b
+    )
     print(
         f"provider agreement (xla_int8 vs pallas): "
         f"{len(corpus) - mismatches}/{len(corpus)}"
+    )
+    print(
+        f"provider agreement (xla_int8 f32-KV vs fused_step bf16-KV): "
+        f"{fused_agree}/{len(corpus)}"
     )
     return 0 if mismatches == 0 else 1
 
