@@ -28,8 +28,12 @@ class ModelConfig:
 
     # TPU-specific execution knobs (no reference equivalent).
     # Quantized-matmul provider: "pallas" (fused int8 kernels), "xla_int8"
-    # (lax.dot_general int8), or "f32" (dequantized float reference path).
-    # Mirrors the reference's compile-time QMM provider switch (QMM.cc:3-34).
+    # (lax.dot_general int8), "f32" (dequantized float reference path),
+    # or "fused_step" (whole decode step — all layers + shortlisted
+    # logits + argmax — as ONE Pallas program; for the small-batch
+    # latency regime on a single device, do not combine with mesh
+    # sharding). Mirrors the reference's compile-time QMM provider
+    # switch (QMM.cc:3-34).
     qmm_provider: str = "xla_int8"
     # The reference decoder adds the position-0 sinusoid at *every* decode
     # step (Transformer.cc:160 calls transform_embedding with start=0).
