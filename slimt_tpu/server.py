@@ -7,6 +7,9 @@ shape (one process per host, each serving its chips).
 
     POST /translate   {"text": "...", "model": "<name>", "html": false,
                        "pivot": "<name>"?}
+                      or {"texts": ["...", ...], ...} — batched; the
+                      whole list shares the service's batching window
+                      and returns {"targets": [...]}.
     GET  /health      {"status": "ok", "models": [...]}
 
 Run: python -m slimt_tpu.server --root pkg/ --port 8080
@@ -46,15 +49,37 @@ class TranslationServer:
             alignment=bool(payload.get("alignment", False)),
         )
         pivot_name = payload.get("pivot")
+        pivot_model = None
         if pivot_name:
             if pivot_name not in self.models:
                 raise KeyError(f"unknown pivot model {pivot_name!r}")
+            pivot_model = self.models[pivot_name]
+        timeout = payload.get("timeout", 300)
+
+        if "texts" in payload:
+            texts = list(payload["texts"])
+            if pivot_model is not None:
+                handles = [
+                    self.service.pivot(model, pivot_model, t, options)
+                    for t in texts
+                ]
+            else:
+                handles = self.service.translate_many(model, texts, options)
+            responses = [h.result(timeout=timeout) for h in handles]
+            return {
+                "targets": [r.target.text for r in responses],
+                "detail": [json.loads(to_json(r)) for r in responses]
+                if payload.get("detail")
+                else None,
+            }
+
+        if pivot_model is not None:
             handle = self.service.pivot(
-                model, self.models[pivot_name], payload["text"], options
+                model, pivot_model, payload["text"], options
             )
         else:
             handle = self.service.translate(model, payload["text"], options)
-        response = handle.result(timeout=payload.get("timeout", 300))
+        response = handle.result(timeout=timeout)
         return {
             "target": response.target.text,
             "source": response.source.text,
@@ -106,8 +131,11 @@ def make_handler(server: TranslationServer):
                 except json.JSONDecodeError as e:
                     self._reply(400, {"error": f"invalid JSON body: {e}"})
                     return
-                if "text" not in payload:
-                    self._reply(400, {"error": "missing required field 'text'"})
+                if "text" not in payload and "texts" not in payload:
+                    self._reply(
+                        400,
+                        {"error": "missing required field 'text' or 'texts'"},
+                    )
                     return
                 self._reply(200, server.handle(payload))
             except KeyError as e:

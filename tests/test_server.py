@@ -74,3 +74,29 @@ def test_unknown_model(endpoint):
     url, _ = endpoint
     status, body = _post(url, {"text": "x", "model": "nope"})
     assert status == 404
+
+
+def test_translate_batch_texts(endpoint):
+    url, _ = endpoint
+    texts = ["hello world", "a quick brown test", "hello world"]
+    status, body = _post(url, {"texts": texts, "model": "en-de"})
+    assert status == 200, body
+    assert len(body["targets"]) == 3
+    assert body["targets"][0] == body["targets"][2]  # same input
+    assert body["detail"] is None
+
+    status, body = _post(
+        url, {"texts": ["hello"], "model": "en-de", "detail": True}
+    )
+    assert status == 200
+    assert body["detail"][0]["source"]["text"] == "hello"
+
+
+def test_pivot_batch_texts(endpoint):
+    url, _ = endpoint
+    status, body = _post(
+        url,
+        {"texts": ["hello world"], "model": "en-de", "pivot": "de-en"},
+    )
+    assert status == 200, body
+    assert len(body["targets"]) == 1 and isinstance(body["targets"][0], str)
