@@ -65,7 +65,9 @@ def _corpus(lines, vocab=512, seed=1):
     return out
 
 
-def _decode_jax(config, params, batch_tokens, eos, max_steps, provider):
+def _decode_jax(
+    config, params, batch_tokens, eos, max_steps, provider, shortlist=None
+):
     import jax.numpy as jnp
 
     from slimt_tpu.models.decode import translate_batch
@@ -85,6 +87,7 @@ def _decode_jax(config, params, batch_tokens, eos, max_steps, provider):
         max_steps=max_steps,
         num_heads=config.num_heads,
         provider=provider,
+        shortlist=jnp.asarray(shortlist) if shortlist is not None else None,
     )
     tokens = np.asarray(result.tokens)
     valid = np.asarray(result.valid)
@@ -96,11 +99,34 @@ def _decode_jax(config, params, batch_tokens, eos, max_steps, provider):
 def mode_oracle(args):
     from tests import reference_impl as ref
 
-    config, params = _build()
+    if getattr(args, "preset", "tiny") == "base":
+        # base-model ratios scaled down: 6 enc / 2 dec / 8 heads.
+        from slimt_tpu.config import ModelConfig
+        from slimt_tpu.io import load_items
+        from slimt_tpu.io.loader import load_weights
+        from slimt_tpu.io.synthetic import synthetic_model_bytes
+
+        config = ModelConfig(encoder_layers=6, decoder_layers=2, num_heads=8)
+        items = load_items(
+            synthetic_model_bytes(
+                config=config, vocab_size=512, emb_dim=64, ffn_dim=256, seed=0
+            )
+        )
+        params = load_weights(items, config)
+    else:
+        config, params = _build()
     corpus = _corpus(args.lines)
     eos, max_steps = 2, 24
+    shortlist = (
+        np.arange(0, 512, 2, dtype=np.int32)
+        if getattr(args, "shortlist", False)
+        else None
+    )
 
-    got = _decode_jax(config, params, corpus, eos, max_steps, "xla_int8")
+    got = _decode_jax(
+        config, params, corpus, eos, max_steps, "xla_int8",
+        shortlist=shortlist,
+    )
 
     agree = total = 0
     for i, toks in enumerate(corpus):
@@ -114,7 +140,8 @@ def mode_oracle(args):
             config.num_heads,
         )
         want_tokens, want_valid, _ = ref.greedy_decode(
-            params, enc, mask_add, eos, max_steps, config.num_heads
+            params, enc, mask_add, eos, max_steps, config.num_heads,
+            shortlist=shortlist,
         )
         want = want_tokens[0][want_valid[0]].tolist()
         total += 1
@@ -177,6 +204,8 @@ def main():
     o = sub.add_parser("oracle")
     o.add_argument("--lines", type=int, default=64)
     o.add_argument("--verbose", action="store_true")
+    o.add_argument("--shortlist", action="store_true")
+    o.add_argument("--preset", choices=["tiny", "base"], default="tiny")
     o.set_defaults(fn=mode_oracle)
     p = sub.add_parser("providers")
     p.add_argument("--lines", type=int, default=64)
