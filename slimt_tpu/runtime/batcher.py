@@ -95,6 +95,7 @@ class Batcher:
             )
         self._buckets: List[List[SegmentRef]] = [[] for _ in range(size)]
         self._running_max = 0
+        self.pending_words = 0  # queued tokens (Threadsafe early-break)
 
     def enqueue(self, request: Request) -> int:
         """Insert all uncached segments; returns how many. Heap
@@ -111,6 +112,7 @@ class Batcher:
                 self._buckets.append([])
             heapq.heappush(self._buckets[length], ((rid, i), ref))
             self._running_max = max(self._running_max, length)
+            self.pending_words += length
             enqueued += 1
         return enqueued
 
@@ -129,14 +131,13 @@ class Batcher:
                     batch.add(heapq.heappop(bucket)[1])
                 elif batch.empty():
                     batch.add(heapq.heappop(bucket)[1])  # oversize singleton
+                    self.pending_words -= batch.token_count
                     return batch
                 else:
+                    self.pending_words -= batch.token_count
                     return batch
+        self.pending_words -= batch.token_count
         return batch
-
-    def clear(self) -> None:
-        for bucket in self._buckets:
-            bucket.clear()
 
 
 class AggregateBatcher:
@@ -167,6 +168,10 @@ class AggregateBatcher:
         self._models[model_id] = model
         return self._batchers[model_id].enqueue(request)
 
+    @property
+    def pending_words(self) -> int:
+        return sum(b.pending_words for b in self._batchers.values())
+
     def generate(self) -> Tuple[Batch, Optional[object]]:
         while self._queue:
             model_id = self._queue[0]
@@ -175,9 +180,6 @@ class AggregateBatcher:
                 return batch, self._models[model_id]
             self._queue.pop(0)
         return Batch(), None
-
-    def clear(self) -> None:
-        self._queue.clear()
 
 
 class Threadsafe:
@@ -225,19 +227,36 @@ class Threadsafe:
         import time as _time
 
         with self._cond:
-            while self._enqueued == 0 and not self._shutdown:
-                self._cond.wait()
-            if self._batch_latency > 0 and not self._shutdown:
-                deadline = _time.monotonic() + self._batch_latency
-                while True:
-                    remaining = deadline - _time.monotonic()
-                    if remaining <= 0 or self._shutdown:
-                        break
-                    self._cond.wait(timeout=remaining)
-            result = self._inner.generate()
-            batch = result[0] if isinstance(result, tuple) else result
-            self._enqueued -= len(batch)
-            return result
+            while True:
+                while self._enqueued == 0 and not self._shutdown:
+                    self._cond.wait()
+                if self._batch_latency > 0 and not self._shutdown:
+                    # Wait for more work, but break out as soon as a
+                    # maximal batch can already be packed — under
+                    # sustained load the window adds no occupancy,
+                    # only dead time.
+                    full = getattr(self._inner, "max_words", None)
+                    deadline = _time.monotonic() + self._batch_latency
+                    while True:
+                        if full is not None and (
+                            getattr(self._inner, "pending_words", 0) >= full
+                        ):
+                            break
+                        remaining = deadline - _time.monotonic()
+                        if remaining <= 0 or self._shutdown:
+                            break
+                        self._cond.wait(timeout=remaining)
+                # Another worker may have drained the queue while we
+                # sat in the latency window (the wait releases the
+                # lock): an empty non-shutdown batch would be mistaken
+                # for the shutdown poison by the worker loop — go back
+                # to waiting instead.
+                if self._enqueued == 0 and not self._shutdown:
+                    continue
+                result = self._inner.generate()
+                batch = result[0] if isinstance(result, tuple) else result
+                self._enqueued -= len(batch)
+                return result
 
     def shutdown(self) -> None:
         with self._cond:

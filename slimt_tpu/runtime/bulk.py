@@ -170,6 +170,13 @@ def translate_bulk(
     options = options or Options()
     need_alignment = bool(options.alignment or options.html)
 
+    if getattr(model, "_multiprocess", False):
+        # finish() runs process_allgather collectives: every host must
+        # issue them for the SAME batch in the SAME order. Pool fetches
+        # would let hosts interleave different batches' collectives and
+        # deadlock the slice — fetch serially in dispatch order.
+        pool = None
+
     if (
         process is None
         and not need_alignment
@@ -427,7 +434,7 @@ def _translate_bulk_columnar(
             keys = []
             hit = []
             for s in range(S):
-                key = hash((model_id, *ids_list[b_list[s] : b_list[s + 1]]))
+                key = cache_key(model_id, ids_list[b_list[s] : b_list[s + 1]])
                 keys.append(key)
                 found, h = cache.find(key)
                 if found and cache_usable(h, False):

@@ -16,7 +16,6 @@ from __future__ import annotations
 
 import threading
 import time
-from concurrent.futures import ThreadPoolExecutor, TimeoutError as FutureTimeout
 from typing import Callable, Optional
 
 
@@ -35,14 +34,26 @@ def probe_devices(timeout: float = 30.0) -> dict:
             results[str(device)] = value == 2.0
         return results
 
-    with ThreadPoolExecutor(max_workers=1) as pool:
-        future = pool.submit(run)
+    # A daemon thread, NOT a ThreadPoolExecutor: the pool's __exit__ /
+    # atexit hook joins worker threads, and on a wedged device the
+    # probe thread never returns — the probe (and interpreter exit)
+    # would hang in exactly the failure mode this exists to detect.
+    box = {}
+
+    def target():
         try:
-            results = future.result(timeout=timeout)
-        except FutureTimeout:
-            return {"ok": False, "error": f"device probe timed out ({timeout}s)"}
+            box["results"] = run()
         except Exception as e:  # noqa: BLE001
-            return {"ok": False, "error": f"{type(e).__name__}: {e}"}
+            box["error"] = f"{type(e).__name__}: {e}"
+
+    thread = threading.Thread(target=target, daemon=True)
+    thread.start()
+    thread.join(timeout)
+    if thread.is_alive():
+        return {"ok": False, "error": f"device probe timed out ({timeout}s)"}
+    if "error" in box:
+        return {"ok": False, "error": box["error"]}
+    results = box["results"]
     return {"ok": all(results.values()), "devices": results}
 
 

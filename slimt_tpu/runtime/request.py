@@ -132,9 +132,14 @@ class Request:
 
     def process(self, index: int, history: History) -> None:
         """Record one finished segment; may fire completion
-        (slimt/Request.cc:114-134)."""
+        (slimt/Request.cc:114-134). A request that already failed
+        (another batch errored) never completes: its future holds the
+        exception, and firing the continuation would set_result on a
+        resolved future and poison the whole completing batch."""
         finished = False
         with self._lock:
+            if self.failed is not None:
+                return
             self.histories[index] = history
             self._words_complete += len(self.segments[index])
             self._counter -= 1

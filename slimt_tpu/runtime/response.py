@@ -105,9 +105,11 @@ def transfer_through_characters(
                 sq += 1
 
     # Unmatched trailing pivot tokens (e.g. an unpredicted EOS): gift
-    # their mass uniformly (slimt/Response.cc:78-96).
-    while qt < len(target_side_pivots):
-        n_s = len(source_side_pivots)
+    # their mass uniformly (slimt/Response.cc:78-96). A first-leg
+    # sentence that decoded to ZERO tokens has nowhere to gift to —
+    # drop the mass instead of dividing by zero.
+    n_s = len(source_side_pivots)
+    while qt < len(target_side_pivots) and n_s > 0:
         for t in range(n_t):
             gift = pivot_given_targets[t][qt] / n_s
             for s in range(n_s):

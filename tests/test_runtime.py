@@ -229,3 +229,75 @@ def test_batcher_oversize_singleton():
         sizes.append(len(batch.segment_refs[0].get()))
     assert 5 in sizes  # oversize emitted as its own batch, not dropped
     assert 1 in sizes
+
+
+def test_failed_request_never_completes():
+    """A request failed by one batch (fail()) must ignore later
+    process() calls from its other batches: firing the continuation
+    after failure would set_result on a future that already holds the
+    exception and poison the completing batch (Async._work)."""
+    fired = []
+    request = _make_request(
+        [[1, 2], [3, 4]], continuation=lambda r: fired.append(r)
+    )
+    errors = []
+    request.on_error = errors.append
+
+    request.process(0, Hypothesis([5, 0], []))
+    request.fail(RuntimeError("device exploded"))
+    assert len(errors) == 1
+    # The second batch completes afterwards — must be a no-op.
+    request.process(1, Hypothesis([6, 0], []))
+    assert fired == []
+    assert isinstance(request.failed, RuntimeError)
+
+
+def test_batching_window_breaks_early_when_full():
+    """Threadsafe's batch_latency window must not sleep once a maximal
+    batch is already queued."""
+    import time
+
+    from slimt_tpu.runtime.batcher import Batcher, Threadsafe
+
+    inner = Batcher(max_words=16, wrap_length=4)
+    ts = Threadsafe(inner, batch_latency=5.0)  # would be 5s of dead time
+    for i in range(8):
+        ts.enqueue(_make_request([[1, 2]], id_=i))
+    t0 = time.monotonic()
+    batch = ts.generate()
+    assert time.monotonic() - t0 < 1.0, "latency window slept while full"
+    assert not batch.empty()
+
+
+def test_batching_window_no_spurious_poison():
+    """Two workers in the latency window + one batch of work: the
+    worker that loses the race must NOT emit an empty (poison) batch;
+    it keeps waiting until shutdown."""
+    import threading
+
+    from slimt_tpu.runtime.batcher import Batcher, Threadsafe
+
+    inner = Batcher(max_words=64, wrap_length=4)
+    ts = Threadsafe(inner, batch_latency=0.02)
+    results = []
+
+    def worker():
+        while True:
+            batch = ts.generate()
+            results.append(len(batch))
+            if batch.empty():
+                return
+
+    threads = [threading.Thread(target=worker) for _ in range(2)]
+    for t in threads:
+        t.start()
+    ts.enqueue(_make_request([[1, 2]]))
+    import time
+
+    time.sleep(0.3)  # both workers raced the window by now
+    # Only shutdown may produce empty batches.
+    assert all(n > 0 for n in results), results
+    ts.shutdown()
+    for t in threads:
+        t.join(timeout=5)
+    assert all(not t.is_alive() for t in threads)
