@@ -738,7 +738,11 @@ static int decode_one(const Vocab& v, const uint32_t* ids, int n,
       if (type == kControl || type == kByte) {
         // empty
       } else if (type == kUnknown) {
+        // unk_surface participates in the leading-space strip like a
+        // real piece (matches sentencepiece / the HF backend).
         surface = kUnkSurface;
+        if (first_real) surface.erase(surface.begin());
+        first_real = false;
       } else {
         std::string_view piece = v.piece(ids[i]);
         surface.reserve(piece.size());
@@ -759,6 +763,8 @@ static int decode_one(const Vocab& v, const uint32_t* ids, int n,
       }
     } else {
       surface = kUnkSurface;
+      if (first_real) surface.erase(surface.begin());
+      first_real = false;
     }
     if (pos + static_cast<int>(surface.size()) > text_cap) return -1;
     std::memcpy(out_text + pos, surface.data(), surface.size());

@@ -31,6 +31,7 @@ ELEMENT = "element"
 VOID_ELEMENT = "void"
 COMMENT = "comment"
 PROCESSING_INSTRUCTION = "pi"
+DOCTYPE = "doctype"
 WHITESPACE = "whitespace"
 
 VOID_TAGS = frozenset(
@@ -77,6 +78,8 @@ def _open_tag_html(tag: Tag) -> str:
         return f"<!--{tag.data}-->"
     if tag.type == PROCESSING_INSTRUCTION:
         return f"<?{tag.data}?>"
+    if tag.type == DOCTYPE:
+        return f"<!{tag.data}>"
     return ""  # WHITESPACE handled separately
 
 
@@ -263,6 +266,11 @@ class HTML:
                 stack.append(tag)
                 self.spans.append(Span(nbytes, nbytes, list(stack)))
                 stack.pop()
+            elif kind == "doctype":
+                tag = Tag(DOCTYPE, data=token[1])
+                stack.append(tag)
+                self.spans.append(Span(nbytes, nbytes, list(stack)))
+                stack.pop()
             elif kind == "data":
                 assert tag is not None
                 tag.data = token[1]
@@ -403,6 +411,7 @@ class HTML:
         previous_tags: List[Tag] = self.spans[0].tags
         straggler = 0
         cursor = 0
+        token_span_set = set(target_token_spans)  # O(1) membership
 
         def fun(range_: Range, token: str, last: bool) -> str:
             nonlocal previous_tags, straggler, cursor
@@ -410,7 +419,7 @@ class HTML:
             while straggler < target_token_spans[cursor]:
                 if (
                     self.spans[straggler].size() != 0
-                    and straggler in target_token_spans
+                    and straggler in token_span_set
                 ):
                     straggler += 1
                     continue

@@ -8,6 +8,7 @@ Python equivalent of the reference's zero-copy XHScanner
   ("tag_end", name)
   ("comment", data)
   ("pi", data)               — <?...?> processing instruction
+  ("doctype", data)          — <!...> declaration
   ("data", raw)              — raw content of special elements
 
 Special elements (script/style/textarea/iframe/noembed/noscript/
@@ -56,6 +57,8 @@ def _resolve_entity(match: re.Match) -> str:
                 if entity[2] in "xX"
                 else int(entity[2:-1])
             )
+            if 0xD800 <= code <= 0xDFFF or code > 0x10FFFF:
+                return entity  # lone surrogate: not encodable utf-8
             return chr(code)
         except (ValueError, OverflowError):
             return entity
@@ -70,11 +73,23 @@ class ScanError(ValueError):
     pass
 
 
-def _find_matching_close(markup: str, pos: int, name: str) -> int:
-    """Find the start of the close tag for `name` from `pos`, counting
-    nested same-name elements (reference consume_ignored_tag,
-    slimt/HTML.cc:279-356). Returns -1 if not found."""
+def _fold(markup: str) -> str:
+    """Length-preserving lowercase for case-insensitive tag searches:
+    str.lower() can CHANGE LENGTH (e.g. 'İ' → 'i̇'), which would
+    desynchronize indices between the folded and original strings."""
     lower = markup.lower()
+    if len(lower) == len(markup):
+        return lower
+    return "".join(
+        c.lower() if len(c.lower()) == 1 else c for c in markup
+    )
+
+
+def _find_matching_close(lower: str, pos: int, name: str) -> int:
+    """Find the start of the close tag for `name` from `pos` in the
+    length-preserving folded markup, counting nested same-name
+    elements (reference consume_ignored_tag, slimt/HTML.cc:279-356).
+    Returns -1 if not found."""
     name = name.lower()
     depth = 1
     cursor = pos
@@ -101,6 +116,7 @@ def scan(markup: str, raw_nested: frozenset = frozenset()) -> Iterator[Tuple]:
     (nesting-aware) emitted as a raw "data" token."""
     pos = 0
     n = len(markup)
+    lower = None  # folded copy, built lazily on first special element
     while pos < n:
         lt = markup.find("<", pos)
         if lt == -1:
@@ -122,11 +138,11 @@ def scan(markup: str, raw_nested: frozenset = frozenset()) -> Iterator[Tuple]:
             yield ("pi", markup[pos + 2 : end])
             pos = end + 2
         elif markup.startswith("<!", pos):
-            # <!DOCTYPE ...> and friends: pass through as a PI-ish node
+            # <!DOCTYPE ...> and friends: re-emitted as <!...>
             end = markup.find(">", pos + 2)
             if end == -1:
                 raise ScanError("unterminated <! declaration")
-            yield ("pi", markup[pos + 1 : end])
+            yield ("doctype", markup[pos + 2 : end])
             pos = end + 1
         elif markup.startswith("</", pos):
             m = _TAG_NAME_RE.match(markup, pos + 2)
@@ -167,7 +183,12 @@ def scan(markup: str, raw_nested: frozenset = frozenset()) -> Iterator[Tuple]:
                     value = raw[1:-1]
                 else:
                     value = raw
-                attrs_parts.append(f' {attr}="{decode_entities(value)}"')
+                # Keep the attribute text RAW (entities included) so
+                # re-emitting the tag reproduces well-formed markup —
+                # decoding here without re-escaping would let a
+                # decoded quote terminate the attribute early
+                # (reference XHScanner keeps attribute bytes raw).
+                attrs_parts.append(f' {attr}="{value}"')
                 cursor = am.end()
             else:
                 raise ScanError("unterminated open tag")
@@ -176,17 +197,24 @@ def scan(markup: str, raw_nested: frozenset = frozenset()) -> Iterator[Tuple]:
             if self_closing:
                 yield ("tag_end", name)
             elif name.lower() in SPECIAL_TAGS:
+                if lower is None:
+                    lower = _fold(markup)
                 close = f"</{name.lower()}>"
-                idx = markup.lower().find(close, pos)
+                idx = lower.find(close, pos)
                 if idx == -1:
                     raise ScanError(f"did not find closing tag {close}")
                 yield ("data", markup[pos:idx])
                 yield ("tag_end", name)
                 pos = idx + len(close)
             elif name.lower() in raw_nested:
-                idx = _find_matching_close(markup, pos, name)
+                if lower is None:
+                    lower = _fold(markup)
+                idx = _find_matching_close(lower, pos, name)
                 if idx == -1:
                     raise ScanError(f"did not find closing tag </{name}>")
                 yield ("data", markup[pos:idx])
                 yield ("tag_end", name)
-                pos = markup.find(">", idx) + 1
+                end = markup.find(">", idx)
+                if end == -1:
+                    raise ScanError(f"unterminated closing tag </{name}>")
+                pos = end + 1

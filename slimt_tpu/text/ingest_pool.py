@@ -22,12 +22,15 @@ from typing import Optional
 # -- worker side (runs in the spawned interpreter) ---------------------
 
 _WORKER_PROCESSORS = {}
+_WORKER_CACHE_CAP = 4  # full vocab+tokenizer each: bound worker memory
 
 
 def _worker_process(spec_key, spec, texts, wrap_length):
     """Build (once) the processor described by `spec` and run
-    process_batch. Module-level for spawn picklability."""
-    processor = _WORKER_PROCESSORS.get(spec_key)
+    process_batch. Module-level for spawn picklability. The cache is
+    a tiny LRU: model ids are monotonic, so an unbounded dict would
+    leak one full vocabulary per model (re)load per worker."""
+    processor = _WORKER_PROCESSORS.pop(spec_key, None)
     if processor is None:
         from slimt_tpu.text.processor import TextProcessor
         from slimt_tpu.text.vocabulary import Vocabulary
@@ -36,7 +39,9 @@ def _worker_process(spec_key, spec, texts, wrap_length):
         processor = TextProcessor(
             mode, Vocabulary(vocab_bytes, backend=backend), splitter_data
         )
-        _WORKER_PROCESSORS[spec_key] = processor
+    _WORKER_PROCESSORS[spec_key] = processor  # re-insert: LRU order
+    while len(_WORKER_PROCESSORS) > _WORKER_CACHE_CAP:
+        _WORKER_PROCESSORS.pop(next(iter(_WORKER_PROCESSORS)))
     return processor.process_batch(texts, wrap_length)
 
 

@@ -163,11 +163,6 @@ class TextProcessor:
             results.append((source, segments))
         return results
 
-    @staticmethod
-    def _to_byte_ranges(sentence: str, ranges):
-        # Vocabulary.encode already returns byte ranges into `sentence`.
-        return ranges
-
     def _wrap(
         self,
         ids: Segment,

@@ -514,7 +514,13 @@ class Vocabulary:
                 if piece.type == PIECE_CONTROL:
                     surface = ""
                 elif piece.type == PIECE_UNKNOWN:
+                    # unk_surface participates in the leading-space
+                    # strip like any real piece — otherwise a leading
+                    # <unk> keeps its space AND eats the next word's.
                     surface = UNK_SURFACE
+                    if first_real and surface.startswith(" "):
+                        surface = surface[1:]
+                    first_real = False
                 elif piece.type == PIECE_BYTE:
                     surface = ""  # byte-fallback pieces re-assembled upstream
                 else:
@@ -524,6 +530,9 @@ class Vocabulary:
                     first_real = False
             else:
                 surface = UNK_SURFACE
+                if first_real and surface.startswith(" "):
+                    surface = surface[1:]
+                first_real = False
             encoded = surface.encode("utf-8")
             out.append(surface)
             ranges.append((byte_pos, byte_pos + len(encoded)))

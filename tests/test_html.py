@@ -200,3 +200,47 @@ def test_comment_and_pi_preserved(model):
     )[0]
     assert "<!-- note -->" in response.source.text
     assert "<!-- note -->" in response.target.text
+
+
+def test_doctype_passthrough(model):
+    """<!DOCTYPE html> must survive extract + restore verbatim (it was
+    re-emitted as a <?...?> processing instruction)."""
+    service = Blocking(Config(cache_size=0))
+    response = service.translate(
+        model, ["<!DOCTYPE html><p>hello</p>"], Options(html=True)
+    )[0]
+    assert "<!DOCTYPE html>" in response.source.text
+    assert "<!DOCTYPE html>" in response.target.text
+    assert "<?" not in response.target.text
+
+
+def test_attribute_entities_kept_raw(model):
+    """Attribute values keep their entities: decoding without
+    re-escaping would let a quote terminate the attribute early."""
+    service = Blocking(Config(cache_size=0))
+    response = service.translate(
+        model, ['<a title="say &quot;hi&quot;">hello</a>'], Options(html=True)
+    )[0]
+    assert 'title="say &quot;hi&quot;"' in response.target.text
+
+
+def test_surrogate_numeric_entity_is_kept_literal():
+    """&#55296; (a lone surrogate) cannot be encoded to UTF-8 — keep
+    the entity text instead of crashing."""
+    from slimt_tpu.html.html import HTML
+
+    html = HTML("<p>a &#55296; b</p>")
+    assert "&#55296;" in html.source
+
+
+def test_length_changing_lowercase_in_special_tag():
+    """Tag searches fold case WITHOUT changing string length ('İ'
+    lowercases to two chars) — indices must stay aligned and scan must
+    terminate."""
+    from slimt_tpu.html.scanner import scan
+
+    tokens = list(scan("İ<script>a</script>z"))
+    kinds = [t[0] for t in tokens]
+    assert kinds == ["text", "tag_start", "data", "tag_end", "text"]
+    assert tokens[2][1] == "a"
+    assert tokens[4][1] == "z"

@@ -97,3 +97,14 @@ def test_decode_batch_parity(py_vocab, native_vocab):
 def test_decode_batch_empty():
     vocab = build_vocabulary(WORDS, backend="native")
     assert vocab.decode_batch([]) == []
+
+
+def test_decode_leading_unk_parity(py_vocab, native_vocab):
+    """unk_surface participates in the leading-space strip (matches
+    the HF/sentencepiece decoder): a leading <unk> must not keep its
+    space or eat the next word's."""
+    ids, _ = py_vocab.encode("hello")
+    seq = [1] + ids  # synthetic vocab: id 1 is <unk>
+    assert py_vocab.decode(seq) == native_vocab.decode(seq)
+    text, _ranges = py_vocab.decode(seq)
+    assert not text.startswith(" ")
