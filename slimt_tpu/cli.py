@@ -299,8 +299,12 @@ def main(argv=None) -> int:
         )
         return 1
     except Exception as e:
+        from slimt_tpu.html.scanner import BadHTML
         from slimt_tpu.io.loader import MissingParameter
 
+        if isinstance(e, BadHTML):
+            print(f"error: malformed HTML input: {e}", file=sys.stderr)
+            return 1
         if isinstance(e, MissingParameter):
             print(
                 f"error: model file has no parameter {e} — the "

@@ -240,11 +240,11 @@ class HTML:
                 if name in VOID_TAGS:
                     continue
                 if not stack:
-                    raise ValueError(
+                    raise xh.BadHTML(
                         f"more closing tags (</{token[1]}>) than opening"
                     )
                 if stack[-1].name.lower() != name:
-                    raise ValueError(
+                    raise xh.BadHTML(
                         f"unexpected closing tag </{token[1]}>"
                     )
                 if not self.spans or not any(
@@ -277,7 +277,7 @@ class HTML:
 
         if stack:
             names = ", ".join(t.name for t in stack)
-            raise ValueError(f"not all tags were closed: {names}")
+            raise xh.BadHTML(f"not all tags were closed: {names}")
         self.spans.append(Span(nbytes, nbytes, []))
         self.source = "".join(parts)
 

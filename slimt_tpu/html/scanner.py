@@ -69,7 +69,12 @@ def decode_entities(text: str) -> str:
     return _ENTITY_RE.sub(_resolve_entity, text)
 
 
-class ScanError(ValueError):
+class BadHTML(ValueError):
+    """Malformed-markup error for the whole HTML pipeline (scanner and
+    extractor), the analog of the reference's BadHTML exception."""
+
+
+class ScanError(BadHTML):
     pass
 
 
