@@ -131,6 +131,11 @@ def make_handler(server: TranslationServer):
                 except json.JSONDecodeError as e:
                     self._reply(400, {"error": f"invalid JSON body: {e}"})
                     return
+                if not isinstance(payload, dict):
+                    self._reply(
+                        400, {"error": "request body must be a JSON object"}
+                    )
+                    return
                 if "text" not in payload and "texts" not in payload:
                     self._reply(
                         400,

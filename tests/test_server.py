@@ -100,3 +100,28 @@ def test_pivot_batch_texts(endpoint):
     )
     assert status == 200, body
     assert len(body["targets"]) == 1 and isinstance(body["targets"][0], str)
+
+
+def test_bad_request_bodies(endpoint):
+    """Malformed bodies get 400s, not 500s."""
+    url, _ = endpoint
+    status, body = _post(url, ["not", "an", "object"])
+    assert status == 400
+    assert "JSON object" in body["error"]
+
+    request = urllib.request.Request(
+        url + "/translate",
+        data=b"{not json",
+        headers={"Content-Type": "application/json"},
+    )
+    try:
+        with urllib.request.urlopen(request, timeout=30) as resp:
+            status = resp.status
+    except urllib.error.HTTPError as e:
+        status, body = e.code, json.loads(e.read())
+    assert status == 400
+    assert "invalid JSON" in body["error"]
+
+    status, body = _post(url, {"model": "en-de"})
+    assert status == 400
+    assert "text" in body["error"]
