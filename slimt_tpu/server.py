@@ -7,9 +7,11 @@ shape (one process per host, each serving its chips).
 
     POST /translate   {"text": "...", "model": "<name>", "html": false,
                        "pivot": "<name>"?}
-                      or {"texts": ["...", ...], ...} — batched; the
-                      whole list shares the service's batching window
-                      and returns {"targets": [...]}.
+                      or {"texts": ["...", ...], ...} — batched,
+                      returns {"targets": [...]}; lists of
+                      `bulk_threshold`+ lines ride the request-free
+                      bulk lane (identical Responses, ~2.2× faster),
+                      smaller lists share the Async batching window.
     GET  /health      {"status": "ok", "models": [...]}
 
 Run: python -m slimt_tpu.server --root pkg/ --port 8080
@@ -26,12 +28,26 @@ from typing import Dict, Optional
 from slimt_tpu.bindings import to_json
 from slimt_tpu.config import Config
 from slimt_tpu.runtime.response import Options
-from slimt_tpu.runtime.service import Async
+from slimt_tpu.runtime.service import Async, Blocking
 
 
 class TranslationServer:
-    def __init__(self, config: Optional[Config] = None):
-        self.service = Async(config or Config(workers=2))
+    """`bulk_threshold`: batched {"texts": [...]} requests at or above
+    this many lines run on the request-free bulk lane (Blocking
+    translate_bulk / pivot — ~2.2× the streaming path's throughput,
+    identical Responses) on the handler thread, serialized by a lock;
+    smaller batches and single texts keep the Async streaming path so
+    concurrent clients share device batches."""
+
+    def __init__(
+        self, config: Optional[Config] = None, bulk_threshold: int = 32
+    ):
+        config = config or Config(workers=2)
+        self.service = Async(config)
+        self.blocking = Blocking(config)
+        self.blocking.cache = self.service.cache  # one cache, both lanes
+        self.bulk_threshold = bulk_threshold
+        self._bulk_lock = threading.Lock()
         self.models: Dict[str, object] = {}
 
     def add_model(self, name: str, model) -> None:
@@ -58,14 +74,27 @@ class TranslationServer:
 
         if "texts" in payload:
             texts = list(payload["texts"])
-            if pivot_model is not None:
-                handles = [
-                    self.service.pivot(model, pivot_model, t, options)
-                    for t in texts
-                ]
+            if len(texts) >= self.bulk_threshold:
+                with self._bulk_lock:
+                    if pivot_model is not None:
+                        responses = self.blocking.pivot(
+                            model, pivot_model, texts, options
+                        )
+                    else:
+                        responses = self.blocking.translate_bulk(
+                            model, texts, options
+                        )
             else:
-                handles = self.service.translate_many(model, texts, options)
-            responses = [h.result(timeout=timeout) for h in handles]
+                if pivot_model is not None:
+                    handles = [
+                        self.service.pivot(model, pivot_model, t, options)
+                        for t in texts
+                    ]
+                else:
+                    handles = self.service.translate_many(
+                        model, texts, options
+                    )
+                responses = [h.result(timeout=timeout) for h in handles]
             return {
                 "targets": [r.target.text for r in responses],
                 "detail": [json.loads(to_json(r)) for r in responses]
@@ -90,6 +119,7 @@ class TranslationServer:
 
     def close(self):
         self.service.close()
+        self.blocking.close()
 
 
 def make_handler(server: TranslationServer):

@@ -125,3 +125,50 @@ def test_bad_request_bodies(endpoint):
     status, body = _post(url, {"model": "en-de"})
     assert status == 400
     assert "text" in body["error"]
+
+
+@pytest.fixture(scope="module")
+def bulk_endpoint():
+    """Server with a tiny bulk_threshold so batch tests hit the bulk
+    lane (and one with a huge threshold pinning the streaming lane,
+    for differential comparison)."""
+    from slimt_tpu.server import serve as serve_fn
+
+    bulk = TranslationServer(Config(workers=1, cache_size=0),
+                             bulk_threshold=4)
+    streaming = TranslationServer(Config(workers=1, cache_size=0),
+                                  bulk_threshold=10**9)
+    for server in (bulk, streaming):
+        server.add_model("en-de", make_model(seed=0))
+        server.add_model("de-en", make_model(seed=1))
+    hb = serve_fn(bulk, host="127.0.0.1", port=0)
+    hs = serve_fn(streaming, host="127.0.0.1", port=0)
+    yield (
+        f"http://127.0.0.1:{hb.server_address[1]}",
+        f"http://127.0.0.1:{hs.server_address[1]}",
+    )
+    hb.shutdown()
+    hs.shutdown()
+    bulk.close()
+    streaming.close()
+
+
+def test_bulk_lane_matches_streaming_lane(bulk_endpoint):
+    bulk_url, streaming_url = bulk_endpoint
+    texts = [f"hello world {i}" for i in range(6)]
+    payload = {"texts": texts, "model": "en-de", "detail": True}
+    s1, via_bulk = _post(bulk_url, payload)
+    s2, via_streaming = _post(streaming_url, payload)
+    assert s1 == s2 == 200
+    assert via_bulk["targets"] == via_streaming["targets"]
+    assert via_bulk["detail"] == via_streaming["detail"]
+
+
+def test_bulk_lane_pivot_matches_streaming(bulk_endpoint):
+    bulk_url, streaming_url = bulk_endpoint
+    texts = [f"hello world {i}" for i in range(5)]
+    payload = {"texts": texts, "model": "en-de", "pivot": "de-en"}
+    s1, via_bulk = _post(bulk_url, payload)
+    s2, via_streaming = _post(streaming_url, payload)
+    assert s1 == s2 == 200
+    assert via_bulk["targets"] == via_streaming["targets"]
