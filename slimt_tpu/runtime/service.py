@@ -330,11 +330,12 @@ class Blocking:
 
 class Async:
     def __init__(self, config: Optional[Config] = None):
-        from slimt_tpu.utils import tune_gc
+        from slimt_tpu.utils import ServiceMeters, tune_gc
 
         self.config = config or Config()
         tune_gc(self.config.gc_gen0_threshold)
         self.cache = make_cache(self.config.cache_size)
+        self.meters = ServiceMeters()
         self._ids = itertools.count()
         self.batcher = Threadsafe(
             AggregateBatcher(
@@ -357,16 +358,26 @@ class Async:
         get the exception) instead of killing the worker."""
         import logging
 
+        import time
+
         while True:
             batch, model = self.batcher.generate()
             if batch.empty():
                 return
             try:
+                t0 = time.perf_counter()
                 histories = model.forward(
                     [ref.get() for ref in batch.segment_refs],
                     need_alignment=_needs_alignment(batch),
                 )
                 batch.complete(histories)
+                self.meters.record_batch(
+                    words=batch.token_count,
+                    elapsed=time.perf_counter() - t0,
+                    used=batch.token_count,
+                    capacity=len(batch.segment_refs)
+                    * max(batch.max_length, 1),
+                )
             except Exception as e:  # noqa: BLE001
                 logging.getLogger(__name__).exception(
                     "translation batch failed"

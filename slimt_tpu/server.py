@@ -48,6 +48,8 @@ class TranslationServer:
         self.blocking.cache = self.service.cache  # one cache, both lanes
         self.bulk_threshold = bulk_threshold
         self._bulk_lock = threading.Lock()
+        self._stats_lock = threading.Lock()
+        self._counts = {"requests": 0, "lines": 0, "errors": 0}
         self.models: Dict[str, object] = {}
 
     def add_model(self, name: str, model) -> None:
@@ -117,6 +119,35 @@ class TranslationServer:
             else None,
         }
 
+    def record(self, lines: int = 0, error: bool = False) -> None:
+        with self._stats_lock:
+            self._counts["requests"] += 1
+            self._counts["lines"] += lines
+            if error:
+                self._counts["errors"] += 1
+
+    def stats(self) -> dict:
+        """Live serving metrics (the reference's exhaust-loop wps and
+        occupancy meters, slimt/Frontend.cc:44-59, surfaced per lane)."""
+
+        def lane(meters):
+            return {
+                "batches": meters.wps.count,
+                "wps_avg": round(meters.wps.average(), 1),
+                "occupancy_avg": round(meters.occupancy.average(), 4),
+            }
+
+        with self._stats_lock:
+            counts = dict(self._counts)
+        return {
+            **counts,
+            "streaming": lane(self.service.meters),
+            "bulk": lane(self.blocking.meters),
+            "workers": self.service.config.workers,
+            "bulk_threshold": self.bulk_threshold,
+            "models": sorted(self.models),
+        }
+
     def close(self):
         self.service.close()
         self.blocking.close()
@@ -141,6 +172,8 @@ def make_handler(server: TranslationServer):
                     200,
                     {"status": "ok", "models": sorted(server.models)},
                 )
+            elif self.path == "/stats":
+                self._reply(200, server.stats())
             elif self.path == "/health/devices":
                 from slimt_tpu.runtime.health import probe_devices
 
@@ -172,10 +205,17 @@ def make_handler(server: TranslationServer):
                         {"error": "missing required field 'text' or 'texts'"},
                     )
                     return
-                self._reply(200, server.handle(payload))
+                lines = (
+                    len(payload["texts"]) if "texts" in payload else 1
+                )
+                body = server.handle(payload)
+                server.record(lines=lines)
+                self._reply(200, body)
             except KeyError as e:
+                server.record(error=True)
                 self._reply(404, {"error": str(e)})
             except Exception as e:  # noqa: BLE001
+                server.record(error=True)
                 self._reply(500, {"error": f"{type(e).__name__}: {e}"})
 
     return Handler

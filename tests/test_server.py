@@ -172,3 +172,26 @@ def test_bulk_lane_pivot_matches_streaming(bulk_endpoint):
     s2, via_streaming = _post(streaming_url, payload)
     assert s1 == s2 == 200
     assert via_bulk["targets"] == via_streaming["targets"]
+
+
+def test_stats_endpoint(bulk_endpoint):
+    bulk_url, streaming_url = bulk_endpoint
+    # One bulk-lane batch and one streaming single text on each server.
+    _post(bulk_url, {"texts": [f"hi there {i}" for i in range(6)],
+                     "model": "en-de"})
+    _post(bulk_url, {"text": "hello stats", "model": "en-de"})
+    with urllib.request.urlopen(bulk_url + "/stats", timeout=30) as r:
+        stats = json.loads(r.read())
+    assert stats["requests"] >= 2
+    assert stats["lines"] >= 7
+    assert stats["models"] == ["de-en", "en-de"]
+    # Bulk lane ran (6 >= threshold 4) and streaming ran (single text).
+    assert stats["bulk"]["batches"] >= 1
+    assert stats["streaming"]["batches"] >= 1
+    assert stats["streaming"]["wps_avg"] > 0
+    assert 0 < stats["streaming"]["occupancy_avg"] <= 1
+    # Errors counted.
+    _post(bulk_url, {"text": "x", "model": "nope"})
+    with urllib.request.urlopen(bulk_url + "/stats", timeout=30) as r:
+        stats = json.loads(r.read())
+    assert stats["errors"] >= 1
