@@ -12,7 +12,17 @@ shape (one process per host, each serving its chips).
                       `bulk_threshold`+ lines ride the request-free
                       bulk lane (identical Responses, ~2.2× faster),
                       smaller lists share the Async batching window.
+    POST /submit      same payload; returns {"job": "<id>"} immediately
+                      (always the Async streaming lane — jobs have
+                      live progress).
+    GET  /job/<id>    {"done": false, "progress": {wps, words: [p,q],
+                      segments: [p,q], parts: [p,q]}} while running —
+                      the reference CLI's Handle::info poll meter
+                      (app/main.cc:119-157) over HTTP; when done, the
+                      /translate response body (job is consumed by the
+                      fetch that returns done=true).
     GET  /health      {"status": "ok", "models": [...]}
+    GET  /stats       live serving counters and wps/occupancy meters
 
 Run: python -m slimt_tpu.server --root pkg/ --port 8080
 """
@@ -20,6 +30,7 @@ Run: python -m slimt_tpu.server --root pkg/ --port 8080
 from __future__ import annotations
 
 import argparse
+import itertools
 import json
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
@@ -50,12 +61,16 @@ class TranslationServer:
         self._bulk_lock = threading.Lock()
         self._stats_lock = threading.Lock()
         self._counts = {"requests": 0, "lines": 0, "errors": 0}
+        self._jobs: Dict[str, dict] = {}
+        self._jobs_lock = threading.Lock()
+        self._job_ids = itertools.count()
+        self.max_jobs = 4096
         self.models: Dict[str, object] = {}
 
     def add_model(self, name: str, model) -> None:
         self.models[name] = model
 
-    def handle(self, payload: dict) -> dict:
+    def _resolve(self, payload: dict):
         name = payload.get("model")
         if name is None and len(self.models) == 1:
             name = next(iter(self.models))
@@ -72,6 +87,10 @@ class TranslationServer:
             if pivot_name not in self.models:
                 raise KeyError(f"unknown pivot model {pivot_name!r}")
             pivot_model = self.models[pivot_name]
+        return model, pivot_model, options
+
+    def handle(self, payload: dict) -> dict:
+        model, pivot_model, options = self._resolve(payload)
         timeout = payload.get("timeout", 300)
 
         if "texts" in payload:
@@ -117,6 +136,103 @@ class TranslationServer:
             "detail": json.loads(to_json(response))
             if payload.get("detail")
             else None,
+        }
+
+    def submit(self, payload: dict) -> str:
+        """Enqueue without waiting; returns a job id for /job/<id>.
+        Always the Async streaming lane — its Handles carry the live
+        progress the poll endpoint reports."""
+        model, pivot_model, options = self._resolve(payload)
+        if "texts" in payload:
+            texts = list(payload["texts"])
+            single = False
+            if pivot_model is not None:
+                handles = [
+                    self.service.pivot(model, pivot_model, t, options)
+                    for t in texts
+                ]
+            else:
+                handles = self.service.translate_many(model, texts, options)
+        else:
+            single = True
+            if pivot_model is not None:
+                handles = [
+                    self.service.pivot(
+                        model, pivot_model, payload["text"], options
+                    )
+                ]
+            else:
+                handles = [
+                    self.service.translate(model, payload["text"], options)
+                ]
+        with self._jobs_lock:
+            if len(self._jobs) >= self.max_jobs:
+                raise RuntimeError(
+                    f"job table full ({self.max_jobs}); fetch or drop jobs"
+                )
+            job_id = f"j{next(self._job_ids)}"
+            self._jobs[job_id] = {
+                "handles": handles,
+                "single": single,
+                "detail": bool(payload.get("detail")),
+            }
+        return job_id
+
+    def poll_job(self, job_id: str) -> tuple:
+        """(status, body): progress while running, the /translate
+        response body once done. The fetch that observes done=true
+        consumes the job."""
+        with self._jobs_lock:
+            job = self._jobs.get(job_id)
+        if job is None:
+            return 404, {"error": f"unknown job {job_id!r}"}
+        handles = job["handles"]
+        if not all(h.future.done() for h in handles):
+            infos = [h.info() for h in handles]
+            return 200, {
+                "done": False,
+                "progress": {
+                    "wps": round(sum(i.wps for i in infos), 1),
+                    "words": [
+                        sum(i.words.p for i in infos),
+                        sum(i.words.q for i in infos),
+                    ],
+                    "segments": [
+                        sum(i.segments.p for i in infos),
+                        sum(i.segments.q for i in infos),
+                    ],
+                    "parts": [
+                        sum(i.parts.p for i in infos),
+                        sum(i.parts.q for i in infos),
+                    ],
+                },
+            }
+        with self._jobs_lock:
+            self._jobs.pop(job_id, None)
+        try:
+            responses = [h.result(timeout=0) for h in handles]
+        except Exception as e:  # noqa: BLE001 — surfaced in the body
+            return 200, {
+                "done": True,
+                "error": f"{type(e).__name__}: {e}",
+            }
+        detail = (
+            [json.loads(to_json(r)) for r in responses]
+            if job["detail"]
+            else None
+        )
+        if job["single"]:
+            r = responses[0]
+            return 200, {
+                "done": True,
+                "target": r.target.text,
+                "source": r.source.text,
+                "detail": detail[0] if detail else None,
+            }
+        return 200, {
+            "done": True,
+            "targets": [r.target.text for r in responses],
+            "detail": detail,
         }
 
     def record(self, lines: int = 0, error: bool = False) -> None:
@@ -174,6 +290,9 @@ def make_handler(server: TranslationServer):
                 )
             elif self.path == "/stats":
                 self._reply(200, server.stats())
+            elif self.path.startswith("/job/"):
+                status, body = server.poll_job(self.path[len("/job/"):])
+                self._reply(status, body)
             elif self.path == "/health/devices":
                 from slimt_tpu.runtime.health import probe_devices
 
@@ -183,7 +302,7 @@ def make_handler(server: TranslationServer):
                 self._reply(404, {"error": "not found"})
 
         def do_POST(self):
-            if self.path != "/translate":
+            if self.path not in ("/translate", "/submit"):
                 self._reply(404, {"error": "not found"})
                 return
             try:
@@ -208,7 +327,10 @@ def make_handler(server: TranslationServer):
                 lines = (
                     len(payload["texts"]) if "texts" in payload else 1
                 )
-                body = server.handle(payload)
+                if self.path == "/submit":
+                    body = {"job": server.submit(payload)}
+                else:
+                    body = server.handle(payload)
                 server.record(lines=lines)
                 self._reply(200, body)
             except KeyError as e:

@@ -195,3 +195,88 @@ def test_stats_endpoint(bulk_endpoint):
     with urllib.request.urlopen(bulk_url + "/stats", timeout=30) as r:
         stats = json.loads(r.read())
     assert stats["errors"] >= 1
+
+
+def test_job_submit_poll_fetch(endpoint):
+    url, _ = endpoint
+    # Single text job.
+    status, body = _post_path(url, "/submit", {"text": "hello world",
+                                               "model": "en-de"})
+    assert status == 200
+    job = body["job"]
+    done = _poll_until_done(url, job)
+    assert done["target"]
+    assert done["source"] == "hello world"
+    # The fetch that returned done=true consumed the job.
+    status, body = _get_json(url, f"/job/{job}")
+    assert status == 404
+
+    # Batch job with detail.
+    texts = [f"hello world {i}" for i in range(3)]
+    status, body = _post_path(
+        url, "/submit", {"texts": texts, "model": "en-de", "detail": True}
+    )
+    assert status == 200
+    done = _poll_until_done(url, body["job"])
+    assert len(done["targets"]) == 3
+    assert len(done["detail"]) == 3
+
+    status, body = _get_json(url, "/job/nope")
+    assert status == 404
+
+
+def test_job_progress_shape():
+    """A zero-worker service never completes: the poll must keep
+    reporting the Handle::info progress shape."""
+    from slimt_tpu.server import TranslationServer, serve as serve_fn
+
+    server = TranslationServer(Config(workers=0, cache_size=0))
+    server.add_model("en-de", make_model(seed=0))
+    httpd = serve_fn(server, host="127.0.0.1", port=0)
+    url = f"http://127.0.0.1:{httpd.server_address[1]}"
+    try:
+        status, body = _post_path(url, "/submit",
+                                  {"text": "hello world", "model": "en-de"})
+        assert status == 200
+        status, poll = _get_json(url, f"/job/{body['job']}")
+        assert status == 200
+        assert poll["done"] is False
+        progress = poll["progress"]
+        assert progress["words"][1] > 0 and progress["words"][0] == 0
+        assert progress["parts"] == [1, 1]
+    finally:
+        httpd.shutdown()
+        server.close()
+
+
+def _post_path(url, path, payload, timeout=120):
+    request = urllib.request.Request(
+        url + path,
+        data=json.dumps(payload).encode("utf-8"),
+        headers={"Content-Type": "application/json"},
+    )
+    try:
+        with urllib.request.urlopen(request, timeout=timeout) as resp:
+            return resp.status, json.loads(resp.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+def _get_json(url, path, timeout=30):
+    try:
+        with urllib.request.urlopen(url + path, timeout=timeout) as r:
+            return r.status, json.loads(r.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+def _poll_until_done(url, job, tries=600):
+    import time as _time
+
+    for _ in range(tries):
+        status, body = _get_json(url, f"/job/{job}")
+        assert status == 200, body
+        if body["done"]:
+            return body
+        _time.sleep(0.05)
+    raise AssertionError(f"job {job} never finished")
