@@ -44,7 +44,77 @@ def _package(args, prefix=""):
     )
 
 
+def _remote_translate(args) -> int:
+    """Thin fleet client: the same CLI against a slimt_tpu.server (or
+    runtime.router) endpoint instead of local chips. --async polls the
+    /submit + /job/<id> API and renders the same progress meter the
+    local path renders from Handle::info."""
+    import urllib.error
+    import urllib.request
+
+    def call(path, payload):
+        request = urllib.request.Request(
+            args.url.rstrip("/") + path,
+            data=json.dumps(payload).encode("utf-8"),
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(request, timeout=600) as resp:
+            return json.loads(resp.read())
+
+    def get(path):
+        with urllib.request.urlopen(
+            args.url.rstrip("/") + path, timeout=60
+        ) as resp:
+            return json.loads(resp.read())
+
+    text = sys.stdin.read() if args.text is None else args.text
+    payload = {"text": text, "html": args.html}
+    if args.remote_model:
+        payload["model"] = args.remote_model
+    if args.remote_pivot:
+        payload["pivot"] = args.remote_pivot
+    try:
+        if args.use_async:
+            job = call("/submit", payload)["job"]
+            while True:
+                body = get(f"/job/{job}")
+                if body["done"]:
+                    break
+                if args.poll:
+                    p = body["progress"]
+                    wp, wq = p["words"]
+                    print(
+                        f"\r[{p['parts'][0]}/{p['parts'][1]}] "
+                        f"{100.0 * wp / wq if wq else 100.0:5.1f}% words "
+                        f"({p['wps']:8.1f} wps)",
+                        end="",
+                        file=sys.stderr,
+                    )
+                time.sleep(args.poll or 0.1)
+            if args.poll:
+                print(file=sys.stderr)
+            if body.get("error"):
+                print(f"remote error: {body['error']}", file=sys.stderr)
+                return 1
+        else:
+            body = call("/translate", payload)
+        print(body["target"])
+        return 0
+    except urllib.error.HTTPError as e:
+        try:
+            detail = json.loads(e.read()).get("error", "")
+        except Exception:  # noqa: BLE001
+            detail = ""
+        print(f"server returned {e.code}: {detail}", file=sys.stderr)
+        return 1
+    except urllib.error.URLError as e:
+        print(f"cannot reach {args.url}: {e.reason}", file=sys.stderr)
+        return 1
+
+
 def cmd_translate(args) -> int:
+    if args.url:
+        return _remote_translate(args)
     from slimt_tpu.config import Config, preset
     from slimt_tpu.models.model import Model
     from slimt_tpu.runtime.response import Options
@@ -257,6 +327,19 @@ def main(argv=None) -> int:
     t.add_argument(
         "--split-mode", default=None,
         choices=["sentence", "paragraph", "wrapped_text"],
+    )
+    t.add_argument(
+        "--url", default=None,
+        help="translate via a slimt_tpu.server / router endpoint "
+        "instead of local chips (--async polls /submit + /job)",
+    )
+    t.add_argument(
+        "--remote-model", default=None,
+        help="model name in the remote server's registry",
+    )
+    t.add_argument(
+        "--remote-pivot", default=None,
+        help="pivot model name in the remote server's registry",
     )
     t.set_defaults(fn=cmd_translate)
 

@@ -94,3 +94,52 @@ def test_ci_smoke_sample_txt(tmp_path):
     assert result.returncode == 0, result.stderr
     lines = result.stdout.split("\n")
     assert len([l for l in lines if l]) == 2
+
+
+def test_translate_remote_url():
+    """--url turns the CLI into a fleet client (blocking + async job
+    polling + error paths), against an in-process server."""
+    import json
+    import urllib.request
+
+    from slimt_tpu.config import Config
+    from slimt_tpu.server import TranslationServer, serve
+
+    from .helpers import make_model
+
+    server = TranslationServer(Config(workers=1, cache_size=0))
+    server.add_model("en-de", make_model(seed=0))
+    httpd = serve(server, host="127.0.0.1", port=0)
+    url = f"http://127.0.0.1:{httpd.server_address[1]}"
+    try:
+        result = _run(
+            "translate", "--url", url, "--remote-model", "en-de",
+            "--text", "hello world",
+        )
+        assert result.returncode == 0, result.stderr
+        assert result.stdout.strip()
+
+        result = _run(
+            "translate", "--url", url, "--async", "--poll", "0.05",
+            "--text", "hello world",
+        )
+        assert result.returncode == 0, result.stderr
+        assert result.stdout.strip()
+
+        result = _run(
+            "translate", "--url", url, "--remote-model", "nope",
+            "--text", "x",
+        )
+        assert result.returncode == 1
+        assert "404" in result.stderr
+    finally:
+        httpd.shutdown()
+        server.close()
+
+
+def test_translate_remote_unreachable():
+    result = _run(
+        "translate", "--url", "http://127.0.0.1:1", "--text", "x",
+    )
+    assert result.returncode == 1
+    assert "cannot reach" in result.stderr
