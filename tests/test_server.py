@@ -280,3 +280,42 @@ def _poll_until_done(url, job, tries=600):
             return body
         _time.sleep(0.05)
     raise AssertionError(f"job {job} never finished")
+
+
+def test_concurrent_mixed_clients(bulk_endpoint):
+    """16 parallel clients mixing blocking singles, bulk batches, and
+    async jobs; every request succeeds and every batch keeps its
+    input order (index is embedded in each line and must come back in
+    position via detail.source)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    bulk_url, _ = bulk_endpoint
+
+    def blocking_single(i):
+        status, body = _post(bulk_url, {"text": f"hello single {i}",
+                                        "model": "en-de"})
+        assert status == 200, body
+        assert body["source"] == f"hello single {i}"
+
+    def bulk_batch(i):
+        texts = [f"hello batch {i} line {j}" for j in range(6)]
+        status, body = _post(bulk_url, {"texts": texts, "model": "en-de",
+                                        "detail": True})
+        assert status == 200, body
+        assert len(body["targets"]) == 6
+        for j, d in enumerate(body["detail"]):
+            assert d["source"]["text"] == f"hello batch {i} line {j}"
+
+    def job(i):
+        status, body = _post_path(bulk_url, "/submit",
+                                  {"text": f"hello job {i}",
+                                   "model": "en-de"})
+        assert status == 200, body
+        done = _poll_until_done(bulk_url, body["job"])
+        assert done["source"] == f"hello job {i}"
+
+    work = [blocking_single, bulk_batch, job] * 6
+    with ThreadPoolExecutor(max_workers=16) as pool:
+        futures = [pool.submit(fn, i) for i, fn in enumerate(work)]
+        for f in futures:
+            f.result(timeout=180)
