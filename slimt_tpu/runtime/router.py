@@ -16,9 +16,12 @@ door that
     fewest requests in flight (least-loaded), failing over to the next
     backend on transport errors — client-visible at-most-N retries,
     never a hang;
-  - optionally *shards* batched `{"texts": [...]}` requests across all
-    healthy backends in contiguous chunks and merges the results in
-    order, so one bulk client saturates the whole pod;
+  - optionally *shards* batched `{"texts": [...]}` requests across the
+    healthy backends holding the requested model, in contiguous
+    chunks, merging the results in order — one bulk client saturates
+    the whole pod;
+  - is model-aware on heterogeneous fleets: requests route to backends
+    whose /health reports the requested model (and pivot) resident;
   - aggregates health: `GET /health` reports per-backend status and
     the union of resident models.
 
@@ -146,14 +149,32 @@ class Router:
 
     # -- routing ------------------------------------------------------
 
-    def _candidates(self) -> List[Backend]:
-        """Healthy backends, least-loaded first (unhealthy ones are
-        appended as last-resort failover targets: a backend that just
-        died may not have been swept yet, and symmetrically a swept-out
-        backend may have already restarted)."""
+    def _has_models(self, b: Backend, needed: List[str]) -> bool:
+        # An empty models list means the sweep hasn't reported yet —
+        # don't rule the backend out on missing information.
+        return not needed or not b.models or all(
+            m in b.models for m in needed
+        )
+
+    def _needed_models(self, payload: dict) -> List[str]:
+        needed = []
+        if payload.get("model"):
+            needed.append(payload["model"])
+        if payload.get("pivot"):
+            needed.append(payload["pivot"])
+        return needed
+
+    def _candidates(self, needed: Optional[List[str]] = None) -> List[Backend]:
+        """Healthy backends holding the needed models, least-loaded
+        first; then healthy backends without them (they 404 cleanly if
+        really absent); unhealthy ones are appended as last-resort
+        failover targets: a backend that just died may not have been
+        swept yet, and symmetrically a swept-out backend may have
+        already restarted."""
+        needed = needed or []
         healthy = sorted(
             (b for b in self.backends if b.healthy),
-            key=lambda b: b.inflight,
+            key=lambda b: (not self._has_models(b, needed), b.inflight),
         )
         rest = [b for b in self.backends if not b.healthy]
         return healthy + rest
@@ -163,7 +184,7 @@ class Router:
     ) -> Tuple[int, dict]:
         """POST to the best backend, failing over across all of them."""
         last: Optional[str] = None
-        candidates = self._candidates()
+        candidates = self._candidates(self._needed_models(payload))
         if prefer is not None and prefer in candidates:
             candidates.remove(prefer)
             candidates.insert(0, prefer)
@@ -183,33 +204,37 @@ class Router:
 
     def handle(self, payload: dict) -> Tuple[int, dict]:
         texts = payload.get("texts")
-        healthy = [b for b in self.backends if b.healthy]
+        needed = self._needed_models(payload)
+        eligible = [
+            b for b in self.backends
+            if b.healthy and self._has_models(b, needed)
+        ]
         if (
             self.shard_batches
             and isinstance(texts, list)
-            and len(healthy) > 1
-            and len(texts) >= max(self.min_shard, len(healthy))
+            and len(eligible) > 1
+            and len(texts) >= max(self.min_shard, len(eligible))
         ):
-            return self._handle_sharded(payload, texts, len(healthy))
+            return self._handle_sharded(payload, texts, eligible)
         return self._post_one(payload)
 
     def _handle_sharded(
-        self, payload: dict, texts: list, ways: int
+        self, payload: dict, texts: list, eligible: List[Backend]
     ) -> Tuple[int, dict]:
         # Contiguous chunks keep sentence order (and thus any
         # client-side alignment of inputs to outputs) trivially intact.
         n = len(texts)
+        ways = len(eligible)
         bounds = [(i * n) // ways for i in range(ways + 1)]
         chunks = [texts[bounds[i]: bounds[i + 1]] for i in range(ways)]
-        # Pin chunk i to the i-th healthy backend (concurrent
+        # Pin chunk i to the i-th eligible backend (concurrent
         # least-loaded picks would race onto one backend); _post_one
         # still fails over if the pinned backend dies mid-request.
-        healthy = [b for b in self.backends if b.healthy]
         futures = [
             self._pool.submit(
                 self._post_one,
                 {**payload, "texts": chunk},
-                healthy[i % len(healthy)],
+                eligible[i % len(eligible)],
             )
             for i, chunk in enumerate(chunks)
             if chunk

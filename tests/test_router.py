@@ -148,3 +148,41 @@ def test_all_backends_down_is_502_then_503(fleet):
     status, health = _get_health(rurl)
     assert status == 503
     assert health["status"] == "down"
+
+
+def test_model_affinity_heterogeneous_fleet():
+    """Backends holding different model sets: requests route to the
+    backend that has the model, and batch sharding only spans
+    eligible backends."""
+    s_ende = TranslationServer(Config(workers=1, cache_size=0))
+    s_ende.add_model("en-de", make_model(seed=0))
+    s_deen = TranslationServer(Config(workers=1, cache_size=0))
+    s_deen.add_model("de-en", make_model(seed=1))
+    h0 = serve_backend(s_ende, host="127.0.0.1", port=0)
+    h1 = serve_backend(s_deen, host="127.0.0.1", port=0)
+    urls = [f"http://127.0.0.1:{h.server_address[1]}" for h in (h0, h1)]
+    router = Router(urls, health_interval=60.0, min_shard=2)
+    rhttpd = serve_router(router, host="127.0.0.1", port=0)
+    rurl = f"http://127.0.0.1:{rhttpd.server_address[1]}"
+    try:
+        status, health = _get_health(rurl)
+        assert sorted(health["models"]) == ["de-en", "en-de"]
+        # Singles route to the holder regardless of load ordering.
+        for model in ("en-de", "de-en"):
+            for _ in range(3):
+                status, body = _post(rurl, {"text": "hello world",
+                                            "model": model})
+                assert status == 200, body
+        # A batch for one model stays on its single holder (sharding
+        # degrades to one way) and still succeeds.
+        texts = [f"hello world {i}" for i in range(8)]
+        status, body = _post(rurl, {"texts": texts, "model": "de-en"})
+        assert status == 200, body
+        assert len(body["targets"]) == 8
+    finally:
+        rhttpd.shutdown()
+        router.close()
+        h0.shutdown()
+        h1.shutdown()
+        s_ende.close()
+        s_deen.close()
