@@ -23,4 +23,9 @@ run "batch1 fused_step"       env BENCH_PROVIDER=fused_step python bench.py batc
 run "base model"              python bench.py base
 run "e2e service"             python bench.py e2e
 run "shortlist"               python bench.py shortlist
+run "bulk corpus"             python bench.py bulk
+run "async corpus"            python bench.py corpus
+run "multipair"               python bench.py multipair
+run "pivot"                   python bench.py pivot
+run "providers"               python bench.py providers
 echo "LEDGER DONE $(date +%H:%M:%S)" >> "$OUT"
