@@ -302,10 +302,26 @@ def _honor_jax_platforms_env() -> None:
 
 def main(argv=None) -> int:
     _honor_jax_platforms_env()
+    argv = list(sys.argv[1:]) if argv is None else list(argv)
+    # serve/route delegate to the server and router mains (their own
+    # argparse surfaces); intercepted here so every entry point is
+    # reachable from `python -m slimt_tpu <cmd>`.
+    if argv[:1] == ["serve"]:
+        from slimt_tpu.server import main as server_main
+
+        return server_main(argv[1:])
+    if argv[:1] == ["route"]:
+        from slimt_tpu.runtime.router import main as router_main
+
+        return router_main(argv[1:])
     parser = argparse.ArgumentParser(
         prog="slimt_tpu", description="TPU-native slimt translation engine"
     )
     sub = parser.add_subparsers(dest="command", required=True)
+    sub.add_parser("serve", help="HTTP serving endpoint (slimt_tpu.server)")
+    sub.add_parser(
+        "route", help="multi-host request router (runtime.router)"
+    )
 
     t = sub.add_parser("translate", help="translate stdin or --text")
     _add_model_args(t)
