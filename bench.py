@@ -128,8 +128,10 @@ def _decode_bench(
 def bench_headline():
     # Peak-throughput serving batch (bulk-translation shape); per-call
     # host round-trip included. Smaller-batch and full-service numbers
-    # are in PERFORMANCE.md / other modes.
-    print(json.dumps(_decode_bench(batch=1024, iters=6)))
+    # are in PERFORMANCE.md / other modes. BENCH_BATCH overrides the
+    # batch size for scaling experiments.
+    batch = int(os.environ.get("BENCH_BATCH", 1024))
+    print(json.dumps(_decode_bench(batch=batch, iters=6)))
 
 
 def bench_batch1():

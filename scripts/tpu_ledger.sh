@@ -28,4 +28,6 @@ run "async corpus"            python bench.py corpus
 run "multipair"               python bench.py multipair
 run "pivot"                   python bench.py pivot
 run "providers"               python bench.py providers
+run "headline B=2048 int8 KV" env BENCH_BATCH=2048 BENCH_KV=int8 python bench.py
+run "headline B=2048 bf16 KV" env BENCH_BATCH=2048 python bench.py
 echo "LEDGER DONE $(date +%H:%M:%S)" >> "$OUT"
