@@ -36,7 +36,8 @@ def wait_health(url, timeout=120):
                 if json.loads(r.read()).get("status") == "ok":
                     return
         except Exception:  # noqa: BLE001
-            time.sleep(0.5)
+            pass
+        time.sleep(0.5)
     raise RuntimeError(f"{url} never became healthy")
 
 

@@ -205,8 +205,12 @@ class Handle:
             words=Fraction(wp, wq),
             segments=Fraction(sp, sq),
         )
-        if self._request.next is not None:
-            self._request = self._request.next
+        # Snapshot before testing: concurrent info() calls (e.g. HTTP
+        # pollers) must never observe a half-advanced handle or step
+        # _request onto None.
+        nxt = self._request.next
+        if nxt is not None:
+            self._request = nxt
             self._part += 1
         return summary
 

@@ -22,6 +22,9 @@ door that
     the whole pod;
   - is model-aware on heterogeneous fleets: requests route to backends
     whose /health reports the requested model (and pivot) resident;
+  - proxies the async job API with affinity: `POST /submit` routes
+    like /translate and remembers the owning backend, `GET /job/<id>`
+    polls that backend (mapping dropped when the job completes);
   - aggregates health: `GET /health` reports per-backend status and
     the union of resident models.
 
@@ -51,7 +54,10 @@ class Backend:
         self.url = url.rstrip("/")
         self.healthy = True
         self.inflight = 0
-        self.models: List[str] = []
+        # None = inventory unknown (no successful sweep yet); [] = the
+        # backend reported holding no models. The distinction matters
+        # for model-affinity routing.
+        self.models: Optional[List[str]] = None
         self.last_error: Optional[str] = None
         self._lock = threading.Lock()
 
@@ -99,6 +105,9 @@ class Router:
             max_workers=max(4, 2 * len(self.backends)),
             thread_name_prefix="router",
         )
+        self._job_backends: Dict[str, Backend] = {}
+        self._job_lock = threading.Lock()
+        self.max_tracked_jobs = 65536
         self._stop = threading.Event()
         self._health_thread = threading.Thread(
             target=self._health_loop, daemon=True, name="router-health"
@@ -108,17 +117,24 @@ class Router:
 
     # -- health -------------------------------------------------------
 
+    def _check_one(self, b: Backend) -> None:
+        try:
+            with urllib.request.urlopen(
+                b.url + "/health", timeout=self.health_timeout
+            ) as resp:
+                body = json.loads(resp.read())
+            b.mark(True, models=list(body.get("models", [])))
+        except Exception as e:  # noqa: BLE001 — any transport error
+            b.mark(False, error=f"{type(e).__name__}: {e}")
+
     def check_backends(self) -> None:
-        """One synchronous health sweep over all backends."""
-        for b in self.backends:
-            try:
-                with urllib.request.urlopen(
-                    b.url + "/health", timeout=self.health_timeout
-                ) as resp:
-                    body = json.loads(resp.read())
-                b.mark(True, models=list(body.get("models", [])))
-            except Exception as e:  # noqa: BLE001 — any transport error
-                b.mark(False, error=f"{type(e).__name__}: {e}")
+        """One health sweep, all backends probed in parallel — one
+        wedged backend costs one timeout, not one per backend."""
+        futures = [
+            self._pool.submit(self._check_one, b) for b in self.backends
+        ]
+        for f in futures:
+            f.result()
 
     def _health_loop(self) -> None:
         while not self._stop.wait(self.health_interval):
@@ -130,7 +146,7 @@ class Router:
 
     def health(self) -> dict:
         healthy = [b for b in self.backends if b.healthy]
-        models = sorted({m for b in healthy for m in b.models})
+        models = sorted({m for b in healthy for m in (b.models or [])})
         return {
             "status": "ok" if len(healthy) == len(self.backends)
             else ("degraded" if healthy else "down"),
@@ -150,11 +166,12 @@ class Router:
     # -- routing ------------------------------------------------------
 
     def _has_models(self, b: Backend, needed: List[str]) -> bool:
-        # An empty models list means the sweep hasn't reported yet —
-        # don't rule the backend out on missing information.
-        return not needed or not b.models or all(
-            m in b.models for m in needed
-        )
+        # models is None until a sweep succeeds — don't rule a backend
+        # out on missing information. An actual [] means the backend
+        # reported holding nothing: it IS ruled out.
+        if not needed or b.models is None:
+            return True
+        return all(m in b.models for m in needed)
 
     def _needed_models(self, payload: dict) -> List[str]:
         needed = []
@@ -183,6 +200,15 @@ class Router:
         self, payload: dict, prefer: Optional[Backend] = None
     ) -> Tuple[int, dict]:
         """POST to the best backend, failing over across all of them."""
+        status, body, _ = self._post_routed(payload, "/translate", prefer)
+        return status, body
+
+    def _post_routed(
+        self,
+        payload: dict,
+        path: str,
+        prefer: Optional[Backend] = None,
+    ) -> Tuple[int, dict, Backend]:
         last: Optional[str] = None
         candidates = self._candidates(self._needed_models(payload))
         if prefer is not None and prefer in candidates:
@@ -192,15 +218,51 @@ class Router:
             b.begin()
             try:
                 status, body = _post_json(
-                    b.url + "/translate", payload, self.request_timeout
+                    b.url + path, payload, self.request_timeout
                 )
-                return status, body
+                return status, body, b
             except (urllib.error.URLError, ConnectionError, OSError) as e:
                 last = f"{b.url}: {type(e).__name__}: {e}"
                 b.mark(False, error=last)
             finally:
                 b.end()
         raise RouterError(last or "no backends configured")
+
+    def submit(self, payload: dict) -> Tuple[int, dict]:
+        """Route POST /submit and remember which backend owns the job
+        so /job/<id> polls reach the same host."""
+        status, body, backend = self._post_routed(payload, "/submit")
+        if status == 200 and "job" in body:
+            with self._job_lock:
+                if len(self._job_backends) >= self.max_tracked_jobs:
+                    # Evict oldest mappings (dict preserves insertion
+                    # order); their polls will 404, like an expired job.
+                    for key in list(self._job_backends)[
+                        : self.max_tracked_jobs // 10
+                    ]:
+                        del self._job_backends[key]
+                self._job_backends[body["job"]] = backend
+        return status, body
+
+    def poll_job(self, job_id: str) -> Tuple[int, dict]:
+        """Forward GET /job/<id> to the backend that owns the job."""
+        with self._job_lock:
+            backend = self._job_backends.get(job_id)
+        if backend is None:
+            return 404, {"error": f"unknown job {job_id!r}"}
+        try:
+            status, body = _get_json(
+                backend.url + f"/job/{job_id}", self.request_timeout
+            )
+        except (urllib.error.URLError, ConnectionError, OSError) as e:
+            backend.mark(False, error=f"{type(e).__name__}: {e}")
+            return 502, {
+                "error": f"backend holding job {job_id!r} unreachable"
+            }
+        if status == 404 or (status == 200 and body.get("done")):
+            with self._job_lock:
+                self._job_backends.pop(job_id, None)
+        return status, body
 
     def handle(self, payload: dict) -> Tuple[int, dict]:
         texts = payload.get("texts")
@@ -259,6 +321,17 @@ class Router:
         return 200, merged
 
 
+def _get_json(url: str, timeout: float) -> Tuple[int, dict]:
+    try:
+        with urllib.request.urlopen(url, timeout=timeout) as resp:
+            return resp.status, json.loads(resp.read())
+    except urllib.error.HTTPError as e:
+        try:
+            return e.code, json.loads(e.read())
+        except Exception:  # noqa: BLE001 — non-JSON error body
+            return e.code, {"error": f"backend returned {e.code}"}
+
+
 def _post_json(url: str, payload: dict, timeout: float) -> Tuple[int, dict]:
     request = urllib.request.Request(
         url,
@@ -290,16 +363,24 @@ def make_handler(router: Router):
             self.wfile.write(data)
 
         def do_GET(self):
-            if self.path == "/health":
-                health = router.health()
-                self._reply(
-                    200 if health["status"] != "down" else 503, health
-                )
-            else:
-                self._reply(404, {"error": "not found"})
+            try:
+                if self.path == "/health":
+                    health = router.health()
+                    self._reply(
+                        200 if health["status"] != "down" else 503, health
+                    )
+                elif self.path.startswith("/job/"):
+                    status, body = router.poll_job(
+                        self.path[len("/job/"):]
+                    )
+                    self._reply(status, body)
+                else:
+                    self._reply(404, {"error": "not found"})
+            except Exception as e:  # noqa: BLE001
+                self._reply(500, {"error": f"{type(e).__name__}: {e}"})
 
         def do_POST(self):
-            if self.path != "/translate":
+            if self.path not in ("/translate", "/submit"):
                 self._reply(404, {"error": "not found"})
                 return
             try:
@@ -315,7 +396,10 @@ def make_handler(router: Router):
                         400, {"error": "request body must be a JSON object"}
                     )
                     return
-                status, body = router.handle(payload)
+                if self.path == "/submit":
+                    status, body = router.submit(payload)
+                else:
+                    status, body = router.handle(payload)
                 self._reply(status, body)
             except RouterError as e:
                 self._reply(502, {"error": f"all backends failed: {e}"})
@@ -325,8 +409,14 @@ def make_handler(router: Router):
     return Handler
 
 
+def make_httpd(
+    router: Router, host: str = "127.0.0.1", port: int = 8000
+) -> ThreadingHTTPServer:
+    return ThreadingHTTPServer((host, port), make_handler(router))
+
+
 def serve(router: Router, host: str = "127.0.0.1", port: int = 8000):
-    httpd = ThreadingHTTPServer((host, port), make_handler(router))
+    httpd = make_httpd(router, host, port)
     thread = threading.Thread(target=httpd.serve_forever, daemon=True)
     thread.start()
     return httpd
@@ -353,9 +443,7 @@ def main(argv=None) -> int:
         health_interval=args.health_interval,
         shard_batches=not args.no_shard,
     )
-    httpd = ThreadingHTTPServer(
-        (args.host, args.port), make_handler(router)
-    )
+    httpd = make_httpd(router, args.host, args.port)
     health = router.health()
     print(
         f"routing on {args.host}:{args.port} over "

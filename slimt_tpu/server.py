@@ -33,6 +33,7 @@ import argparse
 import itertools
 import json
 import threading
+from concurrent.futures import TimeoutError as FuturesTimeout
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Dict, Optional
 
@@ -57,14 +58,28 @@ class TranslationServer:
         self.service = Async(config)
         self.blocking = Blocking(config)
         self.blocking.cache = self.service.cache  # one cache, both lanes
+        from concurrent.futures import ThreadPoolExecutor
+
         self.bulk_threshold = bulk_threshold
-        self._bulk_lock = threading.Lock()
+        # One worker = bulk requests run serialized (concurrent exhaust
+        # loops would fight over the device); submitting instead of
+        # calling inline lets each request honor its own timeout —
+        # a wedged translation turns into a 504 for it and queued 504s
+        # behind it, never a silent hang of the handler threads.
+        self._bulk_pool = ThreadPoolExecutor(
+            max_workers=1, thread_name_prefix="server-bulk"
+        )
         self._stats_lock = threading.Lock()
         self._counts = {"requests": 0, "lines": 0, "errors": 0}
         self._jobs: Dict[str, dict] = {}
         self._jobs_lock = threading.Lock()
         self._job_ids = itertools.count()
         self.max_jobs = 4096
+        # Abandoned jobs (submitted, never polled to completion) are
+        # evicted after this many seconds so the table cannot fill up
+        # permanently; polling resets nothing — the clock runs from
+        # submission, long past any sane poll loop.
+        self.job_ttl_s = 3600.0
         self.models: Dict[str, object] = {}
 
     def add_model(self, name: str, model) -> None:
@@ -96,15 +111,17 @@ class TranslationServer:
         if "texts" in payload:
             texts = list(payload["texts"])
             if len(texts) >= self.bulk_threshold:
-                with self._bulk_lock:
-                    if pivot_model is not None:
-                        responses = self.blocking.pivot(
-                            model, pivot_model, texts, options
-                        )
-                    else:
-                        responses = self.blocking.translate_bulk(
-                            model, texts, options
-                        )
+                if pivot_model is not None:
+                    work = lambda: self.blocking.pivot(
+                        model, pivot_model, texts, options
+                    )
+                else:
+                    work = lambda: self.blocking.translate_bulk(
+                        model, texts, options
+                    )
+                responses = self._bulk_pool.submit(work).result(
+                    timeout=timeout
+                )
             else:
                 if pivot_model is not None:
                     handles = [
@@ -165,7 +182,11 @@ class TranslationServer:
                 handles = [
                     self.service.translate(model, payload["text"], options)
                 ]
+        import time
+
         with self._jobs_lock:
+            if len(self._jobs) >= self.max_jobs:
+                self._evict_expired_locked()
             if len(self._jobs) >= self.max_jobs:
                 raise RuntimeError(
                     f"job table full ({self.max_jobs}); fetch or drop jobs"
@@ -175,8 +196,23 @@ class TranslationServer:
                 "handles": handles,
                 "single": single,
                 "detail": bool(payload.get("detail")),
+                "created": time.monotonic(),
+                "lock": threading.Lock(),
             }
         return job_id
+
+    def _evict_expired_locked(self) -> None:
+        """Drop jobs past job_ttl_s (abandoned clients). Caller holds
+        _jobs_lock."""
+        import time
+
+        now = time.monotonic()
+        expired = [
+            jid for jid, job in self._jobs.items()
+            if now - job["created"] > self.job_ttl_s
+        ]
+        for jid in expired:
+            del self._jobs[jid]
 
     def poll_job(self, job_id: str) -> tuple:
         """(status, body): progress while running, the /translate
@@ -186,54 +222,60 @@ class TranslationServer:
             job = self._jobs.get(job_id)
         if job is None:
             return 404, {"error": f"unknown job {job_id!r}"}
-        handles = job["handles"]
-        if not all(h.future.done() for h in handles):
-            infos = [h.info() for h in handles]
-            return 200, {
-                "done": False,
-                "progress": {
-                    "wps": round(sum(i.wps for i in infos), 1),
-                    "words": [
-                        sum(i.words.p for i in infos),
-                        sum(i.words.q for i in infos),
-                    ],
-                    "segments": [
-                        sum(i.segments.p for i in infos),
-                        sum(i.segments.q for i in infos),
-                    ],
-                    "parts": [
-                        sum(i.parts.p for i in infos),
-                        sum(i.parts.q for i in infos),
-                    ],
-                },
-            }
+        # Per-job lock: Handle.info() mutates the handle (multi-part
+        # pivot advance) and the consume path must be single-shot even
+        # under concurrent pollers of the same id.
+        with job["lock"]:
+            handles = job["handles"]
+            if not all(h.future.done() for h in handles):
+                infos = [h.info() for h in handles]
+                return 200, {
+                    "done": False,
+                    "progress": {
+                        "wps": round(sum(i.wps for i in infos), 1),
+                        "words": [
+                            sum(i.words.p for i in infos),
+                            sum(i.words.q for i in infos),
+                        ],
+                        "segments": [
+                            sum(i.segments.p for i in infos),
+                            sum(i.segments.q for i in infos),
+                        ],
+                        "parts": [
+                            sum(i.parts.p for i in infos),
+                            sum(i.parts.q for i in infos),
+                        ],
+                    },
+                }
+            # Build the full response body BEFORE consuming the job:
+            # a serialization error must not lose the result.
+            try:
+                responses = [h.result(timeout=0) for h in handles]
+            except Exception as e:  # noqa: BLE001 — surfaced in body
+                body = {"done": True, "error": f"{type(e).__name__}: {e}"}
+            else:
+                detail = (
+                    [json.loads(to_json(r)) for r in responses]
+                    if job["detail"]
+                    else None
+                )
+                if job["single"]:
+                    r = responses[0]
+                    body = {
+                        "done": True,
+                        "target": r.target.text,
+                        "source": r.source.text,
+                        "detail": detail[0] if detail else None,
+                    }
+                else:
+                    body = {
+                        "done": True,
+                        "targets": [r.target.text for r in responses],
+                        "detail": detail,
+                    }
         with self._jobs_lock:
             self._jobs.pop(job_id, None)
-        try:
-            responses = [h.result(timeout=0) for h in handles]
-        except Exception as e:  # noqa: BLE001 — surfaced in the body
-            return 200, {
-                "done": True,
-                "error": f"{type(e).__name__}: {e}",
-            }
-        detail = (
-            [json.loads(to_json(r)) for r in responses]
-            if job["detail"]
-            else None
-        )
-        if job["single"]:
-            r = responses[0]
-            return 200, {
-                "done": True,
-                "target": r.target.text,
-                "source": r.source.text,
-                "detail": detail[0] if detail else None,
-            }
-        return 200, {
-            "done": True,
-            "targets": [r.target.text for r in responses],
-            "detail": detail,
-        }
+        return 200, body
 
     def record(self, lines: int = 0, error: bool = False) -> None:
         with self._stats_lock:
@@ -265,6 +307,7 @@ class TranslationServer:
         }
 
     def close(self):
+        self._bulk_pool.shutdown(wait=False)
         self.service.close()
         self.blocking.close()
 
@@ -283,23 +326,28 @@ def make_handler(server: TranslationServer):
             self.wfile.write(data)
 
         def do_GET(self):
-            if self.path == "/health":
-                self._reply(
-                    200,
-                    {"status": "ok", "models": sorted(server.models)},
-                )
-            elif self.path == "/stats":
-                self._reply(200, server.stats())
-            elif self.path.startswith("/job/"):
-                status, body = server.poll_job(self.path[len("/job/"):])
-                self._reply(status, body)
-            elif self.path == "/health/devices":
-                from slimt_tpu.runtime.health import probe_devices
+            try:
+                if self.path == "/health":
+                    self._reply(
+                        200,
+                        {"status": "ok", "models": sorted(server.models)},
+                    )
+                elif self.path == "/stats":
+                    self._reply(200, server.stats())
+                elif self.path.startswith("/job/"):
+                    status, body = server.poll_job(
+                        self.path[len("/job/"):]
+                    )
+                    self._reply(status, body)
+                elif self.path == "/health/devices":
+                    from slimt_tpu.runtime.health import probe_devices
 
-                probe = probe_devices()
-                self._reply(200 if probe.get("ok") else 503, probe)
-            else:
-                self._reply(404, {"error": "not found"})
+                    probe = probe_devices()
+                    self._reply(200 if probe.get("ok") else 503, probe)
+                else:
+                    self._reply(404, {"error": "not found"})
+            except Exception as e:  # noqa: BLE001
+                self._reply(500, {"error": f"{type(e).__name__}: {e}"})
 
         def do_POST(self):
             if self.path not in ("/translate", "/submit"):
@@ -336,6 +384,11 @@ def make_handler(server: TranslationServer):
             except KeyError as e:
                 server.record(error=True)
                 self._reply(404, {"error": str(e)})
+            except FuturesTimeout:
+                server.record(error=True)
+                self._reply(
+                    504, {"error": "translation timed out server-side"}
+                )
             except Exception as e:  # noqa: BLE001
                 server.record(error=True)
                 self._reply(500, {"error": f"{type(e).__name__}: {e}"})
@@ -343,8 +396,14 @@ def make_handler(server: TranslationServer):
     return Handler
 
 
+def make_httpd(
+    server: TranslationServer, host: str = "127.0.0.1", port: int = 8080
+) -> ThreadingHTTPServer:
+    return ThreadingHTTPServer((host, port), make_handler(server))
+
+
 def serve(server: TranslationServer, host: str = "127.0.0.1", port: int = 8080):
-    httpd = ThreadingHTTPServer((host, port), make_handler(server))
+    httpd = make_httpd(server, host, port)
     thread = threading.Thread(target=httpd.serve_forever, daemon=True)
     thread.start()
     return httpd
@@ -388,9 +447,7 @@ def main(argv=None) -> int:
         print(f"warmed {compiled} shape buckets")
     server = TranslationServer(Config(workers=args.workers))
     server.add_model(args.name, model)
-    httpd = ThreadingHTTPServer(
-        (args.host, args.port), make_handler(server)
-    )
+    httpd = make_httpd(server, args.host, args.port)
     print(f"serving {args.name} on {args.host}:{args.port}")
     try:
         httpd.serve_forever()

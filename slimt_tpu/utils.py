@@ -72,18 +72,24 @@ class Timer:
 
 
 class AverageMeter:
-    """Running average (reference Utils.hh:101-112)."""
+    """Running average (reference Utils.hh:101-112). Thread-safe:
+    recorded from concurrent Async workers and completion threads."""
 
     def __init__(self):
+        import threading
+
         self.sum = 0.0
         self.count = 0
+        self._lock = threading.Lock()
 
     def record(self, value: float) -> None:
-        self.sum += value
-        self.count += 1
+        with self._lock:
+            self.sum += value
+            self.count += 1
 
     def average(self) -> float:
-        return self.sum / self.count if self.count else 0.0
+        with self._lock:
+            return self.sum / self.count if self.count else 0.0
 
 
 def argsort(values: Sequence) -> List[int]:

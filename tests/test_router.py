@@ -186,3 +186,71 @@ def test_model_affinity_heterogeneous_fleet():
         h1.shutdown()
         s_ende.close()
         s_deen.close()
+
+
+def _post_path(url, path, payload, timeout=120):
+    request = urllib.request.Request(
+        url + path,
+        data=json.dumps(payload).encode("utf-8"),
+        headers={"Content-Type": "application/json"},
+    )
+    try:
+        with urllib.request.urlopen(request, timeout=timeout) as resp:
+            return resp.status, json.loads(resp.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+def _get_json(url, path, timeout=30):
+    try:
+        with urllib.request.urlopen(url + path, timeout=timeout) as r:
+            return r.status, json.loads(r.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+def test_job_api_proxies_with_affinity():
+    """Jobs submitted through the router poll the backend that owns
+    them; empty-inventory backends are ineligible for routing."""
+    import time as _time
+
+    s_full = TranslationServer(Config(workers=1, cache_size=0))
+    s_full.add_model("en-de", make_model(seed=0))
+    s_empty = TranslationServer(Config(workers=1, cache_size=0))  # no models
+    h0 = serve_backend(s_empty, host="127.0.0.1", port=0)
+    h1 = serve_backend(s_full, host="127.0.0.1", port=0)
+    urls = [f"http://127.0.0.1:{h.server_address[1]}" for h in (h0, h1)]
+    router = Router(urls, health_interval=60.0, min_shard=2)
+    rhttpd = serve_router(router, host="127.0.0.1", port=0)
+    rurl = f"http://127.0.0.1:{rhttpd.server_address[1]}"
+    try:
+        # Submit via the router (must land on the model holder).
+        status, body = _post_path(rurl, "/submit",
+                                  {"text": "hello world", "model": "en-de"})
+        assert status == 200, body
+        job = body["job"]
+        for _ in range(600):
+            status, poll = _get_json(rurl, f"/job/{job}")
+            assert status == 200, poll
+            if poll["done"]:
+                break
+            _time.sleep(0.05)
+        assert poll["done"] and poll["target"]
+        # Consumed: mapping dropped on the router AND the backend.
+        status, poll = _get_json(rurl, f"/job/{job}")
+        assert status == 404
+        status, poll = _get_json(rurl, "/job/zzz")
+        assert status == 404
+        # Batches for en-de never shard onto the empty backend.
+        texts = [f"hello world {i}" for i in range(8)]
+        status, body = _post_path(rurl, "/translate",
+                                  {"texts": texts, "model": "en-de"})
+        assert status == 200, body
+        assert len(body["targets"]) == 8
+    finally:
+        rhttpd.shutdown()
+        router.close()
+        h0.shutdown()
+        h1.shutdown()
+        s_full.close()
+        s_empty.close()

@@ -319,3 +319,27 @@ def test_concurrent_mixed_clients(bulk_endpoint):
         futures = [pool.submit(fn, i) for i, fn in enumerate(work)]
         for f in futures:
             f.result(timeout=180)
+
+
+def test_bulk_timeout_maps_to_504(bulk_endpoint):
+    bulk_url, _ = bulk_endpoint
+    texts = [f"hello timeout {i}" for i in range(50)]
+    status, body = _post(bulk_url, {"texts": texts, "model": "en-de",
+                                    "timeout": 1e-6})
+    assert status == 504
+    assert "timed out" in body["error"]
+
+
+def test_job_table_ttl_eviction():
+    """A full job table admits new jobs once old ones expire."""
+    from slimt_tpu.server import TranslationServer
+
+    server = TranslationServer(Config(workers=0, cache_size=0))
+    server.add_model("en-de", make_model(seed=0))
+    try:
+        server.max_jobs = 2
+        server.job_ttl_s = 0.0  # everything is immediately expired
+        for _ in range(5):  # would overflow max_jobs without eviction
+            server.submit({"text": "hello", "model": "en-de"})
+    finally:
+        server.close()
