@@ -123,11 +123,23 @@ def mode_oracle(args):
         else None
     )
 
+    agree, total = _oracle_agree(
+        config, params, corpus, eos, max_steps, shortlist,
+        verbose=args.verbose,
+    )
+    print(f"oracle agreement: {agree}/{total} sentences exact-match")
+    return 0 if agree == total else 1
+
+
+def _oracle_agree(
+    config, params, corpus, eos, max_steps, shortlist, verbose=False
+):
+    from tests import reference_impl as ref
+
     got = _decode_jax(
         config, params, corpus, eos, max_steps, "xla_int8",
         shortlist=shortlist,
     )
-
     agree = total = 0
     for i, toks in enumerate(corpus):
         indices = np.asarray(toks)[None, :]
@@ -147,10 +159,51 @@ def mode_oracle(args):
         total += 1
         if want == got[i]:
             agree += 1
-        elif args.verbose:
+        elif verbose:
             print(f"line {i}: jax={got[i]} oracle={want}")
-    print(f"oracle agreement: {agree}/{total} sentences exact-match")
-    return 0 if agree == total else 1
+    return agree, total
+
+
+def mode_matrix(args):
+    """Parity matrix: exact-match vs the NumPy oracle over a sweep of
+    architectures × shortlist, one verdict per cell."""
+    from slimt_tpu.config import ModelConfig
+    from slimt_tpu.io import load_items
+    from slimt_tpu.io.loader import load_weights
+    from slimt_tpu.io.synthetic import synthetic_model_bytes
+
+    cells = [
+        # (label, enc, dec, heads, emb, ffn, seed)
+        ("tiny-ratio 3/2/4", 3, 2, 4, 64, 128, 0),
+        ("base-ratio 6/2/8", 6, 2, 8, 64, 256, 1),
+        ("narrow 2/2/2", 2, 2, 2, 32, 64, 2),
+        ("single 1/1/1", 1, 1, 1, 32, 64, 3),
+        ("deep-dec 2/4/4", 2, 4, 4, 64, 128, 4),
+    ]
+    eos, max_steps = 2, 24
+    failures = 0
+    for label, enc, dec, heads, emb, ffn, seed in cells:
+        config = ModelConfig(
+            encoder_layers=enc, decoder_layers=dec, num_heads=heads
+        )
+        items = load_items(
+            synthetic_model_bytes(
+                config=config, vocab_size=512, emb_dim=emb, ffn_dim=ffn,
+                seed=seed,
+            )
+        )
+        params = load_weights(items, config)
+        corpus = _corpus(args.lines, seed=seed + 10)
+        for shortlist in (None, np.arange(0, 512, 2, dtype=np.int32)):
+            agree, total = _oracle_agree(
+                config, params, corpus, eos, max_steps, shortlist
+            )
+            tag = "shortlist" if shortlist is not None else "full-vocab"
+            verdict = "OK" if agree == total else "FAIL"
+            if agree != total:
+                failures += 1
+            print(f"{label:20s} {tag:10s} {agree}/{total} {verdict}")
+    return 1 if failures else 0
 
 
 def mode_providers(args):
@@ -210,6 +263,9 @@ def main():
     p = sub.add_parser("providers")
     p.add_argument("--lines", type=int, default=64)
     p.set_defaults(fn=mode_providers)
+    m = sub.add_parser("matrix")
+    m.add_argument("--lines", type=int, default=16)
+    m.set_defaults(fn=mode_matrix)
     b = sub.add_parser("bleu")
     b.add_argument("hypothesis")
     b.add_argument("reference")
