@@ -75,7 +75,18 @@ def test_async_concurrent_clients_deterministic():
 
 def test_async_concurrent_pivot_and_translate():
     """Interleaved pivot (continuation-chained two-leg requests) and
-    plain translates from parallel clients, same determinism bar."""
+    plain translates from parallel clients, same determinism bar.
+
+    Pivot breaks the module's equal-length premise: leg-2 re-tokenizes
+    leg-1 output (slimt/TextProcessor.cc:159-199) so its segments are
+    LONGER than leg-1's, and the decode-step cap is limit_factor × the
+    batch's longest source (slimt/Model.cc:160) — co-batching a leg-1
+    with a leg-2 segment would legitimately change the leg-1 output of
+    a never-EOS synthetic model. max_words=9 forces singleton batches
+    (a second 5-token segment needs (1+1)*5 = 10 > 9) so every cap is
+    per-segment and batch-composition-independent; wrap_length=6 stays
+    above the 4-content-token lines (no wrapping) while satisfying the
+    Batcher's wrap_length*limit_factor <= max_words guard."""
     model = make_model()
     rng = random.Random(43)
     pool = _equal_length_pool(model, rng, 8)
@@ -95,7 +106,15 @@ def test_async_concurrent_pivot_and_translate():
         }
 
     errors = []
-    with Async(Config(workers=2, cache_size=0, batch_latency=0.01)) as svc:
+    with Async(
+        Config(
+            workers=2,
+            cache_size=0,
+            batch_latency=0.01,
+            max_words=9,
+            wrap_length=6,
+        )
+    ) as svc:
         def client(seed, do_pivot):
             crng = random.Random(seed)
             picks = [crng.choice(pool) for _ in range(10)]
