@@ -128,9 +128,13 @@ def _decode_bench(
 def bench_headline():
     # Peak-throughput serving batch (bulk-translation shape); per-call
     # host round-trip included. Smaller-batch and full-service numbers
-    # are in PERFORMANCE.md / other modes. BENCH_BATCH overrides the
-    # batch size for scaling experiments.
-    batch = int(os.environ.get("BENCH_BATCH", 1024))
+    # are in PERFORMANCE.md / other modes. BENCH_BATCH / BENCH_KV
+    # override for scaling experiments. Defaults are the measured-best
+    # defensible config: B=2048, int8 KV cache with per-row (b,t)
+    # scales (token agreement vs f32 at bf16-KV levels — see
+    # PERFORMANCE.md; bf16 measured ~15% slower at this batch).
+    batch = int(os.environ.get("BENCH_BATCH", 2048))
+    os.environ.setdefault("BENCH_KV", "int8")
     print(json.dumps(_decode_bench(batch=batch, iters=6)))
 
 
