@@ -51,6 +51,7 @@ def _model(vocab=32000, emb=256, ffn=1536, enc=6, dec=2, with_shortlist=False):
 def _decode_bench(
     batch=64, seq=64, vocab=32000, emb=256, ffn=1536, enc=6, dec=2,
     provider=None, iters=5, metric="decode_tokens_per_sec_per_chip_tiny11_int8",
+    kv=None,
 ):
     import jax
     import jax.numpy as jnp
@@ -72,6 +73,9 @@ def _decode_bench(
     # batch1 latency config); an explicit provider argument (the
     # `providers` comparison mode) still wins.
     provider = provider or os.environ.get("BENCH_PROVIDER") or config.qmm_provider
+    # Callers pass kv explicitly (headline defaults to int8); BENCH_KV
+    # is the env override, bfloat16 the base default. No env mutation.
+    kv = kv or os.environ.get("BENCH_KV", "bfloat16")
 
     rng = np.random.default_rng(0)
     indices = rng.integers(3, vocab, (batch, seq)).astype(np.int32)
@@ -85,7 +89,7 @@ def _decode_bench(
             max_steps=max_steps,
             num_heads=config.num_heads,
             provider=provider,
-            kv_dtype=os.environ.get("BENCH_KV", "bfloat16"),
+            kv_dtype=kv,
         )
     )
     # Distinct inputs per iteration: identical dispatches can be
@@ -122,6 +126,8 @@ def _decode_bench(
         "value": round(tps, 1),
         "unit": "tokens/s",
         "vs_baseline": round(tps / TARGET, 3),
+        "batch": batch,
+        "kv": kv,
     }
 
 
@@ -134,8 +140,8 @@ def bench_headline():
     # scales (token agreement vs f32 at bf16-KV levels — see
     # PERFORMANCE.md; bf16 measured ~15% slower at this batch).
     batch = int(os.environ.get("BENCH_BATCH", 2048))
-    os.environ.setdefault("BENCH_KV", "int8")
-    print(json.dumps(_decode_bench(batch=batch, iters=6)))
+    kv = os.environ.get("BENCH_KV", "int8")
+    print(json.dumps(_decode_bench(batch=batch, iters=6, kv=kv)))
 
 
 def bench_batch1():

@@ -16,8 +16,11 @@ run() {
 }
 
 : > "$OUT"
-run "headline bf16 KV"        python bench.py
+# Headline defaults to int8 KV; every row pins BENCH_KV/BENCH_BATCH
+# explicitly so labels always match what was measured.
+run "headline bf16 KV"        env BENCH_KV=bfloat16 python bench.py
 run "headline int8 KV (per-row scales)" env BENCH_KV=int8 python bench.py
+run "headline B=1024 int8 KV (history comparison)" env BENCH_BATCH=1024 BENCH_KV=int8 python bench.py
 run "batch1 default"          python bench.py batch1
 run "batch1 fused_step"       env BENCH_PROVIDER=fused_step python bench.py batch1
 run "base model"              python bench.py base
@@ -29,5 +32,5 @@ run "multipair"               python bench.py multipair
 run "pivot"                   python bench.py pivot
 run "providers"               python bench.py providers
 run "headline B=2048 int8 KV" env BENCH_BATCH=2048 BENCH_KV=int8 python bench.py
-run "headline B=2048 bf16 KV" env BENCH_BATCH=2048 python bench.py
+run "headline B=2048 bf16 KV" env BENCH_BATCH=2048 BENCH_KV=bfloat16 python bench.py
 echo "LEDGER DONE $(date +%H:%M:%S)" >> "$OUT"

@@ -407,9 +407,11 @@ def precompute_cross_kv(
     joined [B,Tk,E] layout consumed by _decode_attention_joined —
     unpadded in the TPU tiled layout, so the per-step HBM reads the
     decode loop pays (the dominant cost at large batch) shrink by up
-    to 4x on top of the dtype halving. int8 caches quantize with a
-    dynamic per-tensor scale, the same scheme the engine's activations
-    use everywhere (rint, clip to ±127)."""
+    to 4x on top of the dtype halving. int8 caches quantize with
+    per-row (b, t) scales — each cached token row against its own
+    absmax (rint, clip to ±127); the inverse scales (`kqi`/`vqi`) ride
+    in the joined-layout dict and fold into the decode step's existing
+    elementwise dequants."""
     layers = params["decoder"]
 
     def project(layer):
