@@ -121,6 +121,22 @@ def _decode_bench(
         checksum = sum(fetch_pool.map(materialize, outs))
         elapsed = time.perf_counter() - t0
     tps = batch * max_steps * iters / elapsed
+
+    # Roofline audit: HBM floor-bytes per decode step (reads the step
+    # cannot avoid — KV caches, decoder weights incl. the output
+    # projection, recurrent state r/w; fused intermediates and logits
+    # excluded, so this is a FLOOR and pct_peak is conservative).
+    kv_bytes = {"int8": 1, "bfloat16": 2, "float32": 4}.get(kv, 2)
+    kv_traffic = 2 * dec * batch * seq * emb * kv_bytes  # K+V, joined layout
+    step_weights = dec * (4 * emb * emb + 2 * emb * ffn)  # int8: SSRU F/O, att Q/O, FFN
+    out_proj = emb * vocab  # int8 tied embedding, transposed
+    state_rw = 2 * dec * batch * emb * 4  # f32 SSRU cell read+write
+    embed_gather = batch * emb * 4
+    bytes_per_step = kv_traffic + step_weights + out_proj + state_rw + embed_gather
+    total_bytes = bytes_per_step * max_steps * iters
+    hbm_gbps = total_bytes / elapsed / 1e9
+    peak_gbps = float(os.environ.get("BENCH_HBM_PEAK_GBPS", 819.0))  # v5e
+
     return {
         "metric": metric,
         "value": round(tps, 1),
@@ -128,6 +144,8 @@ def _decode_bench(
         "vs_baseline": round(tps / TARGET, 3),
         "batch": batch,
         "kv": kv,
+        "hbm_gbps": round(hbm_gbps, 1),
+        "pct_peak": round(100.0 * hbm_gbps / peak_gbps, 1),
     }
 
 

@@ -1,0 +1,416 @@
+"""Reference-binary differential harness driver.
+
+Diffs slimt_tpu's decode output against the ACTUAL reference C++
+implementation (compiled verbatim from /root/reference/slimt into
+crosscheck/bin/slimt_ref_harness — see crosscheck/Makefile for what is
+genuine reference code vs. thin third-party shims).  This converts the
+repo's parity story from self-agreement with a builder-written NumPy
+oracle into cross-implementation evidence:
+
+  - the marian .bin + SPM packages are written by THIS repo's writers
+    and parsed by the reference's Io.cc/Vocabulary.cc;
+  - the shortlist file is read and expanded by the reference's
+    Shortlist.cc (diffed directly in `shortlist` mode);
+  - greedy decode tokens come from the reference's Transformer.cc /
+    Modules.cc / TensorOps.cc / qmm (Ruy provider semantics).
+
+Expected agreement is high but NOT necessarily 100%: the reference's
+ruy provider quantizes activations with roundf (round-half-away-from-
+zero, qmm/Ruy.inl.cc:14) while slimt_tpu uses rint (round-half-even,
+matching intgemm's cvtps2dq semantics), and f32 accumulation order
+differs (system BLAS vs XLA:CPU).  The point is to MEASURE the
+disagreement rate instead of asserting it away.
+
+Modes:
+  tokens     — per-sentence exact-match + token-level agreement over a
+               matrix of architectures × {full-vocab, shortlist},
+               B=1 and batched.
+  shortlist  — diff ShortlistGenerator.generate outputs directly.
+  all        — both (default); exits non-zero if agreement < floors.
+
+Usage:
+  JAX_PLATFORMS=cpu python scripts/crosscheck.py [all|tokens|shortlist]
+      [--lines 48] [--verbose]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import subprocess
+import sys
+import tempfile
+
+import numpy as np
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+
+if os.environ.get("JAX_PLATFORMS"):
+    try:
+        import jax
+
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+    except Exception:
+        pass
+
+HARNESS = os.path.join(ROOT, "crosscheck", "bin", "slimt_ref_harness")
+
+# (label, enc, dec, heads, emb, ffn, seed) — mirrors parity.py matrix
+# plus the tiny11-ratio cell.
+CELLS = [
+    ("tiny-ratio 3/2/4", 3, 2, 4, 64, 128, 0),
+    ("base-ratio 6/2/8", 6, 2, 8, 64, 256, 1),
+    ("narrow 2/2/2", 2, 2, 2, 32, 64, 2),
+    ("deep-dec 2/4/4", 2, 4, 4, 64, 128, 4),
+]
+VOCAB = 512
+
+
+def build_harness() -> None:
+    subprocess.run(
+        ["make", "-C", os.path.join(ROOT, "crosscheck")],
+        check=True,
+        capture_output=True,
+    )
+
+
+def write_package(tmp, enc, dec, heads, emb, ffn, seed):
+    """Synthetic .bin/.spm/.shortlist package readable by both sides."""
+    from slimt_tpu.config import ModelConfig
+    from slimt_tpu.io.shortlist import build_synthetic_shortlist
+    from slimt_tpu.io.synthetic import synthetic_model_bytes
+    from slimt_tpu.text import spm_proto
+    from slimt_tpu.text.synthetic_vocab import build_spm_model
+
+    config = ModelConfig(
+        encoder_layers=enc, decoder_layers=dec, num_heads=heads
+    )
+    model_bytes = synthetic_model_bytes(
+        config=config, vocab_size=VOCAB, emb_dim=emb, ffn_dim=ffn, seed=seed
+    )
+    words = [f"w{i}" for i in range(VOCAB)]
+    spm = build_spm_model(words, target_size=VOCAB)
+    paths = {}
+    for name, payload in (
+        ("model.bin", model_bytes),
+        ("vocab.spm", spm_proto.serialize_model(spm)),
+        ("shortlist.bin", build_synthetic_shortlist(VOCAB, seed=seed)),
+    ):
+        paths[name] = os.path.join(tmp, f"{seed}-{name}")
+        with open(paths[name], "wb") as f:
+            f.write(payload)
+    return config, model_bytes, spm, paths
+
+
+def corpus(lines, eos, seed):
+    rng = np.random.default_rng(seed)
+    out = []
+    for _ in range(lines):
+        n = int(rng.integers(4, 20))
+        ids = rng.integers(2, VOCAB, n).astype(np.uint32).tolist()
+        ids.append(eos)
+        out.append(ids)
+    return out
+
+
+def run_reference(paths, config, sentences, batch, with_shortlist,
+                  dump_shortlist=False):
+    cmd = [
+        HARNESS,
+        "--model", paths["model.bin"],
+        "--vocab", paths["vocab.spm"],
+        "--enc", str(config.encoder_layers),
+        "--dec", str(config.decoder_layers),
+        "--heads", str(config.num_heads),
+        "--batch", str(batch),
+    ]
+    if with_shortlist or dump_shortlist:
+        cmd += ["--shortlist", paths["shortlist.bin"]]
+    if dump_shortlist:
+        cmd += ["--dump-shortlist"]
+    text = "\n".join(" ".join(str(w) for w in s) for s in sentences) + "\n"
+    proc = subprocess.run(
+        cmd, input=text, capture_output=True, text=True, check=True
+    )
+    for line in proc.stderr.splitlines():
+        if "warn" in line:
+            raise RuntimeError(f"reference load warning: {line}")
+    return [
+        [int(tok) for tok in line.split()]
+        for line in proc.stdout.splitlines()
+    ]
+
+
+def run_slimt_tpu(model_bytes, config, sentences, batch, eos, pad,
+                  shortlist_gen):
+    import jax.numpy as jnp
+
+    from slimt_tpu.io import load_items
+    from slimt_tpu.io.loader import load_weights
+    from slimt_tpu.models.decode import translate_batch
+
+    params = load_weights(load_items(model_bytes), config)
+    out = []
+    for start in range(0, len(sentences), batch):
+        group = sentences[start : start + batch]
+        t = max(len(s) for s in group)
+        indices = np.full((len(group), t), pad, np.int32)
+        mask = np.zeros((len(group), t), np.float32)
+        for i, toks in enumerate(group):
+            indices[i, : len(toks)] = toks
+            mask[i, : len(toks)] = 1.0
+        shortlist = None
+        if shortlist_gen is not None:
+            flat = [w for s in group for w in s]
+            shortlist = jnp.asarray(
+                shortlist_gen.generate(flat).astype(np.int32)
+            )
+        result = translate_batch(
+            params,
+            jnp.asarray(indices),
+            jnp.asarray(mask),
+            eos_id=eos,
+            max_steps=int(1.5 * t),
+            num_heads=config.num_heads,
+            shortlist=shortlist,
+        )
+        tokens = np.asarray(result.tokens)
+        valid = np.asarray(result.valid)
+        out.extend(tokens[i][valid[i]].tolist() for i in range(len(group)))
+    return out
+
+
+def diff(name, ref, got, verbose):
+    sent_total = len(ref)
+    sent_exact = 0
+    tok_total = tok_agree = 0
+    for i, (r, g) in enumerate(zip(ref, got)):
+        if r == g:
+            sent_exact += 1
+        elif verbose:
+            print(f"  line {i}: ref={r}\n          tpu={g}")
+        # Token-level: agreement over the aligned prefix + count length
+        # mismatch as disagreement.
+        n = max(len(r), len(g))
+        tok_total += n
+        tok_agree += sum(1 for a, b in zip(r, g) if a == b)
+    pct_sent = 100.0 * sent_exact / max(1, sent_total)
+    pct_tok = 100.0 * tok_agree / max(1, tok_total)
+    print(
+        f"{name:34s} sentences {sent_exact}/{sent_total} ({pct_sent:.1f}%)"
+        f"  tokens {tok_agree}/{tok_total} ({pct_tok:.1f}%)"
+    )
+    return pct_sent, pct_tok
+
+
+def mode_tokens(args):
+    from slimt_tpu.io.shortlist import ShortlistGenerator
+
+    worst_sent = 100.0
+    with tempfile.TemporaryDirectory() as tmp:
+        for label, enc, dec, heads, emb, ffn, seed in CELLS:
+            config, model_bytes, spm, paths = write_package(
+                tmp, enc, dec, heads, emb, ffn, seed
+            )
+            eos = spm.eos_id
+            pad = max(0, spm.pad_id)
+            sentences = corpus(args.lines, eos, seed + 100)
+            with open(paths["shortlist.bin"], "rb") as f:
+                gen = ShortlistGenerator(f.read(), VOCAB)
+            for with_shortlist in (False, True):
+                for batch in (1, 8):
+                    ref = run_reference(
+                        paths, config, sentences, batch, with_shortlist
+                    )
+                    got = run_slimt_tpu(
+                        model_bytes, config, sentences, batch, eos, pad,
+                        gen if with_shortlist else None,
+                    )
+                    tag = "shortlist" if with_shortlist else "full-vocab"
+                    pct_sent, _ = diff(
+                        f"{label} {tag} B={batch}", ref, got, args.verbose
+                    )
+                    worst_sent = min(worst_sent, pct_sent)
+    print(f"worst-cell sentence exact-match: {worst_sent:.1f}%")
+    return worst_sent
+
+
+def mode_shortlist(args):
+    """Directly diff ShortlistGenerator.generate (reference
+    Shortlist.cc:115-175 vs slimt_tpu io/shortlist.py)."""
+    from slimt_tpu.io.shortlist import ShortlistGenerator
+
+    mismatches = total = 0
+    with tempfile.TemporaryDirectory() as tmp:
+        label, enc, dec, heads, emb, ffn, seed = CELLS[0]
+        config, model_bytes, spm, paths = write_package(
+            tmp, enc, dec, heads, emb, ffn, seed
+        )
+        sentences = corpus(args.lines, spm.eos_id, seed + 200)
+        with open(paths["shortlist.bin"], "rb") as f:
+            gen = ShortlistGenerator(f.read(), VOCAB)
+        for batch in (1, 8):
+            ref_lists = run_reference(
+                paths, config, sentences, batch, True, dump_shortlist=True
+            )
+            idx = 0
+            for start in range(0, len(sentences), batch):
+                group = sentences[start : start + batch]
+                flat = [w for s in group for w in s]
+                mine = gen.generate(flat).tolist()
+                total += 1
+                if mine != ref_lists[idx]:
+                    mismatches += 1
+                    if args.verbose:
+                        print(f"batch {idx}: ref={ref_lists[idx][:16]}...")
+                        print(f"          tpu={mine[:16]}...")
+                idx += 1
+    print(
+        f"shortlist generation: {total - mismatches}/{total} batches "
+        f"identical"
+    )
+    return mismatches
+
+
+# Adversarial splitter corpus: abbreviations, NUMERIC_ONLY prefixes,
+# CJK/Armenian stops, footnotes, quotes, ellipses, mixed newlines,
+# unicode whitespace — aimed at the heuristics in Splitter.cc:183-240.
+SPLIT_DOCS = [
+    "Hello world. This is a test. Short! Done?",
+    "Dr. Smith met Mr. Jones at 5 p.m. They talked. etc. And left.",
+    "No. 5 is here. No. Five is not. Art. 12 applies.",
+    "He said “Stop.” Then left. She asked “Why?” Nobody knew.",
+    "This is v2.0 of the spec. Versions 1.5.2 and 3.10 differ.",
+    "这是一个句子。这是另一个！"
+    "你好吗？再见。",
+    "Այս մի նախադաս"
+    "ություն է։ Եւ "
+    "մեկ ուրիշ։",
+    "A claim was made [12]. Another claim [3, 4] followed. See refs.",
+    "Wait... what happened? An ellipsis… then more. The end.",
+    "i.e. this stays together. E.g. so does this? Q.E.D. Done.",
+    "Sentence one.\nSentence two on a new line. And three.\n\n"
+    "New paragraph starts here. It continues! Done.",
+    "Line with CRLF.\r\nNext line. More text?\r\n\r\nAfter blank.",
+    "Ends with no punctuation and trailing spaces   ",
+    "((Parenthetical.)) 'Quoted.' “Curly.” Next one.",
+    "A.B. initials here. J. R. R. Tolkien wrote books. True.",
+    "1. First item. 2. Second item. 10. Tenth item.",
+]
+
+# Moses-style nonbreaking prefix file (class 1 + NUMERIC_ONLY class 2),
+# format per slimt/Splitter.cc:31-53.
+PREFIX_FILE = """# nonbreaking prefixes (crosscheck corpus)
+Dr
+Mr
+Mrs
+Prof
+etc
+i.e
+e.g
+vs
+A
+B
+J
+R
+Q.E.D
+No #NUMERIC_ONLY#
+Art #NUMERIC_ONLY#
+pp #NUMERIC_ONLY#
+"""
+
+
+def mode_split(args):
+    """Diff the repo's regex-based splitter against the reference's
+    PCRE2 Splitter.cc (compiled verbatim, real libpcre2) over the
+    adversarial corpus: per-document byte-range boundary identity."""
+    from slimt_tpu.text.splitter import SentenceStream, SplitMode, Splitter
+
+    mode_map = {
+        "sentence": SplitMode.ONE_SENTENCE_PER_LINE,
+        "paragraph": SplitMode.ONE_PARAGRAPH_PER_LINE,
+        "wrapped": SplitMode.WRAPPED_TEXT,
+    }
+    mismatch = total = 0
+    with tempfile.TemporaryDirectory() as tmp:
+        prefix_path = os.path.join(tmp, "prefixes.txt")
+        with open(prefix_path, "w") as f:
+            f.write(PREFIX_FILE)
+        for use_prefixes in (False, True):
+            splitter = Splitter()
+            if use_prefixes:
+                splitter.load(prefix_path)
+            for mode_name, mode in mode_map.items():
+                for doc_id, doc in enumerate(SPLIT_DOCS):
+                    cmd = [HARNESS, "--split", mode_name]
+                    if use_prefixes:
+                        cmd += ["--prefix-file", prefix_path]
+                    proc = subprocess.run(
+                        cmd, input=doc, capture_output=True, text=True,
+                        check=True,
+                    )
+                    ref = proc.stdout.splitlines()
+                    # Repo side: char offsets → byte offsets.
+                    byte_of = [0]
+                    for ch in doc:
+                        byte_of.append(byte_of[-1] + len(ch.encode("utf-8")))
+                    mine = []
+                    for sent, begin, end in SentenceStream(
+                        doc, splitter, mode
+                    ):
+                        if sent == "":
+                            mine.append("para")
+                        else:
+                            mine.append(f"{byte_of[begin]} {byte_of[end]}")
+                    # Reference may or may not emit a trailing paragraph
+                    # marker; normalize trailing markers on both sides.
+                    while ref and ref[-1] == "para":
+                        ref.pop()
+                    while mine and mine[-1] == "para":
+                        mine.pop()
+                    total += 1
+                    if ref != mine:
+                        mismatch += 1
+                        if args.verbose:
+                            print(
+                                f"doc {doc_id} mode={mode_name} "
+                                f"prefixes={use_prefixes}:"
+                            )
+                            print(f"  ref={ref}")
+                            print(f"  tpu={mine}")
+    print(f"splitter boundaries: {total - mismatch}/{total} documents identical")
+    return mismatch
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument(
+        "mode", nargs="?", default="all",
+        choices=["all", "tokens", "shortlist", "split"],
+    )
+    parser.add_argument("--lines", type=int, default=48)
+    parser.add_argument("--verbose", action="store_true")
+    args = parser.parse_args()
+
+    if not os.path.exists(HARNESS):
+        print("building reference harness...", flush=True)
+    build_harness()
+
+    rc = 0
+    if args.mode in ("all", "shortlist"):
+        if mode_shortlist(args) != 0:
+            rc = 1
+    if args.mode in ("all", "split"):
+        if mode_split(args) != 0:
+            rc = 1
+    if args.mode in ("all", "tokens"):
+        # Floor: demand ≥90% sentence exact-match in every cell; the
+        # residual is the quantified rounding/accumulation delta.
+        if mode_tokens(args) < 90.0:
+            rc = 1
+    return rc
+
+
+if __name__ == "__main__":
+    sys.exit(main())
