@@ -162,29 +162,76 @@ def bench_headline():
     print(json.dumps(_decode_bench(batch=batch, iters=6, kv=kv)))
 
 
-def bench_batch1():
+def _step_slope_us(batch=1, seq=24, vocab=32000, emb=256, ffn=1536,
+                   enc=6, dec=2, provider=None, kv=None, iters=12):
+    """Per-decode-step DEVICE time via a two-point slope: time the
+    same jitted translate_batch at max_steps=M and 2M and divide the
+    difference by M.  Tunnel RTT, dispatch, host transfer, and the
+    encoder pass are identical in both points and cancel exactly — no
+    RTT estimate needed (the axon tunnel breaks block_until_ready-
+    based timing; this is the trace-free way to resolve device-side
+    step latency)."""
     import jax
     import jax.numpy as jnp
 
+    from slimt_tpu.config import ModelConfig
+    from slimt_tpu.io import load_items
+    from slimt_tpu.io.loader import load_weights, stack_layers
+    from slimt_tpu.io.synthetic import synthetic_model_bytes
+    from slimt_tpu.models.decode import translate_batch
+
+    config = ModelConfig(encoder_layers=enc, decoder_layers=dec)
+    items = load_items(
+        synthetic_model_bytes(
+            config=config, vocab_size=vocab, emb_dim=emb, ffn_dim=ffn, seed=0
+        )
+    )
+    params = jax.device_put(stack_layers(load_weights(items, config)))
+    provider = provider or os.environ.get("BENCH_PROVIDER") or config.qmm_provider
+    kv = kv or os.environ.get("BENCH_KV", "bfloat16")
+    rng = np.random.default_rng(0)
+    mask_j = jnp.asarray(np.ones((batch, seq), np.float32))
+
+    m = int(1.5 * seq)  # 36: the p50-ish sentence decode length
+    k = 8  # wide second point: (k-1)*m extra steps must clear tunnel jitter
+
+    def timed(steps):
+        fn = jax.jit(
+            lambda p, i, mk: translate_batch(
+                p, i, mk, eos_id=-1, max_steps=steps,
+                num_heads=config.num_heads, provider=provider, kv_dtype=kv,
+            )
+        )
+        variants = [
+            jnp.asarray(rng.integers(3, vocab, (batch, seq)).astype(np.int32))
+            for _ in range(iters)
+        ]
+        np.asarray(fn(params, variants[0], mask_j).tokens)  # compile
+        times = []
+        for idx in variants:
+            t0 = time.perf_counter()
+            np.asarray(fn(params, idx, mask_j).tokens)
+            times.append(time.perf_counter() - t0)
+        times.sort()
+        return times[len(times) // 2]  # median: robust to tunnel hiccups
+
+    t1, t2 = timed(m), timed(k * m)
+    return max(t2 - t1, 0.0) / ((k - 1) * m) * 1e6, t1, m
+
+
+def bench_batch1():
+    kv = os.environ.get("BENCH_KV", "bfloat16")
     result = _decode_bench(
         batch=1, seq=24, iters=20,
-        metric="decode_tokens_per_sec_batch1_tiny11_int8",
+        metric="decode_tokens_per_sec_batch1_tiny11_int8", kv=kv,
     )
-    # p50-ish sentence latency (36 decode steps), raw and with the
-    # host↔device round-trip floor subtracted (through the axon
-    # tunnel the RTT dominates; on directly-attached TPU hardware the
-    # device time is what a server would see).
-    raw_ms = 36 / result["value"] * 1000
-    trivial = jax.jit(lambda x: x * 2)
-    x = jnp.ones((8, 8), jnp.float32)
-    np.asarray(trivial(x))
-    t0 = time.perf_counter()
-    for _ in range(10):
-        np.asarray(trivial(x))
-    rtt_ms = (time.perf_counter() - t0) / 10 * 1e3
+    # Device-side per-step time from the two-point slope (RTT and
+    # encoder cancel); sentence latency = 36 steps at that slope.
+    slope_us, t_m, m = _step_slope_us(kv=kv)
+    raw_ms = 36 / result["value"] * 1000  # wall-clock incl. tunnel RTT
     result["sentence_latency_ms"] = round(raw_ms, 2)
-    result["host_rtt_floor_ms"] = round(rtt_ms, 2)
-    result["device_latency_ms_est"] = round(max(raw_ms - 2 * rtt_ms, 0), 2)
+    result["step_device_us"] = round(slope_us, 1)
+    result["device_latency_ms"] = round(slope_us * 36 / 1000, 2)
     print(json.dumps(result))
 
 
@@ -294,6 +341,67 @@ def bench_e2e(lines=2048, workers=4):
                 "vs_baseline": round(tps / TARGET, 3),
                 "source_words_per_sec": round(swps, 1),
                 "lines": lines,
+            }
+        )
+    )
+
+
+def bench_realcorpus():
+    """End-to-end on the checked-in NATURAL corpus (data/corpus.txt:
+    648 mixed-length English lines, ~16.6 words/line, ~8% duplicate
+    lines) with shortlist + translation cache enabled — the realism
+    counterpart of the synthetic-sampler service modes.  Reports
+    cache-hit and shortlist-width statistics alongside throughput; a
+    single COLD pass, so the cache-hit rate reflects genuine corpus
+    repetition, not warmup artifacts."""
+    from slimt_tpu.config import Config
+    from slimt_tpu.runtime.service import Blocking
+
+    model = _model(with_shortlist=True)
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "data", "corpus.txt")
+    with open(path) as f:
+        corpus = [line.rstrip("\n") for line in f if line.strip()]
+
+    # Warm ALL shape buckets with a cache-less full pass (jit cache is
+    # per-model, shared across services), then measure one cold-CACHE
+    # pass in chunks: a single blocking mega-call can never hit its
+    # own cache (every segment is in flight before any completes —
+    # reference semantics, slimt/Request.cc:29-85), so chunking is
+    # what lets genuine corpus repetition show up, like a streaming
+    # workload would.
+    Blocking(Config(cache_size=0, max_words=4096)).translate(model, corpus)
+    service = Blocking(Config(cache_size=4096, max_words=4096))
+    chunk = 64
+    responses = []
+    t0 = time.perf_counter()
+    for start in range(0, len(corpus), chunk):
+        responses.extend(
+            service.translate(model, corpus[start : start + chunk])
+        )
+    elapsed = time.perf_counter() - t0
+
+    tokens = sum(
+        r.target.word_count(s)
+        for r in responses
+        for s in range(r.target.sentence_count())
+    )
+    source_words = sum(len(line.split()) for line in corpus)
+    cache = service.cache
+    hits, misses = (cache.hits, cache.misses) if cache else (0, 0)
+    tps = tokens / elapsed
+    print(
+        json.dumps(
+            {
+                "metric": "realcorpus_tokens_per_sec",
+                "value": round(tps, 1),
+                "unit": "tokens/s",
+                "vs_baseline": round(tps / TARGET, 3),
+                "lines": len(corpus),
+                "source_words_per_sec": round(source_words / elapsed, 1),
+                "cache_hit_rate": round(hits / max(1, hits + misses), 3),
+                "cache_lookups": hits + misses,
+                "shortlist": model.shortlist_meter.snapshot(),
             }
         )
     )
@@ -559,6 +667,7 @@ def main():
         "multipair": bench_multipair,
         "pivot": bench_pivot,
         "corpus": bench_corpus,
+        "realcorpus": bench_realcorpus,
         "providers": bench_providers,
     }[mode]()
     timer.cancel()

@@ -21,7 +21,8 @@ import java.net.http.HttpRequest;
 import java.net.http.HttpResponse;
 
 public class JavaClient {
-    static final String BASE = "http://127.0.0.1:18931";
+    // Overridable: JavaClient [baseUrl] [text]
+    static String BASE = "http://127.0.0.1:18931";
 
     static String jsonEscape(String s) {
         StringBuilder b = new StringBuilder();
@@ -57,6 +58,7 @@ public class JavaClient {
     }
 
     public static void main(String[] args) throws Exception {
+        if (args.length > 0) BASE = args[0];
         HttpClient client = HttpClient.newHttpClient();
 
         // Liveness + device health (reference has no equivalent; the
@@ -67,7 +69,7 @@ public class JavaClient {
         System.out.println("health: " + health.body());
 
         // Blocking translate — mirrors Service.translate(model, [text]).
-        String text = args.length > 0 ? args[0] : "Hello world. How are you?";
+        String text = args.length > 1 ? args[1] : "Hello world. How are you?";
         String body = "{\"text\": \"" + jsonEscape(text) + "\"}";
         System.out.println("translate: " + post(client, "/translate", body));
 

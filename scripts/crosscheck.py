@@ -14,12 +14,23 @@ oracle into cross-implementation evidence:
   - greedy decode tokens come from the reference's Transformer.cc /
     Modules.cc / TensorOps.cc / qmm (Ruy provider semantics).
 
-Expected agreement is high but NOT necessarily 100%: the reference's
-ruy provider quantizes activations with roundf (round-half-away-from-
-zero, qmm/Ruy.inl.cc:14) while slimt_tpu uses rint (round-half-even,
-matching intgemm's cvtps2dq semantics), and f32 accumulation order
-differs (system BLAS vs XLA:CPU).  The point is to MEASURE the
-disagreement rate instead of asserting it away.
+Measured agreement (see tests/test_crosscheck.py): full-vocab greedy
+decode is 100% token-exact across every architecture cell and batch
+size, despite the candidate deltas (reference ruy quantizes
+activations with roundf vs slimt_tpu's rint; system-BLAS vs XLA:CPU
+f32 accumulation order) — none of them flip an argmax on these shapes.
+
+Shortlisted decode is exact once the logit bias is zeroed; with a
+nonzero bias the reference's Ruy provider itself diverges from its
+intgemm/gemmology providers: qmm/Ruy.inl.cc:169-176 computes
+`selected_bias` but line 195-199 passes the UNSELECTED `prepared_bias`
+to unquantizeAddBias, adding bias[packed_index] instead of
+bias[shortlist[packed_index]].  slimt_tpu selects the bias like the
+intgemm/gemmology providers (qmm/Gemmology.inl.cc:151-169) — the
+providers real x86 deployments use.  The tokens mode therefore runs
+shortlist cells with a zeroed logit bias (isolating everything else)
+and separately QUANTIFIES the reference-Ruy bias bug's impact with the
+natural bias (`ruy-bias-bug` line).
 
 Modes:
   tokens     — per-sentence exact-match + token-level agreement over a
@@ -36,6 +47,7 @@ Usage:
 from __future__ import annotations
 
 import argparse
+import dataclasses
 import os
 import subprocess
 import sys
@@ -89,8 +101,17 @@ def write_package(tmp, enc, dec, heads, emb, ffn, seed):
     model_bytes = synthetic_model_bytes(
         config=config, vocab_size=VOCAB, emb_dim=emb, ffn_dim=ffn, seed=seed
     )
-    words = [f"w{i}" for i in range(VOCAB)]
-    spm = build_spm_model(words, target_size=VOCAB)
+    # Exactly VOCAB pieces: the reference's greedy_sample strides its
+    # logits buffer by Vocabulary::size() (Transformer.cc:282), so the
+    # SPM piece count must equal the model's output vocab exactly.
+    spm = build_spm_model([], target_size=0)
+    base = list(spm.pieces)
+    extra = [
+        spm_proto.Piece(f"▁w{i}", -float(i + 2), spm_proto.PIECE_NORMAL)
+        for i in range(VOCAB - len(base))
+    ]
+    spm = dataclasses.replace(spm, pieces=base + extra)
+    assert len(spm.pieces) == VOCAB, len(spm.pieces)
     paths = {}
     for name, payload in (
         ("model.bin", model_bytes),
@@ -101,6 +122,19 @@ def write_package(tmp, enc, dec, heads, emb, ffn, seed):
         with open(paths[name], "wb") as f:
             f.write(payload)
     return config, model_bytes, spm, paths
+
+
+def zero_logit_bias(model_bytes):
+    """Re-serialize with decoder_ff_logit_out_b zeroed (isolates the
+    reference Ruy provider's unselected-bias bug in shortlist cells —
+    see module docstring)."""
+    from slimt_tpu.io import marian
+
+    items = marian.load_items(model_bytes)
+    for item in items:
+        if item.name == "decoder_ff_logit_out_b":
+            item.array = np.zeros_like(item.array)
+    return marian.save_items(items)
 
 
 def corpus(lines, eos, seed):
@@ -185,11 +219,14 @@ def diff(name, ref, got, verbose):
     sent_total = len(ref)
     sent_exact = 0
     tok_total = tok_agree = 0
+    divergent = []
     for i, (r, g) in enumerate(zip(ref, got)):
         if r == g:
             sent_exact += 1
-        elif verbose:
-            print(f"  line {i}: ref={r}\n          tpu={g}")
+        else:
+            divergent.append(i)
+            if verbose:
+                print(f"  line {i}: ref={r}\n          tpu={g}")
         # Token-level: agreement over the aligned prefix + count length
         # mismatch as disagreement.
         n = max(len(r), len(g))
@@ -201,7 +238,44 @@ def diff(name, ref, got, verbose):
         f"{name:34s} sentences {sent_exact}/{sent_total} ({pct_sent:.1f}%)"
         f"  tokens {tok_agree}/{tok_total} ({pct_tok:.1f}%)"
     )
-    return pct_sent, pct_tok
+    return pct_sent, pct_tok, divergent
+
+
+def roundf_decode(model_bytes, config, sentence, eos, max_steps, shortlist):
+    """Decode one sentence with the NumPy oracle patched to roundf
+    (half-away-from-zero) activation quantization — the reference Ruy
+    provider's rounding (qmm/Ruy.inl.cc:14).  slimt_tpu uses rint
+    (half-even, = x86 cvtps2dq, the intgemm/gemmology rounding); the
+    reference's own providers disagree with each other on exact-half
+    activations, so a divergence reproduced by this decode is the two
+    PROVIDERS' delta, not an engine bug."""
+    import unittest.mock as mock
+
+    from slimt_tpu.io import load_items
+    from slimt_tpu.io.loader import load_weights
+    from tests import reference_impl as ri
+
+    def quantize_roundf(x, mult):
+        a = x.astype(np.float32) * mult
+        half = np.where(a >= 0, np.float32(0.5), np.float32(-0.5))
+        return np.clip(np.trunc(a + half), -127, 127).astype(np.int8)
+
+    params = load_weights(load_items(model_bytes), config)
+    indices = np.asarray(sentence)[None, :]
+    mask_add = ri.make_additive_mask(np.ones_like(indices, np.float32))
+    with mock.patch.object(ri, "quantize", quantize_roundf):
+        enc = ri.encoder_forward(
+            params,
+            ri.transform_embedding(ri.embed(params, indices)),
+            mask_add,
+            config.num_heads,
+        )
+        toks, valid, _ = ri.greedy_decode(
+            params, enc, mask_add, eos, max_steps, config.num_heads,
+            shortlist=np.asarray(shortlist, np.int64)
+            if shortlist is not None else None,
+        )
+    return toks[0][valid[0]].tolist()
 
 
 def mode_tokens(args):
@@ -218,20 +292,83 @@ def mode_tokens(args):
             sentences = corpus(args.lines, eos, seed + 100)
             with open(paths["shortlist.bin"], "rb") as f:
                 gen = ShortlistGenerator(f.read(), VOCAB)
+            nobias_bytes = zero_logit_bias(model_bytes)
+            nobias_path = paths["model.bin"] + ".nobias"
+            with open(nobias_path, "wb") as f:
+                f.write(nobias_bytes)
             for with_shortlist in (False, True):
                 for batch in (1, 8):
+                    # Shortlist cells: zeroed logit bias (the reference
+                    # Ruy provider adds the wrong bias under select —
+                    # module docstring).
+                    cell_paths = (
+                        dict(paths, **{"model.bin": nobias_path})
+                        if with_shortlist
+                        else paths
+                    )
+                    cell_bytes = (
+                        nobias_bytes if with_shortlist else model_bytes
+                    )
                     ref = run_reference(
-                        paths, config, sentences, batch, with_shortlist
+                        cell_paths, config, sentences, batch, with_shortlist
                     )
                     got = run_slimt_tpu(
-                        model_bytes, config, sentences, batch, eos, pad,
+                        cell_bytes, config, sentences, batch, eos, pad,
                         gen if with_shortlist else None,
                     )
                     tag = "shortlist" if with_shortlist else "full-vocab"
-                    pct_sent, _ = diff(
+                    pct_sent, _, divergent = diff(
                         f"{label} {tag} B={batch}", ref, got, args.verbose
                     )
-                    worst_sent = min(worst_sent, pct_sent)
+                    # Attribute divergences: reproduced by the oracle
+                    # with roundf quantization = the reference's OWN
+                    # Ruy-vs-intgemm provider rounding delta, not an
+                    # engine disagreement.
+                    attributed = 0
+                    for i in divergent:
+                        # Reconstruct the sentence's BATCH context:
+                        # the shortlist is generated from the group's
+                        # flattened words and the step cap from the
+                        # group's max length (Model.cc:116-120,160).
+                        group = sentences[
+                            (i // batch) * batch : (i // batch) * batch + batch
+                        ]
+                        sl = (
+                            gen.generate([w for s in group for w in s])
+                            if with_shortlist else None
+                        )
+                        cap = int(1.5 * max(len(s) for s in group))
+                        want = roundf_decode(
+                            cell_bytes, config, sentences[i], eos, cap, sl
+                        )
+                        if want == ref[i]:
+                            attributed += 1
+                    if attributed:
+                        print(
+                            f"    {attributed}/{len(divergent)} divergences"
+                            " attributed to provider rounding (roundf"
+                            " oracle == reference)"
+                        )
+                    adj = 100.0 * (
+                        int(round(pct_sent / 100.0 * len(ref))) + attributed
+                    ) / max(1, len(ref))
+                    worst_sent = min(worst_sent, adj)
+
+        # Quantify the reference-Ruy unselected-bias bug: same cell,
+        # natural bias, shortlist on. Informational (not gating).
+        label, enc, dec, heads, emb, ffn, seed = CELLS[0]
+        config, model_bytes, spm, paths = write_package(
+            tmp, enc, dec, heads, emb, ffn, seed
+        )
+        sentences = corpus(args.lines, spm.eos_id, seed + 100)
+        with open(paths["shortlist.bin"], "rb") as f:
+            gen = ShortlistGenerator(f.read(), VOCAB)
+        ref = run_reference(paths, config, sentences, 1, True)
+        got = run_slimt_tpu(
+            model_bytes, config, sentences, 1, spm.eos_id,
+            max(0, spm.pad_id), gen,
+        )
+        diff("ruy-bias-bug (informational)", ref, got, args.verbose)[0]
     print(f"worst-cell sentence exact-match: {worst_sent:.1f}%")
     return worst_sent
 
@@ -405,9 +542,10 @@ def main():
         if mode_split(args) != 0:
             rc = 1
     if args.mode in ("all", "tokens"):
-        # Floor: demand ≥90% sentence exact-match in every cell; the
-        # residual is the quantified rounding/accumulation delta.
-        if mode_tokens(args) < 90.0:
+        # Measured exact on every cell (module docstring); the floor
+        # leaves headroom for a rare rounding-boundary argmax flip on
+        # future corpora.
+        if mode_tokens(args) < 98.0:
             rc = 1
     return rc
 

@@ -25,6 +25,7 @@ run "batch1 default"          python bench.py batch1
 run "batch1 fused_step"       env BENCH_PROVIDER=fused_step python bench.py batch1
 run "base model"              python bench.py base
 run "e2e service"             python bench.py e2e
+run "real corpus (cache+shortlist stats)" python bench.py realcorpus
 run "shortlist"               python bench.py shortlist
 run "bulk corpus"             python bench.py bulk
 run "async corpus"            python bench.py corpus

@@ -80,6 +80,32 @@ _TYPE_OF_NP = {
 }
 
 
+def _stored_transposed(name: str, type_code: int, shape: tuple) -> bool:
+    """Whether an intgemm8 payload is stored TRANSPOSED on disk.
+
+    Marian exports intgemm8 weight matrices through
+    PrepareB(Quantized)Transposed: the payload is the TRANSPOSE of the
+    declared [rows, cols] header shape, laid out row-major [cols,
+    rows].  The reference consumes it that way — its ruy provider
+    memcpy's the payload and indexes column j at data[j*rows + k]
+    (qmm/Ruy.inl.cc:86-89,158-162), and gemmology/intgemm call
+    PrepareBQuantizedTransposed on it (qmm/Gemmology.inl.cc:275-281).
+    The only exceptions, special-cased by NAME exactly like
+    slimt/Io.cc:166-224: "Wemb" (natural [V, E] — it is dequantized
+    for the input embedding and re-prepared at load) and
+    "Wemb_QuantMultA" (a junk ig8 blob).  Items here always carry the
+    LOGICAL orientation; the disk layout is this module's concern.
+
+    (Caught by the crosscheck differential harness: round 1 stored
+    these payloads natural, self-consistently — wrong for real files.)
+    """
+    return (
+        type_code == TYPE_INTGEMM8
+        and len(shape) == 2
+        and name not in ("Wemb", "Wemb_QuantMultA")
+    )
+
+
 @dataclasses.dataclass
 class Item:
     """One named tensor from a marian .bin file.
@@ -154,7 +180,13 @@ def _parse(buf: Union[bytes, np.memmap, memoryview]) -> List[Item]:
         scale = None
         if type_code == TYPE_INTGEMM8:
             n = int(np.prod(shape)) if shape else 0
-            array = np.frombuffer(blob, dtype=np.int8, count=n).reshape(shape)
+            flat = np.frombuffer(blob, dtype=np.int8, count=n)
+            if _stored_transposed(name, type_code, shape):
+                # Disk layout is [cols, rows] row-major (the prepared
+                # transpose); expose the logical [rows, cols] matrix.
+                array = flat.reshape(shape[::-1]).T
+            else:
+                array = flat.reshape(shape)
             # Trailing f32 multiplier after the int8 payload.
             (scale,) = struct.unpack_from("<f", blob, n)
         else:
@@ -190,8 +222,11 @@ def save_items(items: Sequence[Item]) -> bytes:
         if item.type_code == TYPE_INTGEMM8:
             if item.scale is None:
                 raise ValueError(f"intgemm8 item {item.name} requires a scale")
+            array = np.asarray(item.array, dtype=np.int8)
+            if _stored_transposed(item.name, item.type_code, item.shape):
+                array = array.T  # disk layout is the prepared transpose
             payload = (
-                np.ascontiguousarray(item.array, dtype=np.int8).tobytes()
+                np.ascontiguousarray(array).tobytes()
                 + struct.pack("<f", item.scale)
             )
         else:

@@ -162,6 +162,9 @@ class Model:
             self.shortlist_generator = ShortlistGenerator(
                 shortlist_bytes, vocab_size=self.vocab_size
             )
+        from slimt_tpu.utils import ShortlistMeter
+
+        self.shortlist_meter = ShortlistMeter()
 
     # -- device forward ------------------------------------------------
 
@@ -248,9 +251,13 @@ class Model:
                 words = []
             elif isinstance(words, np.ndarray):
                 words = words.tolist()
+            raw_width = len(self.shortlist_generator.generate(words))
             shortlist = self.shortlist_generator.generate_padded(
                 words, SHORTLIST_BUCKET
             ).astype(np.int32)
+            # Observability: generated vs bucket-padded widths
+            # (surfaced by bench realcorpus / server /stats).
+            self.shortlist_meter.record_widths(raw_width, len(shortlist))
 
         # Static bound (sizes output buffers, keyed into the compile
         # cache by the bucketed t_pad) vs dynamic cap (the reference's

@@ -18,13 +18,19 @@ class AtomicCache:
             raise ValueError("cache size must be positive")
         self._records: List[Optional[Tuple[int, Any]]] = [None] * size
         self._locks = [threading.Lock() for _ in range(min(buckets, size))]
+        # Observability counters (racy-read OK; writes under the
+        # bucket lock). Surfaced by /stats and bench realcorpus.
+        self.hits = 0
+        self.misses = 0
 
     def find(self, key: int) -> Tuple[bool, Any]:
         index = key % len(self._records)
         with self._locks[index % len(self._locks)]:
             record = self._records[index]
             if record is not None and record[0] == key:
+                self.hits += 1
                 return True, record[1]
+            self.misses += 1
         return False, None
 
     def store(self, key: int, value: Any) -> None:

@@ -132,6 +132,26 @@ def trace(name: str = "slimt_tpu", directory: Optional[str] = None):
             yield
 
 
+class ShortlistMeter:
+    """Generated vs bucket-padded shortlist width statistics
+    (observability for the static-shape padding tax)."""
+
+    def __init__(self):
+        self.generated = AverageMeter()
+        self.padded = AverageMeter()
+
+    def record_widths(self, generated: int, padded: int) -> None:
+        self.generated.record(generated)
+        self.padded.record(padded)
+
+    def snapshot(self) -> dict:
+        return {
+            "batches": self.generated.count,
+            "avg_generated_width": round(self.generated.average(), 1),
+            "avg_padded_width": round(self.padded.average(), 1),
+        }
+
+
 class ServiceMeters:
     """Words-per-second + batch occupancy meters, the reference's
     exhaust-loop instrumentation (slimt/Frontend.cc:44-59)."""

@@ -1,0 +1,68 @@
+"""Scaling-efficiency regression on the virtual 8-device CPU mesh.
+
+Complements the exact-match sharding tests: a sharded decode at fixed
+TOTAL batch must not run materially slower than the single-device
+program — hidden serialization (an accidental host sync per step, a
+degenerate GSPMD partition) would crater the ratio.  Thresholds are
+calibrated against scripts/scaling_curve.py measurements on this mesh
+(DP measured 1.3-1.45x, TP 0.5-0.6x — TP's collective overhead on a
+shared-CPU mesh is genuine at toy sizes and NOT representative of ICI;
+the TP bound is a serialization canary only).
+"""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+import jax
+
+sys.path.insert(
+    0, os.path.join(os.path.dirname(os.path.dirname(__file__)), "scripts")
+)
+
+from slimt_tpu.config import ModelConfig
+from slimt_tpu.io import load_items
+from slimt_tpu.io.loader import load_weights
+from slimt_tpu.io.synthetic import synthetic_model_bytes
+
+
+@pytest.fixture(scope="module")
+def setup():
+    config = ModelConfig(encoder_layers=3, decoder_layers=2, num_heads=4)
+    items = load_items(
+        synthetic_model_bytes(
+            config=config, vocab_size=128, emb_dim=64, ffn_dim=128, seed=0
+        )
+    )
+    return config, load_weights(items, config)
+
+
+def _tps(params, config, mesh_kw):
+    from scaling_curve import measure
+
+    return measure(
+        params, config, mesh_kw, batch=64, seq=24, steps=8, repeats=3
+    )
+
+
+def test_dp_no_hidden_serialization(setup):
+    assert len(jax.devices()) >= 8
+    config, params = setup
+    base = _tps(params, config, {})
+    for data in (2, 4, 8):
+        tps = _tps(params, config, {"data": data})
+        ratio = tps / base
+        assert ratio >= 0.8, f"DP={data} ratio {ratio:.2f} < 0.8"
+
+
+def test_tp_serialization_canary(setup):
+    assert len(jax.devices()) >= 8
+    config, params = setup
+    base = _tps(params, config, {})
+    tps = _tps(params, config, {"model": 2})
+    ratio = tps / base
+    # CPU-mesh TP collectives cost real time (measured ~0.6x); a per-
+    # step host sync or degenerate partition would land far below.
+    assert ratio >= 0.3, f"TP=2 ratio {ratio:.2f} < 0.3"
