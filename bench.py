@@ -346,6 +346,45 @@ def bench_e2e(lines=2048, workers=4):
     )
 
 
+def bench_devstep():
+    """Device-side decode-step time at serving batch via the
+    two-point slope (tunnel RTT/dispatch/encoder cancel): the
+    device-side counterpart of the wall-clock headline, plus the
+    roofline position of the pure step."""
+    batch = int(os.environ.get("BENCH_BATCH", 2048))
+    kv = os.environ.get("BENCH_KV", "int8")
+    seq = 64
+    slope_us, _, _ = _step_slope_us(
+        batch=batch, seq=seq, iters=8, kv=kv)
+    kv_bytes = {"int8": 1, "bfloat16": 2, "float32": 4}.get(kv, 2)
+    dec, emb, ffn, vocab = 2, 256, 1536, 32000
+    bytes_per_step = (
+        2 * dec * batch * seq * emb * kv_bytes
+        + dec * (4 * emb * emb + 2 * emb * ffn)
+        + emb * vocab
+        + 2 * dec * batch * emb * 4
+        + batch * emb * 4
+    )
+    peak_gbps = float(os.environ.get("BENCH_HBM_PEAK_GBPS", 819.0))
+    device_tps = batch / (slope_us / 1e6) if slope_us else 0.0
+    hbm = bytes_per_step / (slope_us / 1e6) / 1e9 if slope_us else 0.0
+    print(
+        json.dumps(
+            {
+                "metric": "decode_step_device_us",
+                "value": round(slope_us, 1),
+                "unit": "us/step",
+                "vs_baseline": round(device_tps / TARGET, 3),
+                "batch": batch,
+                "kv": kv,
+                "device_tokens_per_sec": round(device_tps, 1),
+                "hbm_gbps": round(hbm, 1),
+                "pct_peak": round(100.0 * hbm / peak_gbps, 1),
+            }
+        )
+    )
+
+
 def bench_realcorpus():
     """End-to-end on the checked-in NATURAL corpus (data/corpus.txt:
     648 mixed-length English lines, ~16.6 words/line, ~8% duplicate
@@ -401,6 +440,7 @@ def bench_realcorpus():
                 "source_words_per_sec": round(source_words / elapsed, 1),
                 "cache_hit_rate": round(hits / max(1, hits + misses), 3),
                 "cache_lookups": hits + misses,
+                "chunk": chunk,
                 "shortlist": model.shortlist_meter.snapshot(),
             }
         )
@@ -668,6 +708,7 @@ def main():
         "pivot": bench_pivot,
         "corpus": bench_corpus,
         "realcorpus": bench_realcorpus,
+        "devstep": bench_devstep,
         "providers": bench_providers,
     }[mode]()
     timer.cancel()

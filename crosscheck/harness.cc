@@ -7,18 +7,23 @@
 //   Aligned.cc Tensor.cc TensorOps.cc QMM.cc(+qmm/Ruy.inl.cc)
 //   Modules.cc Transformer.cc Io.cc Input.cc Shortlist.cc Utils.cc
 //   Vocabulary.cc
+// (plus Regex.cc/Splitter.cc over the real libpcre2-8, and
+// Annotation.cc/TextProcessor.cc for the --process mode)
 // What is shimmed (see crosscheck/shims/): the un-checked-out
 // third-party deps only — cblas.h (declarations; real system BLAS
 // does the sgemm), ruy/ruy.h (exact scalar i8*i8->i32 GEMM,
-// bit-identical to ruy's int32-destination semantics), and
-// sentencepiece (ModelProto wire parser for sizes/ids; Encode aborts
-// — the harness is ids-in/ids-out).
+// bit-identical to ruy's int32-destination semantics), pcre2.h
+// (declarations; real libpcre2-8.so.0), and sentencepiece (ModelProto
+// wire parser; Encode/Decode bridge to the repo's native Viterbi —
+// identical on both sides of the differential by construction).
 //
 // This main replicates Model::forward + Model::decode
-// (/root/reference/slimt/Model.cc:111-204) over those objects;
-// Model.cc itself is not compiled because its constructor requires
-// TextProcessor (PCRE2, headers unavailable).  The decode loop below
-// mirrors Model.cc line-for-line minus alignment bookkeeping.
+// (/root/reference/slimt/Model.cc:111-204) over those objects.
+// Model.cc itself is the one core file not compiled (its constructor
+// wires Package/mmap plumbing the harness does inline); the decode
+// loop below intentionally mirrors Model.cc line-for-line (minus
+// alignment bookkeeping) — a decode driver that deviated from the
+// reference's would invalidate the differential.
 //
 // Protocol:
 //   stdin:  one sentence per line, space-separated source token ids
@@ -45,7 +50,9 @@
 #include "slimt/Input.hh"
 #include "slimt/Io.hh"
 #include "slimt/Shortlist.hh"
+#include "slimt/Annotation.hh"
 #include "slimt/Splitter.hh"
+#include "slimt/TextProcessor.hh"
 #include "slimt/Tensor.hh"
 #include "slimt/TensorOps.hh"
 #include "slimt/Transformer.hh"
@@ -67,7 +74,61 @@ struct Args {
   bool dump_shortlist = false;  // print generated shortlists, skip decode
   std::string split;        // sentence|paragraph|wrapped: splitter mode
   std::string prefix_file;  // nonbreaking-prefix file for --split
+  std::string process;      // TextProcessor mode (sentence|paragraph|wrapped_text)
+  size_t wrap = 128;        // wrap_length for --process
 };
+
+// Text-pipeline differential: the reference TextProcessor::process
+// (TextProcessor.cc:96-157) over the full reference Splitter +
+// Annotation stack (the shim Vocabulary's Encode bridges to the
+// repo's native Viterbi — held identical on both sides by
+// construction, so this isolates wrap/EOS/annotation semantics).
+// Reads all of stdin; prints per segment:
+//   ids <space-separated token ids>
+// then per sentence of the AnnotatedText:
+//   sent <begin> <end> : <token begin:end pairs>
+int run_process(const Args& args) {
+  std::ostringstream buffer;
+  buffer << std::cin.rdbuf();
+  std::string text = buffer.str();
+
+  slimt::io::MmapFile vocab_mmap(args.vocab);
+  slimt::Vocabulary vocabulary(
+      slimt::View{vocab_mmap.data(), vocab_mmap.size()});
+  slimt::Aligned prefix_blob;
+  if (!args.prefix_file.empty()) {
+    FILE* f = std::fopen(args.prefix_file.c_str(), "rb");
+    if (!f) return 2;
+    std::fseek(f, 0, SEEK_END);
+    long size = std::ftell(f);
+    std::fseek(f, 0, SEEK_SET);
+    prefix_blob = slimt::Aligned(64, size);
+    if (std::fread(prefix_blob.data(), 1, size, f) !=
+        static_cast<size_t>(size)) {
+      std::fclose(f);
+      return 2;
+    }
+    std::fclose(f);
+  }
+  slimt::TextProcessor processor(args.process, vocabulary, prefix_blob);
+  auto [annotated, segments] = processor.process(std::move(text), args.wrap);
+
+  for (const auto& segment : segments) {
+    std::fputs("ids", stdout);
+    for (uint32_t word : segment) std::fprintf(stdout, " %u", word);
+    std::fputc('\n', stdout);
+  }
+  for (size_t s = 0; s < annotated.sentence_count(); s++) {
+    slimt::Range sentence = annotated.annotation.sentence(s);
+    std::fprintf(stdout, "sent %zu %zu :", sentence.begin, sentence.end);
+    for (size_t w = 0; w < annotated.word_count(s); w++) {
+      slimt::Range word = annotated.annotation.word(s, w);
+      std::fprintf(stdout, " %zu:%zu", word.begin, word.end);
+    }
+    std::fputc('\n', stdout);
+  }
+  return 0;
+}
 
 // Splitter differential mode: runs the REFERENCE SentenceStream
 // (Splitter.cc, genuine PCRE2 via libpcre2-8.so.0) over all of stdin
@@ -137,12 +198,19 @@ Args parse_args(int argc, char** argv) {
     }
     else if (flag == "--split") args.split = need(i);
     else if (flag == "--prefix-file") args.prefix_file = need(i);
+    else if (flag == "--process") args.process = need(i);
+    else if (flag == "--wrap") args.wrap = std::stoul(need(i));
     else {
       std::fprintf(stderr, "unknown flag %s\n", flag.c_str());
       std::exit(2);
     }
   }
-  if (args.split.empty() && (args.model.empty() || args.vocab.empty())) {
+  if (!args.process.empty()) {
+    if (args.vocab.empty()) {
+      std::fprintf(stderr, "--process requires --vocab\n");
+      std::exit(2);
+    }
+  } else if (args.split.empty() && (args.model.empty() || args.vocab.empty())) {
     std::fprintf(stderr, "--model and --vocab are required\n");
     std::exit(2);
   }
@@ -286,6 +354,7 @@ int main(int argc, char** argv) {
   Args args = parse_args(argc, argv);
 
   if (!args.split.empty()) return run_split(args);
+  if (!args.process.empty()) return run_process(args);
 
   slimt::io::MmapFile model_mmap(args.model);
   slimt::io::MmapFile vocab_mmap(args.vocab);

@@ -12,17 +12,23 @@
 //   - absl::string_view (aliased to std::string_view)
 //
 // LoadFromSerializedProto is a real (minimal) SPM ModelProto wire
-// parser: it counts `pieces` (field 1) for GetPieceSize() and reads
-// TrainerSpec (field 2) varints unk_id/bos_id/eos_id/pad_id
-// (fields 40-43, int32 two's complement), with spm's defaults
-// (0/1/2/-1) when absent.  Encode/Decode abort: the harness is ids-in
-// / ids-out by design (tokenizer parity is tested separately in
-// Python against the HF `tokenizers` unigram implementation).
+// parser: pieces (string/score/type), TrainerSpec ids (fields 40-43),
+// and NormalizerSpec (charsmap + flags).  Encode/Decode bridge to the
+// repo's native Viterbi segmenter (native/slimt_host.cpp, linked into
+// the harness) — NOT real sentencepiece (the vendored submodule is an
+// empty checkout).  This is fine for what the harness text modes
+// validate: with the tokenizer held IDENTICAL by construction on both
+// sides, the differential isolates the reference's TextProcessor/
+// Annotation semantics (wrap-at-128, EOS placement, byte-range
+// bookkeeping) against slimt_tpu's.  Tokenizer-level parity is
+// separately covered by the 3-backend agreement tests in Python
+// (native C++ / HF tokenizers / pure python).
 #ifndef CROSSCHECK_SHIM_SENTENCEPIECE_PROCESSOR_H
 #define CROSSCHECK_SHIM_SENTENCEPIECE_PROCESSOR_H
 
 #include <cstdint>
 #include <cstdio>
+#include <cstring>
 #include <cstdlib>
 #include <string>
 #include <string_view>
@@ -31,6 +37,24 @@
 namespace absl {
 using string_view = std::string_view;
 }  // namespace absl
+
+// Native Viterbi segmenter from the repo's host library
+// (native/slimt_host.cpp), compiled into the harness.
+extern "C" {
+void* slimt_vocab_create(const char* blob, const uint32_t* offsets,
+                         const float* scores, const uint8_t* types,
+                         uint32_t n, uint32_t unk_id);
+void slimt_vocab_destroy(void* handle);
+int slimt_vocab_set_charsmap(void* handle, const char* blob, uint64_t len);
+int slimt_vocab_cap_multiplier(void* handle);
+int slimt_vocab_encode(void* handle, const char* text, int len,
+                       int add_dummy_prefix, int escape_ws,
+                       int remove_extra_ws, uint32_t* out_ids,
+                       uint32_t* out_begin, uint32_t* out_end, int cap);
+int slimt_vocab_decode(void* handle, const uint32_t* ids, int n,
+                       char* out_text, int text_cap, uint32_t* out_begin,
+                       uint32_t* out_end);
+}
 
 namespace sentencepiece {
 
@@ -75,16 +99,56 @@ class SentencePieceProcessor {
     parse_model_proto(buffer);
   }
 
-  void Encode(absl::string_view /*line*/, SentencePieceText* /*out*/) const {
-    std::fprintf(stderr, "spm shim: Encode is not available (ids-only harness)\n");
-    std::abort();
+  void Encode(absl::string_view line, SentencePieceText* out) const {
+    out->pieces_.clear();
+    out->text_.assign(line.data(), line.size());
+    if (!handle_) {
+      std::fprintf(stderr, "spm shim: Encode before Load\n");
+      std::abort();
+    }
+    int cap = cap_mult_ * static_cast<int>(line.size()) + 8;
+    std::vector<uint32_t> ids(cap), begin(cap), end(cap);
+    int n = slimt_vocab_encode(
+        handle_, line.data(), static_cast<int>(line.size()),
+        add_dummy_prefix_, escape_ws_, remove_extra_ws_,
+        ids.data(), begin.data(), end.data(), cap);
+    if (n < 0) {
+      std::fprintf(stderr, "spm shim: encode capacity overflow\n");
+      std::abort();
+    }
+    out->pieces_.resize(n);
+    for (int i = 0; i < n; i++) {
+      out->pieces_[i].id_ = static_cast<int>(ids[i]);
+      out->pieces_[i].begin_ = begin[i];
+      out->pieces_[i].end_ = end[i];
+    }
   }
 
-  void Decode(const std::vector<int>& /*ids*/, SentencePieceText* out) const {
-    // Reached only from slimt's disabled topk_inspect debug path
-    // (Transformer.cc:300 `if (false)`); return an empty text.
+  void Decode(const std::vector<int>& ids, SentencePieceText* out) const {
     out->pieces_.clear();
     out->text_.clear();
+    if (!handle_ || ids.empty()) return;
+    std::vector<uint32_t> uids(ids.begin(), ids.end());
+    int cap = 16;
+    for (int id : ids) {
+      cap += static_cast<int>(piece_length(id)) + 1;
+    }
+    std::vector<char> text(cap);
+    std::vector<uint32_t> begin(ids.size()), end(ids.size());
+    int written = slimt_vocab_decode(
+        handle_, uids.data(), static_cast<int>(uids.size()), text.data(),
+        cap, begin.data(), end.data());
+    if (written < 0) {
+      std::fprintf(stderr, "spm shim: decode capacity overflow\n");
+      std::abort();
+    }
+    out->text_.assign(text.data(), written);
+    out->pieces_.resize(ids.size());
+    for (size_t i = 0; i < ids.size(); i++) {
+      out->pieces_[i].id_ = ids[i];
+      out->pieces_[i].begin_ = begin[i];
+      out->pieces_[i].end_ = end[i];
+    }
   }
 
   int pad_id() const { return pad_id_; }
@@ -134,6 +198,72 @@ class SentencePieceProcessor {
     }
   }
 
+  size_t piece_length(int id) const {
+    if (id < 0 || id >= piece_count_) return 0;
+    return piece_offsets_[id + 1] - piece_offsets_[id];
+  }
+
+  // Parse one SentencePiece message: piece(1 string), score(2 float),
+  // type(3 enum, default NORMAL=1).
+  void parse_piece(const uint8_t* p, const uint8_t* end) {
+    float score = 0.0F;
+    uint8_t type = 1;
+    std::string text;
+    while (p < end) {
+      uint64_t tag = 0;
+      if (!read_varint(p, end, &tag)) break;
+      uint64_t field = tag >> 3;
+      uint64_t wire = tag & 0x7;
+      if (field == 1 && wire == 2) {
+        uint64_t len = 0;
+        if (!read_varint(p, end, &len) ||
+            static_cast<uint64_t>(end - p) < len)
+          break;
+        text.assign(reinterpret_cast<const char*>(p), len);
+        p += len;
+      } else if (field == 2 && wire == 5) {
+        if (end - p < 4) break;
+        std::memcpy(&score, p, 4);
+        p += 4;
+      } else if (field == 3 && wire == 0) {
+        uint64_t v = 0;
+        if (!read_varint(p, end, &v)) break;
+        type = static_cast<uint8_t>(v);
+      } else if (!skip_field(p, end, wire)) {
+        break;
+      }
+    }
+    piece_blob_ += text;
+    piece_offsets_.push_back(static_cast<uint32_t>(piece_blob_.size()));
+    piece_scores_.push_back(score);
+    piece_types_.push_back(type);
+  }
+
+  void parse_normalizer_spec(const uint8_t* p, const uint8_t* end) {
+    while (p < end) {
+      uint64_t tag = 0;
+      if (!read_varint(p, end, &tag)) return;
+      uint64_t field = tag >> 3;
+      uint64_t wire = tag & 0x7;
+      if (field == 2 && wire == 2) {  // precompiled_charsmap
+        uint64_t len = 0;
+        if (!read_varint(p, end, &len) ||
+            static_cast<uint64_t>(end - p) < len)
+          return;
+        charsmap_.assign(reinterpret_cast<const char*>(p), len);
+        p += len;
+      } else if (wire == 0 && field >= 3 && field <= 5) {
+        uint64_t v = 0;
+        if (!read_varint(p, end, &v)) return;
+        if (field == 3) add_dummy_prefix_ = static_cast<int>(v);
+        if (field == 4) remove_extra_ws_ = static_cast<int>(v);
+        if (field == 5) escape_ws_ = static_cast<int>(v);
+      } else if (!skip_field(p, end, wire)) {
+        return;
+      }
+    }
+  }
+
   void parse_trainer_spec(const uint8_t* p, const uint8_t* end) {
     while (p < end) {
       uint64_t tag = 0;
@@ -160,6 +290,10 @@ class SentencePieceProcessor {
     const uint8_t* p = reinterpret_cast<const uint8_t*>(serialized.data());
     const uint8_t* end = p + serialized.size();
     piece_count_ = 0;
+    piece_blob_.clear();
+    piece_offsets_.assign(1, 0);
+    piece_scores_.clear();
+    piece_types_.clear();
     while (p < end) {
       uint64_t tag = 0;
       if (!read_varint(p, end, &tag)) break;
@@ -170,6 +304,7 @@ class SentencePieceProcessor {
         if (!read_varint(p, end, &len) ||
             static_cast<uint64_t>(end - p) < len)
           break;
+        parse_piece(p, p + len);
         p += len;
         ++piece_count_;
       } else if (field == 2 && wire == 2) {  // TrainerSpec
@@ -179,18 +314,57 @@ class SentencePieceProcessor {
           break;
         parse_trainer_spec(p, p + len);
         p += len;
+      } else if (field == 3 && wire == 2) {  // NormalizerSpec
+        uint64_t len = 0;
+        if (!read_varint(p, end, &len) ||
+            static_cast<uint64_t>(end - p) < len)
+          break;
+        parse_normalizer_spec(p, p + len);
+        p += len;
       } else if (!skip_field(p, end, wire)) {
         break;
       }
     }
+    if (handle_) slimt_vocab_destroy(handle_);
+    handle_ = slimt_vocab_create(
+        piece_blob_.data(), piece_offsets_.data(), piece_scores_.data(),
+        piece_types_.data(), static_cast<uint32_t>(piece_count_),
+        static_cast<uint32_t>(unk_id_ < 0 ? 0 : unk_id_));
+    cap_mult_ = 1;
+    if (!charsmap_.empty() &&
+        slimt_vocab_set_charsmap(handle_, charsmap_.data(),
+                                 charsmap_.size())) {
+      cap_mult_ = slimt_vocab_cap_multiplier(handle_);
+    }
   }
 
+ public:
+  SentencePieceProcessor() = default;
+  SentencePieceProcessor(const SentencePieceProcessor&) = delete;
+  SentencePieceProcessor& operator=(const SentencePieceProcessor&) = delete;
+  ~SentencePieceProcessor() {
+    if (handle_) slimt_vocab_destroy(handle_);
+  }
+
+ private:
   int piece_count_ = 0;
   // sentencepiece TrainerSpec defaults.
   int unk_id_ = 0;
   int bos_id_ = 1;
   int eos_id_ = 2;
   int pad_id_ = -1;
+  // NormalizerSpec (the repo writer's fields; spm defaults).
+  std::string charsmap_;
+  int add_dummy_prefix_ = 1;
+  int remove_extra_ws_ = 1;
+  int escape_ws_ = 1;
+  // Piece table for the native segmenter bridge.
+  std::string piece_blob_;
+  std::vector<uint32_t> piece_offsets_{0};
+  std::vector<float> piece_scores_;
+  std::vector<uint8_t> piece_types_;
+  void* handle_ = nullptr;
+  int cap_mult_ = 1;
 };
 
 }  // namespace sentencepiece

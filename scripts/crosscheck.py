@@ -35,13 +35,18 @@ natural bias (`ruy-bias-bug` line).
 Modes:
   tokens     — per-sentence exact-match + token-level agreement over a
                matrix of architectures × {full-vocab, shortlist},
-               B=1 and batched.
+               B=1 and batched; divergences auto-attributed via the
+               roundf-patched oracle.
   shortlist  — diff ShortlistGenerator.generate outputs directly.
-  all        — both (default); exits non-zero if agreement < floors.
+  split      — sentence boundaries vs the real-PCRE2 Splitter.cc.
+  process    — TextProcessor segments + AnnotatedText byte ranges
+               (same tokenizer both sides; isolates wrap/EOS/
+               annotation semantics).
+  all        — everything (default); exits non-zero below floors.
 
 Usage:
-  JAX_PLATFORMS=cpu python scripts/crosscheck.py [all|tokens|shortlist]
-      [--lines 48] [--verbose]
+  JAX_PLATFORMS=cpu python scripts/crosscheck.py
+      [all|tokens|shortlist|split|process] [--lines 48] [--verbose]
 """
 
 from __future__ import annotations
@@ -520,11 +525,79 @@ def mode_split(args):
     return mismatch
 
 
+def mode_process(args):
+    """Text-pipeline differential: the reference TextProcessor (+real
+    Splitter/Annotation) vs slimt_tpu's text/processor.py on identical
+    text, SAME tokenizer on both sides (the shim Vocabulary bridges to
+    native/slimt_host.cpp; the repo side forces backend='native') — so
+    any diff is wrap/EOS/annotation semantics, not segmentation.
+    Compares segments (ids incl. EOS) AND the AnnotatedText's sentence
+    + word byte ranges."""
+    from slimt_tpu.text import spm_proto
+    from slimt_tpu.text.processor import TextProcessor
+    from slimt_tpu.text.synthetic_vocab import DEFAULT_WORDS, build_spm_model
+    from slimt_tpu.text.vocabulary import Vocabulary
+
+    spm = build_spm_model(DEFAULT_WORDS)
+    spm_bytes = spm_proto.serialize_model(spm)
+    mismatch = total = 0
+    with tempfile.TemporaryDirectory() as tmp:
+        vocab_path = os.path.join(tmp, "vocab.spm")
+        with open(vocab_path, "wb") as f:
+            f.write(spm_bytes)
+        prefix_path = os.path.join(tmp, "prefixes.txt")
+        with open(prefix_path, "w") as f:
+            f.write(PREFIX_FILE)
+        vocabulary = Vocabulary(spm_bytes, backend="native")
+        for mode in ("sentence", "paragraph", "wrapped_text"):
+            processor = TextProcessor(mode, vocabulary, PREFIX_FILE)
+            for wrap in (8, 128):
+                for doc_id, doc in enumerate(SPLIT_DOCS):
+                    proc = subprocess.run(
+                        [HARNESS, "--process", mode, "--vocab", vocab_path,
+                         "--wrap", str(wrap), "--prefix-file", prefix_path],
+                        input=doc, capture_output=True, text=True,
+                        check=True,
+                    )
+                    ref = proc.stdout.splitlines()
+
+                    annotated, segments = processor.process(doc, wrap)
+                    mine = [
+                        "ids " + " ".join(str(w) for w in segment)
+                        for segment in segments
+                    ]
+                    ann = annotated
+                    for s in range(ann.sentence_count()):
+                        rng = ann.sentence_as_range(s)
+                        words = " ".join(
+                            f"{ann.word_as_range(s, w).begin}:"
+                            f"{ann.word_as_range(s, w).end}"
+                            for w in range(ann.word_count(s))
+                        )
+                        mine.append(
+                            f"sent {rng.begin} {rng.end} :"
+                            + (f" {words}" if words else "")
+                        )
+                    total += 1
+                    if ref != mine:
+                        mismatch += 1
+                        if args.verbose:
+                            print(f"doc {doc_id} mode={mode} wrap={wrap}:")
+                            for a, b in zip(ref + [""] * 9, mine + [""] * 9):
+                                if a != b:
+                                    print(f"  ref={a}\n  tpu={b}")
+    print(
+        f"text pipeline: {total - mismatch}/{total} documents identical "
+        f"(segments + annotations)"
+    )
+    return mismatch
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument(
         "mode", nargs="?", default="all",
-        choices=["all", "tokens", "shortlist", "split"],
+        choices=["all", "tokens", "shortlist", "split", "process"],
     )
     parser.add_argument("--lines", type=int, default=48)
     parser.add_argument("--verbose", action="store_true")
@@ -540,6 +613,9 @@ def main():
             rc = 1
     if args.mode in ("all", "split"):
         if mode_split(args) != 0:
+            rc = 1
+    if args.mode in ("all", "process"):
+        if mode_process(args) != 0:
             rc = 1
     if args.mode in ("all", "tokens"):
         # Measured exact on every cell (module docstring); the floor

@@ -115,3 +115,12 @@ def test_splitter_boundaries_byte_identical(crosscheck):
         verbose = True
 
     assert crosscheck.mode_split(Args()) == 0
+
+
+def test_text_pipeline_identical(crosscheck):
+    # Reference TextProcessor + Annotation vs text/processor.py: same
+    # tokenizer both sides, so any diff is wrap/EOS/annotation logic.
+    class Args:
+        verbose = True
+
+    assert crosscheck.mode_process(Args()) == 0
