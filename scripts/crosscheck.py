@@ -42,6 +42,12 @@ Modes:
   process    — TextProcessor segments + AnnotatedText byte ranges
                (same tokenizer both sides; isolates wrap/EOS/
                annotation semantics).
+  e2e        — the COMPLETE reference slimt-cli (app/main.cc + full
+               Frontend/Batcher/Request/Response service layer,
+               compiled verbatim) vs `python -m slimt_tpu translate`:
+               text in, translated text out, exact string compare,
+               incl. --html markup transfer (tag skeleton exact; tag
+               position may move on f32 attention ties).
   all        — everything (default); exits non-zero below floors.
 
 Usage:
@@ -593,11 +599,104 @@ def mode_process(args):
     return mismatch
 
 
+def mode_e2e(args):
+    """The capstone differential: the reference's COMPLETE slimt-cli
+    (app/main.cc + the full Frontend/Batcher/Request/Response service
+    layer, compiled verbatim into crosscheck/bin/slimt_ref_cli) vs
+    `python -m slimt_tpu translate` on identical text and an identical
+    synthetic package — text in, translated text out, exact string
+    compare.  Tokenizer held identical on both sides (shim bridge /
+    SLIMT_TPU_BATCH_BACKEND=native); full-vocab only (the reference
+    CLI's shortlist path carries the Ruy bias bug, see module
+    docstring)."""
+    cli = os.path.join(ROOT, "crosscheck", "bin", "slimt_ref_cli")
+    corpus_path = os.path.join(ROOT, "data", "corpus.txt")
+    mismatch = total = 0
+    with tempfile.TemporaryDirectory() as tmp:
+        pkg = os.path.join(tmp, "pkg")
+        env = dict(os.environ, JAX_PLATFORMS="cpu",
+                   SLIMT_TPU_BATCH_BACKEND="native")
+        subprocess.run(
+            [sys.executable, "-m", "slimt_tpu", "synth", "--out", pkg],
+            check=True, capture_output=True, env=env, cwd=ROOT,
+        )
+        # Both CLIs prefix --root onto every path incl. --ssplit
+        # (app/main.cc Package semantics) — keep it package-relative.
+        with open(os.path.join(pkg, "prefixes.txt"), "w") as f:
+            f.write(PREFIX_FILE)
+
+        documents = ["\n".join(SPLIT_DOCS)]
+        if os.path.exists(corpus_path):
+            with open(corpus_path) as f:
+                lines = [line.rstrip("\n") for line in f][:32]
+            documents.append("\n".join(lines))
+
+        html_documents = [
+            "<b>Hello world.</b> This <i>is</i> a test of <a href='x'>"
+            "markup transfer</a>. Done!",
+            "<p>First paragraph here.</p><p>Second one, with "
+            "<em>emphasis</em> and a <br/>void tag.</p>",
+            "Text with &amp; entities &lt;escaped&gt; and trailing "
+            "words after <span class='x'>spans</span> end.",
+        ]
+        cases = [(doc, False) for doc in documents] + [
+            (doc, True) for doc in html_documents
+        ]
+        for doc_id, (doc, html) in enumerate(cases):
+            html_flag = ["--html"] if html else []
+            ref = subprocess.run(
+                [cli, "--root", pkg, "--model", "model.bin",
+                 "--vocabulary", "vocab.spm", "--ssplit", "prefixes.txt"]
+                + html_flag,
+                input=doc, capture_output=True, text=True, check=True,
+            )
+            # Drop the 4-line config echo (app/main.cc:73-76).
+            ref_text = "\n".join(ref.stdout.splitlines()[4:]).strip()
+            mine = subprocess.run(
+                [sys.executable, "-m", "slimt_tpu", "translate",
+                 "--root", pkg, "--ssplit", "prefixes.txt"] + html_flag,
+                input=doc, capture_output=True, text=True, check=True,
+                env=env, cwd=ROOT,
+            )
+            mine_text = mine.stdout.strip()
+            total += 1
+            if ref_text != mine_text:
+                # HTML restore places tags by argmax over the f32
+                # head-0 cross-attention; with near-uniform attention
+                # (synthetic weights) that argmax is tie-noise between
+                # BLAS+std::exp and XLA numerics. Tag SKELETON and
+                # token multiset must still match exactly — only the
+                # position of tags relative to translated tokens may
+                # move on such ties.
+                import re as _re
+
+                def skeleton(text):
+                    tags = _re.findall(r"<[^>]+>", text)
+                    words = sorted(_re.sub(r"<[^>]+>", " ", text).split())
+                    return tags, words
+
+                if html and skeleton(ref_text) == skeleton(mine_text):
+                    if args.verbose:
+                        print(
+                            f"document {doc_id}: tag placement differs "
+                            "on an attention tie (skeleton + tokens "
+                            "identical)"
+                        )
+                else:
+                    mismatch += 1
+                    if args.verbose:
+                        print(f"document {doc_id} html={html}:")
+                        print(f"  ref: {ref_text[:400]}")
+                        print(f"  tpu: {mine_text[:400]}")
+    print(f"e2e CLI text: {total - mismatch}/{total} documents identical")
+    return mismatch
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument(
         "mode", nargs="?", default="all",
-        choices=["all", "tokens", "shortlist", "split", "process"],
+        choices=["all", "tokens", "shortlist", "split", "process", "e2e"],
     )
     parser.add_argument("--lines", type=int, default=48)
     parser.add_argument("--verbose", action="store_true")
@@ -616,6 +715,9 @@ def main():
             rc = 1
     if args.mode in ("all", "process"):
         if mode_process(args) != 0:
+            rc = 1
+    if args.mode in ("all", "e2e"):
+        if mode_e2e(args) != 0:
             rc = 1
     if args.mode in ("all", "tokens"):
         # Measured exact on every cell (module docstring); the floor

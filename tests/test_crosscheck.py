@@ -117,6 +117,15 @@ def test_splitter_boundaries_byte_identical(crosscheck):
     assert crosscheck.mode_split(Args()) == 0
 
 
+def test_e2e_cli_text_identical(crosscheck):
+    # The complete reference slimt-cli vs the repo CLI: text in,
+    # translated text out (incl. HTML markup transfer).
+    class Args:
+        verbose = True
+
+    assert crosscheck.mode_e2e(Args()) == 0
+
+
 def test_text_pipeline_identical(crosscheck):
     # Reference TextProcessor + Annotation vs text/processor.py: same
     # tokenizer both sides, so any diff is wrap/EOS/annotation logic.
