@@ -192,8 +192,9 @@ def _step_slope_us(batch=1, seq=24, vocab=32000, emb=256, ffn=1536,
     rng = np.random.default_rng(0)
     mask_j = jnp.asarray(np.ones((batch, seq), np.float32))
 
-    m = int(1.5 * seq)  # 36: the p50-ish sentence decode length
-    k = 8  # wide second point: (k-1)*m extra steps must clear tunnel jitter
+    m = int(os.environ.get("BENCH_SLOPE_M", int(1.5 * seq)))
+    k = int(os.environ.get("BENCH_SLOPE_K", 8))  # wide second point:
+    # (k-1)*m extra steps must clear tunnel jitter
 
     def timed(steps):
         fn = jax.jit(
