@@ -76,6 +76,10 @@ def _decode_bench(
     # Callers pass kv explicitly (headline defaults to int8); BENCH_KV
     # is the env override, bfloat16 the base default. No env mutation.
     kv = kv or os.environ.get("BENCH_KV", "bfloat16")
+    # Serving default: no soft alignments (Options.alignment/html off)
+    # — the decode loop drops the alignment carry (~9% of the step).
+    # BENCH_ALIGN=1 measures the with-alignment variant.
+    with_alignment = os.environ.get("BENCH_ALIGN") == "1"
 
     rng = np.random.default_rng(0)
     indices = rng.integers(3, vocab, (batch, seq)).astype(np.int32)
@@ -90,6 +94,7 @@ def _decode_bench(
             num_heads=config.num_heads,
             provider=provider,
             kv_dtype=kv,
+            with_alignment=with_alignment,
         )
     )
     # Distinct inputs per iteration: identical dispatches can be
@@ -189,6 +194,7 @@ def _step_slope_us(batch=1, seq=24, vocab=32000, emb=256, ffn=1536,
     params = jax.device_put(stack_layers(load_weights(items, config)))
     provider = provider or os.environ.get("BENCH_PROVIDER") or config.qmm_provider
     kv = kv or os.environ.get("BENCH_KV", "bfloat16")
+    with_alignment = os.environ.get("BENCH_ALIGN") == "1"
     rng = np.random.default_rng(0)
     mask_j = jnp.asarray(np.ones((batch, seq), np.float32))
 
@@ -201,6 +207,7 @@ def _step_slope_us(batch=1, seq=24, vocab=32000, emb=256, ffn=1536,
             lambda p, i, mk: translate_batch(
                 p, i, mk, eos_id=-1, max_steps=steps,
                 num_heads=config.num_heads, provider=provider, kv_dtype=kv,
+                with_alignment=with_alignment,
             )
         )
         variants = [

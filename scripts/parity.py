@@ -66,7 +66,8 @@ def _corpus(lines, vocab=512, seed=1):
 
 
 def _decode_jax(
-    config, params, batch_tokens, eos, max_steps, provider, shortlist=None
+    config, params, batch_tokens, eos, max_steps, provider, shortlist=None,
+    **options,
 ):
     import jax.numpy as jnp
 
@@ -88,6 +89,7 @@ def _decode_jax(
         num_heads=config.num_heads,
         provider=provider,
         shortlist=jnp.asarray(shortlist) if shortlist is not None else None,
+        **options,
     )
     tokens = np.asarray(result.tokens)
     valid = np.asarray(result.valid)
@@ -239,6 +241,51 @@ def mode_providers(args):
     return 0 if mismatches == 0 else 1
 
 
+def mode_reduced(args):
+    """Token-agreement statistics for the reduced-precision execution
+    options vs the exact path, over several random-weight models ×
+    corpora. Random weights produce near-tied logits — the WORST case
+    for any reduced-precision option; trained models are far more
+    peaked, so these numbers are lower bounds. Position-wise agreement
+    is computed over the exact path's emitted positions.
+
+    Options measured: kv_dtype ∈ {bfloat16, int8} (the joined-layout
+    reduced-precision caches — the numerics behind the headline int8-KV
+    default; PERFORMANCE.md cites this mode's output)."""
+    eos, max_steps = 2, 24
+    options = [
+        ("kv=bfloat16", dict(kv_dtype="bfloat16")),
+        ("kv=int8", dict(kv_dtype="int8")),
+    ]
+    stats = {label: [] for label, _ in options}
+    for seed in range(args.models):
+        config, params = _build(seed=seed)
+        corpus = _corpus(args.lines, seed=seed + 100)
+        want = _decode_jax(config, params, corpus, eos, max_steps, "xla_int8")
+        for label, opts in options:
+            got = _decode_jax(
+                config, params, corpus, eos, max_steps, "xla_int8", **opts
+            )
+            matched = total = 0
+            for w, g in zip(want, got):
+                total += len(w)
+                matched += sum(
+                    1 for a, b in zip(w, g) if a == b
+                )
+            stats[label].append(matched / max(total, 1))
+    failures = 0
+    for label, rates in stats.items():
+        mean, worst = float(np.mean(rates)), float(np.min(rates))
+        verdict = "OK" if worst >= args.threshold else "FAIL"
+        if worst < args.threshold:
+            failures += 1
+        print(
+            f"{label:22s} mean {mean:.3f}  worst {worst:.3f} "
+            f"over {args.models} models x {args.lines} lines  {verdict}"
+        )
+    return 1 if failures else 0
+
+
 def mode_bleu(args):
     import sacrebleu
 
@@ -266,6 +313,11 @@ def main():
     m = sub.add_parser("matrix")
     m.add_argument("--lines", type=int, default=16)
     m.set_defaults(fn=mode_matrix)
+    r = sub.add_parser("reduced")
+    r.add_argument("--lines", type=int, default=32)
+    r.add_argument("--models", type=int, default=5)
+    r.add_argument("--threshold", type=float, default=0.8)
+    r.set_defaults(fn=mode_reduced)
     b = sub.add_parser("bleu")
     b.add_argument("hypothesis")
     b.add_argument("reference")

@@ -14,6 +14,11 @@ Ablations:
   bf16_argmax — argmax over bf16-cast logits (measured: only ~4% of the
                step at B=1024 — rejected; logits are argmax-consumed
                in-fusion, not written to HBM at f32)
+  no_align   — the [B, max_steps, T_src] alignment-buffer update in the
+               while_loop body skipped (isolates its carry/write cost;
+               patches jax.lax.dynamic_update_slice, which in the decode
+               body is used ONLY by the align write — tokens/valid go
+               through dynamic_update_slice_in_dim's internal path)
 """
 
 import os
@@ -67,6 +72,9 @@ def patched(name):
         tfm.output_logits = fake_logits
     elif name == "no_ffn":
         tfm._ffn_block = lambda layer, x, provider: x
+    orig_dus = jax.lax.dynamic_update_slice
+    if name == "no_align":
+        jax.lax.dynamic_update_slice = lambda op, upd, idx: op
     orig_argmax = tfm.output_argmax
     if name == "bf16_argmax":
         def bf16_argmax(params, x, provider=None, projection=None):
@@ -80,6 +88,7 @@ def patched(name):
         setattr(tfm, "output_logits", orig_logits),
         setattr(tfm, "_ffn_block", orig_ffn),
         setattr(tfm, "output_argmax", orig_argmax),
+        setattr(jax.lax, "dynamic_update_slice", orig_dus),
     )
 
 

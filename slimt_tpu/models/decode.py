@@ -50,6 +50,7 @@ def greedy_decode(
     decoder_position_zero: bool = True,
     kv_dtype: Optional[str] = None,
     steps_cap: Optional[jax.Array] = None,
+    with_alignment: bool = True,
 ) -> GreedyResult:
     batch, t_src, emb_dim = encoder_out.shape
     if provider == "fused_step" and not isinstance(params["decoder"], list):
@@ -86,7 +87,16 @@ def greedy_decode(
 
     tokens0 = jnp.zeros((batch, max_steps), jnp.int32)
     valid0 = jnp.zeros((batch, max_steps), jnp.bool_)
-    align0 = jnp.zeros((batch, max_steps, t_src), jnp.float32)
+    # `with_alignment=False` (requests without Options.alignment/html —
+    # the serving default) drops the [B, max_steps, T_src] alignment
+    # buffer from the loop carry entirely: the per-step masked write
+    # measured ~9% of the decode step at serving batch
+    # (scripts/ubench_decode_step.py no_align), and XLA dead-code-
+    # eliminates the attention-weights extraction once nothing reads
+    # it. A zero-width [B, max_steps, 0] result keeps the return
+    # structure (and downstream reshapes) intact.
+    align_w = t_src if with_alignment else 0
+    align0 = jnp.zeros((batch, max_steps, align_w), jnp.float32)
     # Padding rows (fully-masked; added by batch-size bucketing) start
     # complete so they never defeat the early exit.
     complete0 = ~jnp.any(mask_add[:, 0, 0, :] == 0.0, axis=-1)
@@ -153,12 +163,13 @@ def greedy_decode(
         valid = jax.lax.dynamic_update_slice_in_dim(
             valid, active[:, None], step, axis=1
         )
-        head0 = attn[:, 0, 0, :]  # [B, T_src]
-        align = jax.lax.dynamic_update_slice(
-            align,
-            jnp.where(active[:, None], head0, 0.0)[:, None, :],
-            (0, step, 0),
-        )
+        if with_alignment:
+            head0 = attn[:, 0, 0, :]  # [B, T_src]
+            align = jax.lax.dynamic_update_slice(
+                align,
+                jnp.where(active[:, None], head0, 0.0)[:, None, :],
+                (0, step, 0),
+            )
         complete = complete | (word == eos_id)
         return (step + 1, word, new_states, complete, tokens, valid, align)
 
@@ -180,6 +191,7 @@ def translate_batch(
     flash_attention: bool = False,
     kv_dtype: Optional[str] = None,
     steps_cap: Optional[jax.Array] = None,
+    with_alignment: bool = True,
 ) -> GreedyResult:
     """Full forward: embed → encoder → greedy decode
     (slimt/Model.cc:187-204). `indices`/`mask`: [B, T] padded batch in
@@ -204,6 +216,7 @@ def translate_batch(
         decoder_position_zero,
         kv_dtype,
         steps_cap,
+        with_alignment,
     )
 
 
@@ -218,6 +231,7 @@ def translate_batch(
         "with_shortlist",
         "flash_attention",
         "kv_dtype",
+        "with_alignment",
     ),
 )
 def translate_batch_jit(
@@ -235,6 +249,7 @@ def translate_batch_jit(
     with_shortlist: bool = False,
     flash_attention: bool = False,
     kv_dtype: Optional[str] = None,
+    with_alignment: bool = True,
 ):
     """Jitted entry; compile cache keyed on (B, T, S) bucket shapes.
     `steps_cap` is a traced scalar (no recompile across values)."""
@@ -251,4 +266,5 @@ def translate_batch_jit(
         flash_attention,
         kv_dtype,
         steps_cap,
+        with_alignment,
     )

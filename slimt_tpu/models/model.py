@@ -304,6 +304,12 @@ class Model:
                 if self.config.kv_cache_dtype == "float32"
                 else self.config.kv_cache_dtype
             ),
+            # Static: alignment-free requests (no Options.alignment/
+            # html — the serving default) compile a loop variant with
+            # no [B, max_steps, T] alignment carry (~9% faster steps;
+            # models/decode.greedy_decode). Each (B, T, S) bucket gets
+            # at most two variants, warmed per the service's needs.
+            with_alignment=bool(need_alignment),
         )
         def finish() -> List[Hypothesis]:
             if self._multiprocess:
@@ -359,18 +365,26 @@ class Model:
         self,
         batch_buckets: Sequence[int] = (1, 8, 64),
         seq_buckets: Sequence[int] = (16, 32, 64, 128),
+        alignment: bool = False,
     ) -> int:
         """Pre-compile the (B, T) shape buckets a serving workload will
         hit, so no request pays XLA compile latency. Returns the number
         of variants compiled. No reference equivalent (the CPU path
-        has no compile step)."""
+        has no compile step).
+
+        `alignment=True` additionally warms the with-alignment loop
+        variant (requests carrying Options.alignment/html compile
+        separately — the default variant drops the alignment carry for
+        ~9% faster steps)."""
         compiled = 0
         for b in batch_buckets:
             for t in seq_buckets:
                 segment = [1] * (t - 1) + [self.vocabulary.eos_id]
-                # alignment transfer is host-side; one compile per bucket
                 self.forward([segment] * b, need_alignment=False)
                 compiled += 1
+                if alignment:
+                    self.forward([segment] * b, need_alignment=True)
+                    compiled += 1
         return compiled
 
     def __repr__(self):

@@ -123,6 +123,36 @@ def test_reduced_kv_agrees_with_f32(params, kv_dtype):
             assert np.asarray(got.valid).any()
 
 
+def test_without_alignment_tokens_identical(params):
+    """with_alignment=False (requests without Options.alignment/html)
+    drops the alignment carry from the decode loop — tokens/valid must
+    be bit-identical to the full variant, and the alignment result
+    collapses to zero width."""
+    indices, mask = _batch(seed=12)
+    stacked = stack_layers(params)
+    kw = dict(
+        eos_id=2, max_steps=12, num_heads=CONFIG.num_heads,
+        provider="xla_int8",
+    )
+    for p in (params, stacked):
+        for kv_dtype in (None, "int8"):
+            want = dec.translate_batch(
+                p, jnp.asarray(indices), jnp.asarray(mask),
+                kv_dtype=kv_dtype, **kw
+            )
+            got = dec.translate_batch(
+                p, jnp.asarray(indices), jnp.asarray(mask),
+                kv_dtype=kv_dtype, with_alignment=False, **kw
+            )
+            np.testing.assert_array_equal(
+                np.asarray(got.tokens), np.asarray(want.tokens)
+            )
+            np.testing.assert_array_equal(
+                np.asarray(got.valid), np.asarray(want.valid)
+            )
+            assert got.alignment.shape == (indices.shape[0], 12, 0)
+
+
 def test_flash_attention_flag_through_translate(params):
     indices, mask = _batch(seed=10)
     stacked = stack_layers(params)
