@@ -68,7 +68,12 @@ def _decode_bench(
             config=config, vocab_size=vocab, emb_dim=emb, ffn_dim=ffn, seed=0
         )
     )
-    params = jax.device_put(stack_layers(load_weights(items, config)))
+    # BENCH_UNROLL_DEC=1: encoder stacked (scan), 2-layer decoder
+    # unrolled — drops the per-step inner scan-over-layers loop.
+    params = jax.device_put(stack_layers(
+        load_weights(items, config),
+        decoder=os.environ.get("BENCH_UNROLL_DEC") != "1",
+    ))
     # BENCH_PROVIDER overrides the default (e.g. fused_step for the
     # batch1 latency config); an explicit provider argument (the
     # `providers` comparison mode) still wins.
@@ -80,6 +85,10 @@ def _decode_bench(
     # — the decode loop drops the alignment carry (~9% of the step).
     # BENCH_ALIGN=1 measures the with-alignment variant.
     with_alignment = os.environ.get("BENCH_ALIGN") == "1"
+    # packed_bf16 argmax: single-reduce greedy sampling, ~10% faster
+    # steps (token agreement 0.988/0.969 — see ModelConfig.argmax_method).
+    # BENCH_ARGMAX=exact restores the f32 variadic argmax.
+    argmax_method = os.environ.get("BENCH_ARGMAX", "packed_bf16")
 
     rng = np.random.default_rng(0)
     indices = rng.integers(3, vocab, (batch, seq)).astype(np.int32)
@@ -95,6 +104,7 @@ def _decode_bench(
             provider=provider,
             kv_dtype=kv,
             with_alignment=with_alignment,
+            argmax_method=argmax_method,
         )
     )
     # Distinct inputs per iteration: identical dispatches can be
@@ -191,10 +201,16 @@ def _step_slope_us(batch=1, seq=24, vocab=32000, emb=256, ffn=1536,
             config=config, vocab_size=vocab, emb_dim=emb, ffn_dim=ffn, seed=0
         )
     )
-    params = jax.device_put(stack_layers(load_weights(items, config)))
+    # BENCH_UNROLL_DEC=1: encoder stacked (scan), 2-layer decoder
+    # unrolled — drops the per-step inner scan-over-layers loop.
+    params = jax.device_put(stack_layers(
+        load_weights(items, config),
+        decoder=os.environ.get("BENCH_UNROLL_DEC") != "1",
+    ))
     provider = provider or os.environ.get("BENCH_PROVIDER") or config.qmm_provider
     kv = kv or os.environ.get("BENCH_KV", "bfloat16")
     with_alignment = os.environ.get("BENCH_ALIGN") == "1"
+    argmax_method = os.environ.get("BENCH_ARGMAX", "packed_bf16")
     rng = np.random.default_rng(0)
     mask_j = jnp.asarray(np.ones((batch, seq), np.float32))
 
@@ -207,7 +223,7 @@ def _step_slope_us(batch=1, seq=24, vocab=32000, emb=256, ffn=1536,
             lambda p, i, mk: translate_batch(
                 p, i, mk, eos_id=-1, max_steps=steps,
                 num_heads=config.num_heads, provider=provider, kv_dtype=kv,
-                with_alignment=with_alignment,
+                with_alignment=with_alignment, argmax_method=argmax_method,
             )
         )
         variants = [

@@ -251,11 +251,14 @@ def mode_reduced(args):
 
     Options measured: kv_dtype ∈ {bfloat16, int8} (the joined-layout
     reduced-precision caches — the numerics behind the headline int8-KV
-    default; PERFORMANCE.md cites this mode's output)."""
+    default) and argmax=packed_bf16 (the single-reduce greedy sampler
+    comparing bf16-rounded logits; models/transformer.py
+    packed_argmax_bf16). PERFORMANCE.md cites this mode's output."""
     eos, max_steps = 2, 24
     options = [
         ("kv=bfloat16", dict(kv_dtype="bfloat16")),
         ("kv=int8", dict(kv_dtype="int8")),
+        ("argmax=packed_bf16", dict(argmax_method="packed_bf16")),
     ]
     stats = {label: [] for label, _ in options}
     for seed in range(args.models):

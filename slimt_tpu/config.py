@@ -50,6 +50,17 @@ class ModelConfig:
     # ~10% faster still with slightly looser numerics. "float32"
     # restores exact reference numerics.
     kv_cache_dtype: str = "bfloat16"
+    # Greedy-sampling argmax implementation. "exact" = f32 logits +
+    # XLA's variadic argmax (reference numerics). "packed_bf16" = one
+    # plain int32 max-reduce over (sortable-bf16 logit || reversed
+    # column) packed keys — ~10% faster decode steps at serving batch
+    # (the variadic reduce is the slow part of the fused projection;
+    # scripts/ubench_logits.py). Compares bf16-ROUNDED logits: token
+    # agreement vs exact is mean 0.988 / worst 0.969 on adversarial
+    # random-weight models (scripts/parity.py reduced) — tighter than
+    # the bf16 KV default's own rounding. Tie-break (first index)
+    # matches jnp.argmax.
+    argmax_method: str = "exact"
     # Blockwise Pallas encoder self-attention: O(T·block) memory,
     # lifts the reference's hard 128-token wrap constraint for long
     # inputs. Default off (einsum SDPA is fine at wrap_length).

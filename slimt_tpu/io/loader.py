@@ -237,13 +237,20 @@ def _stack(layers: List[dict]) -> dict:
     return jax.tree.map(lambda *xs: np.stack(xs), *layers)
 
 
-def stack_layers(params: dict) -> dict:
+def stack_layers(params: dict, decoder: bool = True) -> dict:
     """Convert the per-layer lists into stacked pytrees (leading layer
     axis) so the encoder/decoder run as `lax.scan` over layers — much
     smaller HLO (one layer body instead of N unrolled), faster
     compiles, and the natural substrate for pipeline-stage splits.
-    Numerics identical to the unrolled form."""
+    Numerics identical to the unrolled form.
+
+    `decoder=False` stacks only the encoder: the 2-layer decoder stays
+    an unrolled list, removing the inner scan-over-layers loop from
+    every decode step (per-step loop setup + per-layer dynamic slices
+    of the stacked params/KV) while the 6-layer encoder keeps the
+    compile-time win stacking is for."""
     out = dict(params)
     out["encoder"] = _stack(params["encoder"])
-    out["decoder"] = _stack(params["decoder"])
+    if decoder:
+        out["decoder"] = _stack(params["decoder"])
     return out

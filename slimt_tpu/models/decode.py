@@ -51,6 +51,7 @@ def greedy_decode(
     kv_dtype: Optional[str] = None,
     steps_cap: Optional[jax.Array] = None,
     with_alignment: bool = True,
+    argmax_method: str = "exact",
 ) -> GreedyResult:
     batch, t_src, emb_dim = encoder_out.shape
     if provider == "fused_step" and not isinstance(params["decoder"], list):
@@ -150,6 +151,7 @@ def greedy_decode(
             shortlist,
             projection=projection,
             sample=True,
+            argmax_method=argmax_method,
         )
         if shortlist is not None:
             word = jnp.take(shortlist, choice, axis=0).astype(jnp.int32)
@@ -192,6 +194,7 @@ def translate_batch(
     kv_dtype: Optional[str] = None,
     steps_cap: Optional[jax.Array] = None,
     with_alignment: bool = True,
+    argmax_method: str = "exact",
 ) -> GreedyResult:
     """Full forward: embed → encoder → greedy decode
     (slimt/Model.cc:187-204). `indices`/`mask`: [B, T] padded batch in
@@ -217,6 +220,7 @@ def translate_batch(
         kv_dtype,
         steps_cap,
         with_alignment,
+        argmax_method,
     )
 
 
@@ -232,6 +236,7 @@ def translate_batch(
         "flash_attention",
         "kv_dtype",
         "with_alignment",
+        "argmax_method",
     ),
 )
 def translate_batch_jit(
@@ -250,6 +255,7 @@ def translate_batch_jit(
     flash_attention: bool = False,
     kv_dtype: Optional[str] = None,
     with_alignment: bool = True,
+    argmax_method: str = "exact",
 ):
     """Jitted entry; compile cache keyed on (B, T, S) bucket shapes.
     `steps_cap` is a traced scalar (no recompile across values)."""
@@ -267,4 +273,5 @@ def translate_batch_jit(
         kv_dtype,
         steps_cap,
         with_alignment,
+        argmax_method,
     )

@@ -310,6 +310,7 @@ class Model:
             # models/decode.greedy_decode). Each (B, T, S) bucket gets
             # at most two variants, warmed per the service's needs.
             with_alignment=bool(need_alignment),
+            argmax_method=self.config.argmax_method,
         )
         def finish() -> List[Hypothesis]:
             if self._multiprocess:

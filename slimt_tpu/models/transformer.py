@@ -495,6 +495,7 @@ def decoder_step(
     shortlist: Optional[jax.Array] = None,
     projection: Optional[Tuple[jax.Array, jax.Array]] = None,
     sample: bool = False,
+    argmax_method: str = "exact",
 ) -> Tuple[jax.Array, Tuple, jax.Array]:
     """One decode timestep over all decoder layers + logit projection
     (slimt/Transformer.cc:120-183).
@@ -564,7 +565,9 @@ def decoder_step(
     if projection is None:
         projection = prepare_output_projection(params, shortlist)
     if sample:
-        choice = output_argmax(params, x[:, 0, :], provider, projection)
+        choice = output_argmax(
+            params, x[:, 0, :], provider, projection, method=argmax_method
+        )
         return choice, new_states, guided
     logits = output_logits(params, x[:, 0, :], provider, None, projection)
     return logits, new_states, guided
@@ -606,20 +609,57 @@ def output_logits(
     return qmm.affine(x, w, b, aq, bq, provider=provider)
 
 
+def packed_argmax_bf16(logits: jax.Array) -> jax.Array:
+    """argmax(logits.astype(bf16), axis=-1) as ONE plain int32
+    max-reduce over a packed key: the sortable-int transform of the
+    bf16 logit bits in the high 16 bits, the reversed column index in
+    the low 16 (so equal bf16 values resolve to the FIRST index —
+    jnp.argmax's tie-break).
+
+    Why: XLA's variadic (value, index) argmax reduce fused onto the
+    int8 projection measured +60 µs/op over a plain reduce at B=2048,
+    V=32k (scripts/ubench_logits.py: 235 variadic vs 175 packed); a
+    single s32 max takes the fast fusion path. The only numerics
+    change is the bf16 rounding of the compared logits — the same
+    class as the default bf16 KV cache (token agreement mean 0.988 /
+    worst 0.969 over adversarial random-weight models, far above the
+    int8-KV default's 0.93/0.84; scripts/parity.py reduced).
+
+    Requires logits.shape[-1] <= 65536 (the 32k vocab and every
+    shortlist bucket qualify)."""
+    lb = logits.astype(jnp.bfloat16)
+    bits = jax.lax.bitcast_convert_type(lb, jnp.uint16).astype(jnp.int32)
+    # Monotone bf16 -> [0, 0xFFFF]: flip all bits for negatives, set
+    # the sign bit for positives.
+    sortable = jnp.where(bits >= 0x8000, 0xFFFF - bits, bits | 0x8000)
+    col = jax.lax.broadcasted_iota(jnp.int32, logits.shape, logits.ndim - 1)
+    # Bias into signed range BEFORE the shift (0x8000 << 16 would
+    # overflow int32's sign bit and break the max-ordering).
+    key = ((sortable - 0x8000) << 16) | (0xFFFF - col)
+    best = jnp.max(key, axis=-1)
+    return (0xFFFF - (best & 0xFFFF)).astype(jnp.int32)
+
+
 def output_argmax(
     params: dict,
     x: jax.Array,
     provider: Optional[str] = None,
     projection: Optional[Tuple[jax.Array, jax.Array]] = None,
+    method: str = "exact",
 ) -> jax.Array:
     """argmax over the output logits, [B] int32 (greedy sampling,
     slimt/Transformer.cc:279-339).
 
-    Default: XLA logits + argmax — XLA fuses the argmax reduction into
-    the projection matmul's consumer and pipelines it across decode
-    steps, which measured FASTER than the fused Pallas kernel
-    (ops.logits_argmax, bit-identical index; see its STATUS note).
-    SLIMT_TPU_FUSED_ARGMAX=1 switches to the kernel for experiments."""
+    method="exact" (default): XLA logits + f32 argmax — XLA fuses the
+    variadic argmax reduction into the projection matmul's consumer
+    and pipelines it across decode steps, which measured FASTER than
+    the fused Pallas kernel (ops.logits_argmax, bit-identical index;
+    see its STATUS note). SLIMT_TPU_FUSED_ARGMAX=1 switches to that
+    kernel for experiments.
+
+    method="packed_bf16": the packed single-reduce argmax
+    (packed_argmax_bf16) — ~10% faster decode steps at serving batch;
+    compares bf16-rounded logits."""
     import os
 
     if projection is None:
@@ -633,6 +673,8 @@ def output_argmax(
                 x, w, b, params["out"]["aq"], params["emb"]["scale"]
             )
     logits = output_logits(params, x, provider, None, projection)
+    if method == "packed_bf16" and w.shape[1] <= 65536:
+        return packed_argmax_bf16(logits)
     return jnp.argmax(logits, axis=-1).astype(jnp.int32)
 
 

@@ -1,0 +1,86 @@
+"""packed_argmax_bf16 (models/transformer.py): the single-reduce
+greedy sampler must equal argmax over bf16-ROUNDED logits exactly —
+including jnp.argmax's first-index tie-break — for every shape the
+decode path can produce (full 32k vocab and the shortlist buckets).
+The only sanctioned numerics difference vs the exact f32 path is the
+bf16 rounding itself (quantified by `scripts/parity.py reduced`)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from slimt_tpu.models.transformer import packed_argmax_bf16
+
+
+def _want(x):
+    # ground truth: argmax over the bf16-rounded values, first index
+    return jnp.argmax(x.astype(jnp.bfloat16), axis=-1).astype(jnp.int32)
+
+
+@pytest.mark.parametrize(
+    "shape", [(1, 7), (3, 96), (4, 1024), (2, 4096), (2, 32000), (1, 65536)]
+)
+def test_matches_bf16_argmax(shape):
+    rng = np.random.default_rng(abs(hash(shape)) % 2**32)
+    # wide dynamic range: mixes signs, magnitudes, and bf16-tied values
+    x = jnp.asarray(
+        (rng.standard_normal(shape) * rng.choice([0.01, 1.0, 100.0], shape))
+        .astype(np.float32)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(packed_argmax_bf16(x)), np.asarray(_want(x))
+    )
+
+
+def test_all_negative():
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(-np.abs(rng.standard_normal((4, 513))).astype(np.float32) - 0.5)
+    np.testing.assert_array_equal(
+        np.asarray(packed_argmax_bf16(x)), np.asarray(_want(x))
+    )
+
+
+def test_tie_break_first_index_positive():
+    # distinct in f32, EQUAL after bf16 rounding (bf16 step near 5.0
+    # is 2^-5): the packed key's reversed column must pick the FIRST
+    x = np.full((1, 8), -3.0, np.float32)
+    x[0, 2] = 5.0005  # rounds to bf16(5.0)
+    x[0, 5] = 5.0
+    assert int(packed_argmax_bf16(jnp.asarray(x))[0]) == 2
+    assert int(_want(jnp.asarray(x))[0]) == 2
+
+
+def test_tie_break_first_index_negative():
+    # negative ties exercise the flipped-bits half of the sortable map
+    x = np.full((1, 8), -7.0, np.float32)
+    x[0, 3] = -2.0
+    x[0, 6] = -2.0001  # rounds to bf16(-2.0)
+    assert int(packed_argmax_bf16(jnp.asarray(x))[0]) == 3
+
+
+def test_max_at_column_bounds():
+    # first and last column (reversed-index packing boundary)
+    for col in (0, 299):
+        x = np.full((2, 300), -1.0, np.float32)
+        x[:, col] = 9.0
+        got = np.asarray(packed_argmax_bf16(jnp.asarray(x)))
+        assert (got == col).all()
+
+
+def test_inf_and_large_magnitudes():
+    # f32 values beyond bf16 max round to +/-inf; ordering must hold
+    x = np.asarray(
+        [[-3.2e38, 1.0, 3.0e38, 2.9e38, -1.0]], np.float32
+    )
+    # 3.0e38 and 2.9e38 both round to... (bf16 max ~3.39e38, both
+    # representable-range, distinct) — argmax is column 2 either way
+    assert int(packed_argmax_bf16(jnp.asarray(x))[0]) == int(_want(jnp.asarray(x))[0])
+
+
+def test_inside_jit_and_vmap():
+    rng = np.random.default_rng(11)
+    x = jnp.asarray(rng.standard_normal((8, 257)).astype(np.float32))
+    got = jax.jit(packed_argmax_bf16)(x)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(_want(x)))
