@@ -80,6 +80,7 @@ def model_create(spec_json: str) -> int:
         for key in (
             "encoder_layers",
             "decoder_layers",
+            "feed_forward_depth",
             "num_heads",
             "split_mode",
         )
