@@ -9,8 +9,13 @@
  * is layout-compatible with a real JVM's jni.h.
  *
  * When a JDK is available, define SLIMT_JNI_USE_SYSTEM_JNI_H and the
- * real <jni.h> is used instead (the binding only uses the portable
- * C-style `(*env)->Fn(env, ...)` calls, valid under both).
+ * real <jni.h> is used instead. The binding issues every JNI call
+ * through SLIMT_JNI_CALL (bottom of this header): under this compat
+ * header (and under a real jni.h compiled as C) JNIEnv is a pointer
+ * to the table pointer, so the call is `(*env)->Fn(env, ...)`; under
+ * a real jni.h compiled as C++, JNIEnv is the JNIEnv_ class and the
+ * table hangs off its `functions` member, so the call is
+ * `env->functions->Fn(env, ...)`.
  *
  * Counterpart of the reference's use of <jni.h> in
  * bindings/java/slimt.cpp:3.
@@ -394,4 +399,14 @@ struct JNIInvokeInterface_ {
 #endif
 
 #endif /* SLIMT_JNI_USE_SYSTEM_JNI_H */
+
+/* Uniform JNI call syntax across all three compilation modes (header
+ * comment above). `env` is evaluated twice — pass a plain variable. */
+#if defined(SLIMT_JNI_USE_SYSTEM_JNI_H) && defined(__cplusplus)
+#define SLIMT_JNI_CALL(env, fn, ...) \
+  ((env)->functions->fn((env), ##__VA_ARGS__))
+#else
+#define SLIMT_JNI_CALL(env, fn, ...) ((*(env))->fn((env), ##__VA_ARGS__))
+#endif
+
 #endif /* SLIMT_JNI_COMPAT_H_ */

@@ -21,6 +21,7 @@
 #include <dlfcn.h>
 
 #include <cstdio>
+#include <cstdlib>
 #include <cstring>
 #include <map>
 #include <memory>
@@ -100,6 +101,15 @@ jclass fake_get_object_class(JNIEnv*, jobject obj) {
 
 jfieldID fake_get_field_id(JNIEnv*, jclass, const char* name,
                            const char* signature) {
+  // SLIMT_JNI_FAKE_FAIL_FIELD=<name>: behave like a real JVM looking
+  // up a field the Java class doesn't have — pend a NoSuchFieldError
+  // and return null (exercises the binding's missing-field path).
+  const char* fail = std::getenv("SLIMT_JNI_FAKE_FAIL_FIELD");
+  if (fail != nullptr && std::strcmp(fail, name) == 0) {
+    g_pending_throw = std::string("java/lang/NoSuchFieldError: ") + name;
+    g_has_pending_throw = true;
+    return nullptr;
+  }
   std::string key = std::string(name) + "\n" + signature;
   return reinterpret_cast<jfieldID>(
       const_cast<std::string*>(&*field_names().insert(key).first));

@@ -14,6 +14,7 @@
 // retrievable with slimt_last_error() (thread-local).
 
 #include <Python.h>
+#include <dlfcn.h>
 
 #include <cstdlib>
 #include <cstring>
@@ -145,6 +146,25 @@ SLIMT_API const char* slimt_last_error(void) { return g_last_error.c_str(); }
 // sys.path before importing slimt_tpu (the SLIMT_TPU_PYTHONPATH env
 // var works too).
 SLIMT_API int slimt_init(const char* extra_pythonpath) {
+  // Promote the already-mapped libpython to RTLD_GLOBAL. When this
+  // library is dlopened with RTLD_LOCAL — what a JVM's
+  // System.loadLibrary and a default dlopen do — libpython comes in
+  // as a local-visibility dependency, and C-extension modules the
+  // embedded interpreter imports (numpy's .so's don't link libpython;
+  // they expect its symbols to be process-global) fail to resolve.
+  // Re-dlopening the exact file that provides Py_IsInitialized with
+  // RTLD_NOLOAD|RTLD_GLOBAL upgrades its visibility without loading a
+  // second copy — the standard embedded-Python-under-JNI fix (used by
+  // jep/pyjnius). When the symbol lives in the main executable (a
+  // ctypes host) the dlopen fails harmlessly: there the symbols are
+  // already global.
+  {
+    Dl_info info;
+    if (dladdr(reinterpret_cast<void*>(&Py_IsInitialized), &info) != 0 &&
+        info.dli_fname != nullptr) {
+      dlopen(info.dli_fname, RTLD_NOW | RTLD_GLOBAL | RTLD_NOLOAD);
+    }
+  }
   if (!Py_IsInitialized()) {
     // `import site` runs (platform hooks included); capi.init()
     // re-asserts JAX_PLATFORMS afterwards.

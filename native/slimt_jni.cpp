@@ -19,8 +19,9 @@
 // reference's Java classes so the same Java side loads either
 // library.
 //
-// Uses only C-style JNI calls — builds against the real <jni.h> when
-// a JDK exists (-DSLIMT_JNI_USE_SYSTEM_JNI_H) or against the
+// Every JNI call goes through SLIMT_JNI_CALL (jni_compat.h) — builds
+// against the real <jni.h> when a JDK exists
+// (-DSLIMT_JNI_USE_SYSTEM_JNI_H, C or C++ mode) or against the
 // spec-ordered jni_compat.h otherwise; tested by a fake-JVM harness
 // (native/jni_host.cpp) that implements the same table contract.
 
@@ -57,25 +58,50 @@ std::string json_escape(const std::string& raw) {
   return out;
 }
 
-// Read a String field; empty string when the field is null.
+void throw_runtime(JNIEnv* env, const char* message) {
+  jclass runtime_error =
+      SLIMT_JNI_CALL(env, FindClass, "java/lang/RuntimeException");
+  if (runtime_error != nullptr) {
+    SLIMT_JNI_CALL(env, ThrowNew, runtime_error, message);
+  }
+}
+
+// A null GetFieldID leaves a NoSuchFieldError pending on the JVM, and
+// issuing further JNI calls with an exception pending is undefined
+// behavior per the JNI spec — so the field readers clear it, record
+// the first missing field name in *missing, and the caller throws ONE
+// RuntimeException after reading everything, instead of limping on
+// with defaults.
 std::string get_string_field(JNIEnv* env, jobject obj, jclass cls,
-                             const char* name) {
-  jfieldID field = (*env)->GetFieldID(env, cls, name, "Ljava/lang/String;");
-  if (field == nullptr) return "";
+                             const char* name, const char** missing) {
+  jfieldID field =
+      SLIMT_JNI_CALL(env, GetFieldID, cls, name, "Ljava/lang/String;");
+  if (field == nullptr) {
+    SLIMT_JNI_CALL(env, ExceptionClear);
+    if (*missing == nullptr) *missing = name;
+    return "";
+  }
   jstring jvalue =
-      static_cast<jstring>((*env)->GetObjectField(env, obj, field));
-  if (jvalue == nullptr) return "";
-  const char* utf8 = (*env)->GetStringUTFChars(env, jvalue, nullptr);
+      static_cast<jstring>(SLIMT_JNI_CALL(env, GetObjectField, obj, field));
+  if (jvalue == nullptr) return "";  // null field value: optional path
+  const char* utf8 = SLIMT_JNI_CALL(env, GetStringUTFChars, jvalue, nullptr);
   std::string value = utf8 != nullptr ? utf8 : "";
-  if (utf8 != nullptr) (*env)->ReleaseStringUTFChars(env, jvalue, utf8);
-  (*env)->DeleteLocalRef(env, jvalue);
+  if (utf8 != nullptr) {
+    SLIMT_JNI_CALL(env, ReleaseStringUTFChars, jvalue, utf8);
+  }
+  SLIMT_JNI_CALL(env, DeleteLocalRef, jvalue);
   return value;
 }
 
-jlong get_long_field(JNIEnv* env, jobject obj, jclass cls, const char* name) {
-  jfieldID field = (*env)->GetFieldID(env, cls, name, "J");
-  if (field == nullptr) return 0;
-  return (*env)->GetLongField(env, obj, field);
+jlong get_long_field(JNIEnv* env, jobject obj, jclass cls, const char* name,
+                     const char** missing) {
+  jfieldID field = SLIMT_JNI_CALL(env, GetFieldID, cls, name, "J");
+  if (field == nullptr) {
+    SLIMT_JNI_CALL(env, ExceptionClear);
+    if (*missing == nullptr) *missing = name;
+    return 0;
+  }
+  return SLIMT_JNI_CALL(env, GetLongField, obj, field);
 }
 
 // Engine init is lazy (first ncreate) and idempotent; the JVM host
@@ -83,11 +109,7 @@ jlong get_long_field(JNIEnv* env, jobject obj, jclass cls, const char* name) {
 // site-wide — same contract as slimt_init(NULL).
 bool ensure_engine(JNIEnv* env) {
   if (slimt_init(nullptr) == 0) return true;
-  jclass runtime_error =
-      (*env)->FindClass(env, "java/lang/RuntimeException");
-  if (runtime_error != nullptr) {
-    (*env)->ThrowNew(env, runtime_error, slimt_last_error());
-  }
+  throw_runtime(env, slimt_last_error());
   return false;
 }
 
@@ -103,24 +125,35 @@ JNIEXPORT jlong SLIMT_JNI_EXPORT(Model, ncreate)(JNIEnv* env, jobject /*obj*/,
                                                  jobject jpackage) {
   if (!ensure_engine(env)) return 0;
 
-  jclass config_cls = (*env)->GetObjectClass(env, jconfig);
+  const char* missing = nullptr;
+  jclass config_cls = SLIMT_JNI_CALL(env, GetObjectClass, jconfig);
   jlong encoder_layers = get_long_field(env, jconfig, config_cls,
-                                        "encoder_layers");
+                                        "encoder_layers", &missing);
   jlong decoder_layers = get_long_field(env, jconfig, config_cls,
-                                        "decoder_layers");
+                                        "decoder_layers", &missing);
   jlong feed_forward_depth = get_long_field(env, jconfig, config_cls,
-                                            "feed_forward_depth");
-  jlong num_heads = get_long_field(env, jconfig, config_cls, "num_heads");
+                                            "feed_forward_depth", &missing);
+  jlong num_heads =
+      get_long_field(env, jconfig, config_cls, "num_heads", &missing);
   std::string split_mode =
-      get_string_field(env, jconfig, config_cls, "split_mode");
+      get_string_field(env, jconfig, config_cls, "split_mode", &missing);
 
-  jclass package_cls = (*env)->GetObjectClass(env, jpackage);
-  std::string model = get_string_field(env, jpackage, package_cls, "model");
+  jclass package_cls = SLIMT_JNI_CALL(env, GetObjectClass, jpackage);
+  std::string model =
+      get_string_field(env, jpackage, package_cls, "model", &missing);
   std::string vocabulary =
-      get_string_field(env, jpackage, package_cls, "vocabulary");
+      get_string_field(env, jpackage, package_cls, "vocabulary", &missing);
   std::string shortlist =
-      get_string_field(env, jpackage, package_cls, "shortlist");
-  std::string ssplit = get_string_field(env, jpackage, package_cls, "ssplit");
+      get_string_field(env, jpackage, package_cls, "shortlist", &missing);
+  std::string ssplit =
+      get_string_field(env, jpackage, package_cls, "ssplit", &missing);
+
+  if (missing != nullptr) {
+    std::string message =
+        std::string("slimt JNI: missing Java field: ") + missing;
+    throw_runtime(env, message.c_str());
+    return 0;
+  }
 
   std::string spec = "{\"preset\": \"tiny\"";
   spec += ", \"encoder_layers\": " + std::to_string(encoder_layers);
@@ -142,11 +175,7 @@ JNIEXPORT jlong SLIMT_JNI_EXPORT(Model, ncreate)(JNIEnv* env, jobject /*obj*/,
 
   long long handle = slimt_model_create(spec.c_str());
   if (handle == 0) {
-    jclass runtime_error =
-        (*env)->FindClass(env, "java/lang/RuntimeException");
-    if (runtime_error != nullptr) {
-      (*env)->ThrowNew(env, runtime_error, slimt_last_error());
-    }
+    throw_runtime(env, slimt_last_error());
     return 0;
   }
   return static_cast<jlong>(handle);
@@ -167,11 +196,7 @@ JNIEXPORT jlong SLIMT_JNI_EXPORT(Service, ncreate)(JNIEnv* env,
   long long handle =
       slimt_service_create(1, static_cast<int>(cache_size));
   if (handle == 0) {
-    jclass runtime_error =
-        (*env)->FindClass(env, "java/lang/RuntimeException");
-    if (runtime_error != nullptr) {
-      (*env)->ThrowNew(env, runtime_error, slimt_last_error());
-    }
+    throw_runtime(env, slimt_last_error());
   }
   return static_cast<jlong>(handle);
 }
@@ -185,19 +210,20 @@ JNIEXPORT void SLIMT_JNI_EXPORT(Service, ndestroy)(JNIEnv* /*env*/,
 JNIEXPORT jobjectArray SLIMT_JNI_EXPORT(Service, ntranslate)(
     JNIEnv* env, jobject /*obj*/, jlong service_addr, jlong model_addr,
     jobjectArray texts, jboolean html) {
-  jsize length = (*env)->GetArrayLength(env, texts);
+  jsize length = SLIMT_JNI_CALL(env, GetArrayLength, texts);
   std::vector<std::string> sources;
   sources.reserve(static_cast<size_t>(length));
   for (jsize i = 0; i < length; ++i) {
-    jobject jtext = (*env)->GetObjectArrayElement(env, texts, i);
+    jobject jtext = SLIMT_JNI_CALL(env, GetObjectArrayElement, texts, i);
     if (jtext == nullptr) continue;  // reference skips null entries
-    const char* utf8 = (*env)->GetStringUTFChars(
-        env, static_cast<jstring>(jtext), nullptr);
+    const char* utf8 = SLIMT_JNI_CALL(env, GetStringUTFChars,
+                                      static_cast<jstring>(jtext), nullptr);
     if (utf8 != nullptr) {
       sources.emplace_back(utf8);
-      (*env)->ReleaseStringUTFChars(env, static_cast<jstring>(jtext), utf8);
+      SLIMT_JNI_CALL(env, ReleaseStringUTFChars, static_cast<jstring>(jtext),
+                     utf8);
     }
-    (*env)->DeleteLocalRef(env, jtext);
+    SLIMT_JNI_CALL(env, DeleteLocalRef, jtext);
   }
 
   std::vector<const char*> pointers;
@@ -209,22 +235,19 @@ JNIEXPORT jobjectArray SLIMT_JNI_EXPORT(Service, ntranslate)(
       pointers.data(), static_cast<int>(pointers.size()), html != JNI_FALSE,
       /*as_json=*/0);
   if (targets == nullptr) {
-    jclass runtime_error =
-        (*env)->FindClass(env, "java/lang/RuntimeException");
-    if (runtime_error != nullptr) {
-      (*env)->ThrowNew(env, runtime_error, slimt_last_error());
-    }
+    throw_runtime(env, slimt_last_error());
     return nullptr;
   }
 
-  jclass string_cls = (*env)->FindClass(env, "java/lang/String");
-  jobjectArray jtargets = (*env)->NewObjectArray(
-      env, static_cast<jsize>(sources.size()), string_cls, nullptr);
+  jclass string_cls = SLIMT_JNI_CALL(env, FindClass, "java/lang/String");
+  jobjectArray jtargets = SLIMT_JNI_CALL(
+      env, NewObjectArray, static_cast<jsize>(sources.size()), string_cls,
+      nullptr);
   for (size_t i = 0; i < sources.size() && targets[i] != nullptr; ++i) {
-    jstring jtarget = (*env)->NewStringUTF(env, targets[i]);
-    (*env)->SetObjectArrayElement(env, jtargets, static_cast<jsize>(i),
-                                  jtarget);
-    (*env)->DeleteLocalRef(env, jtarget);
+    jstring jtarget = SLIMT_JNI_CALL(env, NewStringUTF, targets[i]);
+    SLIMT_JNI_CALL(env, SetObjectArrayElement, jtargets,
+                   static_cast<jsize>(i), jtarget);
+    SLIMT_JNI_CALL(env, DeleteLocalRef, jtarget);
   }
   slimt_free_strings(targets);
   return jtargets;
