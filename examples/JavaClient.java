@@ -14,6 +14,13 @@
 //
 // Uses only java.net.http (JDK 11+); no third-party JSON library —
 // requests are built with a minimal escaper and responses printed raw.
+//
+// STATUS: requires a JDK, which does not exist in the build/test
+// environment — this file has never been compiled or executed there
+// (tests/test_bindings.py compiles+runs it only when `javac` is
+// found). The TESTED Java-embedding story is the JNI binding
+// (native/slimt_jni.cpp, driven by the fake-JVM harness in
+// tests/test_jni.py) and the C ABI / HTTP clients.
 
 import java.net.URI;
 import java.net.http.HttpClient;

@@ -5,8 +5,10 @@ Mirrors the reference CLI surfaces:
     --async/--workers/--poll, reads stdin, prints translations
     (app/main.cc:25-185), pivot via --follow-* second model;
   - the python package's `slimt {translate,ls,download}` subcommands
-    (bindings/python/cmds.py); `download` is stubbed out in this
-    offline build, `synth` generates a synthetic demo package instead.
+    (bindings/python/cmds.py): `download`/`ls` ride the repository
+    inventory layer (slimt_tpu/repository.py) and degrade gracefully
+    offline (archives placed in the cache dir unpack without network);
+    `synth` generates a synthetic demo package for air-gapped use.
 """
 
 from __future__ import annotations
@@ -266,24 +268,97 @@ def cmd_inspect(args) -> int:
     return 0
 
 
+def _repository(args):
+    """Resolve the chosen inventory (reference cmds.py defaults to
+    browsermt; bindings/python/repository.py:124-139). --repo-root
+    redirects the XDG dirs (tests / air-gapped mirrors)."""
+    from slimt_tpu.repository import TranslateLocallyLike, default_repositories
+
+    if getattr(args, "repo_root", None):
+        urls = {
+            "browsermt": "https://translatelocally.com/models.json",
+            "opus": "https://object.pouta.csc.fi/OPUS-MT-models/app/models.json",
+        }
+        return TranslateLocallyLike(
+            args.repository, urls[args.repository], root=args.repo_root
+        )
+    return default_repositories()[args.repository]
+
+
 def cmd_ls(args) -> int:
-    root = args.root or os.path.expanduser("~/.local/share/slimt_tpu/models")
-    if not os.path.isdir(root):
-        print(f"no models under {root}")
+    # Local package-directory listing (slimt_tpu-specific) when --root
+    # is given; otherwise the reference's inventory listing
+    # (bindings/python/cmds.py List.execute).
+    if args.root:
+        if not os.path.isdir(args.root):
+            print(f"no models under {args.root}")
+            return 0
+        for entry in sorted(os.listdir(args.root)):
+            print(entry)
         return 0
-    for entry in sorted(os.listdir(root)):
-        print(entry)
+    repo = _repository(args)
+    codes = repo.models(filter_downloaded=not args.all)
+    if not codes:
+        where = "available in" if args.all else "downloaded from"
+        print(
+            f"no models {where} {repo.name!r} "
+            f"(inventory: {repo.models_file_path})"
+        )
+        return 0
+    print("Available models: ")
+    for counter, identifier in enumerate(codes, 1):
+        entry = repo.model(identifier) or {}
+        print(
+            " {}.".format(str(counter).rjust(4)),
+            entry.get("code", identifier),
+            entry.get("name", ""),
+        )
+    print()
     return 0
 
 
 def cmd_download(args) -> int:
-    print(
-        "model download requires network access, which this build does not "
-        "bundle; place translateLocally/OPUS packages under --root and use "
-        "`translate` directly",
-        file=sys.stderr,
+    """Download + unpack model packages from a repository inventory
+    (reference bindings/python/cmds.py Download.execute +
+    repository.py:53-120). Offline-graceful: an archive already in
+    the cache directory unpacks without network; otherwise the error
+    names the exact paths to drop files into."""
+    repo = _repository(args)
+    codes = (
+        [args.model]
+        if args.model
+        else repo.models(filter_downloaded=False)
     )
-    return 1
+    if not codes:
+        print(
+            f"repository {repo.name!r} has an empty inventory "
+            f"(offline?). Drop a models.json at {repo.models_file_path} "
+            f"or archives under {repo.dirs['archive']}.",
+            file=sys.stderr,
+        )
+        return 1
+    failures = 0
+    for code in codes:
+        try:
+            repo.download(code)
+            print(f"{code}: ok -> {os.path.join(repo.dirs['models'], code)}")
+        except KeyError:
+            print(
+                f"{code}: unknown model (see `ls --all -r {repo.name}`)",
+                file=sys.stderr,
+            )
+            failures += 1
+        except Exception as error:  # URLError, timeout, tar errors...
+            entry = repo.model(code) or {}
+            archive = os.path.basename(entry.get("url", f"{code}.tar.gz"))
+            print(
+                f"{code}: download failed ({error}). Offline? Place the "
+                f"archive at {os.path.join(repo.dirs['archive'], archive)} "
+                "and re-run to unpack from the local cache.",
+                file=sys.stderr,
+            )
+            failures += 1
+    return 1 if failures else 0
 
 
 def _honor_jax_platforms_env() -> None:
@@ -366,8 +441,19 @@ def main(argv=None) -> int:
     s.add_argument("--ffn-dim", type=int, default=128)
     s.set_defaults(fn=cmd_synth)
 
-    ls = sub.add_parser("ls", help="list local model packages")
+    ls = sub.add_parser(
+        "ls", help="list repository models (or local packages with --root)"
+    )
     ls.add_argument("--root", default=None)
+    ls.add_argument(
+        "-r", "--repository", default="browsermt",
+        choices=["browsermt", "opus"],
+    )
+    ls.add_argument(
+        "--all", action="store_true",
+        help="list the full inventory, not just downloaded models",
+    )
+    ls.add_argument("--repo-root", default=None, help=argparse.SUPPRESS)
     ls.set_defaults(fn=cmd_ls)
 
     ins = sub.add_parser(
@@ -376,7 +462,18 @@ def main(argv=None) -> int:
     ins.add_argument("input")
     ins.set_defaults(fn=cmd_inspect)
 
-    d = sub.add_parser("download", help="(offline stub)")
+    d = sub.add_parser(
+        "download", help="download + unpack models from a repository"
+    )
+    d.add_argument(
+        "-m", "--model", default=None,
+        help="model code to fetch; omitted = every inventory model",
+    )
+    d.add_argument(
+        "-r", "--repository", default="browsermt",
+        choices=["browsermt", "opus"],
+    )
+    d.add_argument("--repo-root", default=None, help=argparse.SUPPRESS)
     d.set_defaults(fn=cmd_download)
 
     c = sub.add_parser(

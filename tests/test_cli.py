@@ -57,10 +57,98 @@ def test_translate_async(tmp_path):
     assert result.returncode == 0, result.stderr
 
 
-def test_download_stub():
-    result = _run("download")
+def _seed_repository(tmp_path):
+    """Local browsermt-style inventory + a cached archive: the offline
+    path download must handle (reference repository.py:53-120 fetches
+    then unpacks; here the fetch is already satisfied by the cache)."""
+    import io
+    import json
+    import tarfile
+
+    repo_dir = tmp_path / "repo"
+    base = repo_dir / "slimt_tpu" / "browsermt"
+    (base / "archives").mkdir(parents=True)
+    inventory = {
+        "models": [
+            {
+                "code": "en-xx-tiny",
+                "name": "English-Whatever tiny",
+                "url": "https://example.invalid/en-xx-tiny.tar.gz",
+            },
+            {
+                "code": "xx-en-tiny",
+                "name": "Whatever-English tiny",
+                "url": "https://example.invalid/xx-en-tiny.tar.gz",
+            },
+        ]
+    }
+    (base / "models.json").write_text(json.dumps(inventory))
+    with tarfile.open(base / "archives" / "en-xx-tiny.tar.gz", "w:gz") as tar:
+        for name, payload in (
+            ("en-xx-tiny/config.intgemm8.yml", b"models:\n  - model.bin\n"),
+            ("en-xx-tiny/model.bin", b"\x00" * 16),
+        ):
+            info = tarfile.TarInfo(name)
+            info.size = len(payload)
+            tar.addfile(info, io.BytesIO(payload))
+    return str(repo_dir)
+
+
+def test_download_unpacks_cached_archive(tmp_path):
+    repo_root = _seed_repository(tmp_path)
+    result = _run(
+        "download", "-m", "en-xx-tiny", "--repo-root", repo_root
+    )
+    assert result.returncode == 0, result.stderr
+    unpacked = os.path.join(
+        repo_root, "slimt_tpu", "browsermt", "models", "en-xx-tiny",
+        "en-xx-tiny",
+    )
+    assert os.path.exists(os.path.join(unpacked, "config.intgemm8.yml"))
+    assert os.path.exists(os.path.join(unpacked, "model.bin"))
+
+    # The repository layer resolves the unpacked config path (what
+    # `translate -m <code>` style flows consume in the reference).
+    from slimt_tpu.repository import TranslateLocallyLike
+
+    repo = TranslateLocallyLike(
+        "browsermt", "https://example.invalid/models.json", root=repo_root
+    )
+    assert repo.model_config_path("en-xx-tiny").endswith(
+        "config.intgemm8.yml"
+    )
+    assert repo.models(filter_downloaded=True) == ["en-xx-tiny"]
+
+
+def test_download_offline_failure_names_cache_path(tmp_path):
+    repo_root = _seed_repository(tmp_path)
+    result = _run(
+        "download", "-m", "xx-en-tiny", "--repo-root", repo_root
+    )
     assert result.returncode == 1
-    assert "network" in result.stderr
+    assert "xx-en-tiny.tar.gz" in result.stderr  # where to drop the file
+    assert "archives" in result.stderr
+
+
+def test_download_unknown_model(tmp_path):
+    repo_root = _seed_repository(tmp_path)
+    result = _run("download", "-m", "nope", "--repo-root", repo_root)
+    assert result.returncode == 1
+    assert "unknown model" in result.stderr
+
+
+def test_ls_inventory(tmp_path):
+    repo_root = _seed_repository(tmp_path)
+    result = _run("ls", "--all", "--repo-root", repo_root)
+    assert result.returncode == 0, result.stderr
+    assert "en-xx-tiny" in result.stdout and "xx-en-tiny" in result.stdout
+    # Nothing downloaded yet: the filtered view is empty.
+    result = _run("ls", "--repo-root", repo_root)
+    assert "no models downloaded" in result.stdout
+    _run("download", "-m", "en-xx-tiny", "--repo-root", repo_root)
+    result = _run("ls", "--repo-root", repo_root)
+    assert "en-xx-tiny" in result.stdout
+    assert "xx-en-tiny" not in result.stdout
 
 
 def test_ls_empty(tmp_path):

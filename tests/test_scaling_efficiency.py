@@ -8,12 +8,19 @@ calibrated against scripts/scaling_curve.py measurements on this mesh
 (DP measured 1.3-1.45x, TP 0.5-0.6x — TP's collective overhead on a
 shared-CPU mesh is genuine at toy sizes and NOT representative of ICI;
 the TP bound is a serialization canary only).
+
+Load robustness: wall-clock ratios on a shared CI host are noisy, so
+each assertion (a) re-measures the single-device BASE back-to-back
+with the sharded run — transient load then hits both sides of the
+ratio instead of only one — and (b) retries up to MAX_ROUNDS times,
+passing on the first clean round.  A genuine serialization regression
+is deterministic and fails every round; a load spike cannot fail more
+than the round it lands in.
 """
 
 import os
 import sys
 
-import numpy as np
 import pytest
 
 import jax
@@ -26,6 +33,8 @@ from slimt_tpu.config import ModelConfig
 from slimt_tpu.io import load_items
 from slimt_tpu.io.loader import load_weights
 from slimt_tpu.io.synthetic import synthetic_model_bytes
+
+MAX_ROUNDS = 3
 
 
 @pytest.fixture(scope="module")
@@ -47,22 +56,29 @@ def _tps(params, config, mesh_kw):
     )
 
 
+def _assert_ratio(setup, mesh_kw, floor, label):
+    config, params = setup
+    ratios = []
+    for _ in range(MAX_ROUNDS):
+        base = _tps(params, config, {})  # paired: same load window
+        tps = _tps(params, config, mesh_kw)
+        ratios.append(tps / base)
+        if ratios[-1] >= floor:
+            return
+    pytest.fail(
+        f"{label} ratio < {floor} in all {MAX_ROUNDS} paired rounds: "
+        + ", ".join(f"{r:.2f}" for r in ratios)
+    )
+
+
 def test_dp_no_hidden_serialization(setup):
     assert len(jax.devices()) >= 8
-    config, params = setup
-    base = _tps(params, config, {})
     for data in (2, 4, 8):
-        tps = _tps(params, config, {"data": data})
-        ratio = tps / base
-        assert ratio >= 0.8, f"DP={data} ratio {ratio:.2f} < 0.8"
+        _assert_ratio(setup, {"data": data}, 0.8, f"DP={data}")
 
 
 def test_tp_serialization_canary(setup):
     assert len(jax.devices()) >= 8
-    config, params = setup
-    base = _tps(params, config, {})
-    tps = _tps(params, config, {"model": 2})
-    ratio = tps / base
     # CPU-mesh TP collectives cost real time (measured ~0.6x); a per-
     # step host sync or degenerate partition would land far below.
-    assert ratio >= 0.3, f"TP=2 ratio {ratio:.2f} < 0.3"
+    _assert_ratio(setup, {"model": 2}, 0.3, "TP=2")
