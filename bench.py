@@ -7,11 +7,20 @@ BASELINE.md (the reference publishes no numbers of its own).
 
 Modes (BASELINE.json configs):
     python bench.py            # headline: tiny11 INT8 batched decode
+    python bench.py headline_shortlist  # device-level shortlisted decode
     python bench.py batch1     # tiny11 greedy batch=1 latency
-    python bench.py shortlist  # tiny11 with shortlist projection
+    python bench.py shortlist  # shortlist through the full service
     python bench.py base       # base model (emb 512 / ffn 2048)
     python bench.py e2e        # full service pipeline (host + device)
+    python bench.py devstep    # per-step device time, per-component
+                               # ablation vs per-component rooflines
     python bench.py providers  # xla_int8 vs pallas vs f32
+
+ONE declared numerics config across all modes (= ModelConfig defaults
+= the parity table in crosscheck/serving_agreement.json): int16
+per-row-scaled KV cache + packed_fp16 argmax + alignment-free.
+BENCH_KV / BENCH_ARGMAX / BENCH_ALIGN / BENCH_SHORTLIST override for
+ablations.
 """
 
 import json
@@ -48,10 +57,21 @@ def _model(vocab=32000, emb=256, ffn=1536, enc=6, dec=2, with_shortlist=False):
     return Model(config, package)
 
 
+def _make_shortlist(vocab, width, rng):
+    """Static sorted unique shortlist of `width` target ids — the
+    device-side shape of the reference's flagship operating mode
+    (Shortlist.cc:115-175: ~frequent+best*src_len candidates, padded;
+    the engine buckets widths to multiples of 1024)."""
+    import jax.numpy as jnp
+
+    ids = np.sort(rng.choice(vocab, size=width, replace=False))
+    return jnp.asarray(ids.astype(np.int32))
+
+
 def _decode_bench(
     batch=64, seq=64, vocab=32000, emb=256, ffn=1536, enc=6, dec=2,
     provider=None, iters=5, metric="decode_tokens_per_sec_per_chip_tiny11_int8",
-    kv=None,
+    kv=None, shortlist_width=0,
 ):
     import jax
     import jax.numpy as jnp
@@ -78,22 +98,29 @@ def _decode_bench(
     # batch1 latency config); an explicit provider argument (the
     # `providers` comparison mode) still wins.
     provider = provider or os.environ.get("BENCH_PROVIDER") or config.qmm_provider
-    # Callers pass kv explicitly (headline defaults to int8); BENCH_KV
-    # is the env override, bfloat16 the base default. No env mutation.
-    kv = kv or os.environ.get("BENCH_KV", "bfloat16")
-    # Serving default: no soft alignments (Options.alignment/html off)
-    # — the decode loop drops the alignment carry (~9% of the step).
-    # BENCH_ALIGN=1 measures the with-alignment variant.
+    # ONE declared numerics config across every mode (BENCH headline =
+    # service default = parity table): int16 per-row-scaled KV cache +
+    # packed_fp16 argmax + alignment-free — see
+    # crosscheck/serving_agreement.json (config
+    # "int16+packedfp16+noalign") for the measured token agreement vs
+    # the compiled reference binary. BENCH_KV / BENCH_ARGMAX /
+    # BENCH_ALIGN override for ablations (e.g. BENCH_KV=int8: ~15%
+    # faster at B=2048 with looser agreement).
+    kv = kv or os.environ.get("BENCH_KV", "int16")
     with_alignment = os.environ.get("BENCH_ALIGN") == "1"
-    # packed_bf16 argmax: single-reduce greedy sampling, ~10% faster
-    # steps (token agreement 0.988/0.969 — see ModelConfig.argmax_method).
-    # BENCH_ARGMAX=exact restores the f32 variadic argmax.
-    argmax_method = os.environ.get("BENCH_ARGMAX", "packed_bf16")
+    argmax_method = os.environ.get("BENCH_ARGMAX", "packed_fp16")
 
     rng = np.random.default_rng(0)
     indices = rng.integers(3, vocab, (batch, seq)).astype(np.int32)
     mask = np.ones((batch, seq), np.float32)
     max_steps = int(1.5 * seq)
+    shortlist_width = shortlist_width or int(
+        os.environ.get("BENCH_SHORTLIST", 0)
+    )
+    sl = (
+        _make_shortlist(vocab, shortlist_width, rng)
+        if shortlist_width else None
+    )
 
     fn = jax.jit(
         lambda p, i, m: translate_batch(
@@ -103,6 +130,7 @@ def _decode_bench(
             num_heads=config.num_heads,
             provider=provider,
             kv_dtype=kv,
+            shortlist=sl,
             with_alignment=with_alignment,
             argmax_method=argmax_method,
         )
@@ -141,10 +169,13 @@ def _decode_bench(
     # cannot avoid — KV caches, decoder weights incl. the output
     # projection, recurrent state r/w; fused intermediates and logits
     # excluded, so this is a FLOOR and pct_peak is conservative).
-    kv_bytes = {"int8": 1, "bfloat16": 2, "float32": 4}.get(kv, 2)
+    kv_bytes = {"int8": 1, "int16": 2, "float16": 2, "bfloat16": 2, "float32": 4}.get(
+        kv, 2
+    )
     kv_traffic = 2 * dec * batch * seq * emb * kv_bytes  # K+V, joined layout
     step_weights = dec * (4 * emb * emb + 2 * emb * ffn)  # int8: SSRU F/O, att Q/O, FFN
-    out_proj = emb * vocab  # int8 tied embedding, transposed
+    logit_width = shortlist_width or vocab
+    out_proj = emb * logit_width  # int8 tied embedding (gathered cols)
     state_rw = 2 * dec * batch * emb * 4  # f32 SSRU cell read+write
     embed_gather = batch * emb * 4
     bytes_per_step = kv_traffic + step_weights + out_proj + state_rw + embed_gather
@@ -152,7 +183,7 @@ def _decode_bench(
     hbm_gbps = total_bytes / elapsed / 1e9
     peak_gbps = float(os.environ.get("BENCH_HBM_PEAK_GBPS", 819.0))  # v5e
 
-    return {
+    result = {
         "metric": metric,
         "value": round(tps, 1),
         "unit": "tokens/s",
@@ -162,23 +193,27 @@ def _decode_bench(
         "hbm_gbps": round(hbm_gbps, 1),
         "pct_peak": round(100.0 * hbm_gbps / peak_gbps, 1),
     }
+    if shortlist_width:
+        result["shortlist_width"] = shortlist_width
+    return result
 
 
 def bench_headline():
     # Peak-throughput serving batch (bulk-translation shape); per-call
     # host round-trip included. Smaller-batch and full-service numbers
-    # are in PERFORMANCE.md / other modes. BENCH_BATCH / BENCH_KV
-    # override for scaling experiments. Defaults are the measured-best
-    # defensible config: B=2048, int8 KV cache with per-row (b,t)
-    # scales (token agreement vs f32 at bf16-KV levels — see
-    # PERFORMANCE.md; bf16 measured ~15% slower at this batch).
+    # are in PERFORMANCE.md / other modes. The numerics are THE
+    # declared serving config (int16 KV + packed_fp16 argmax +
+    # noalign — same as ModelConfig defaults and the parity table in
+    # crosscheck/serving_agreement.json); BENCH_BATCH / BENCH_KV
+    # override for ablations (int8 KV: ~15% faster, looser agreement).
     batch = int(os.environ.get("BENCH_BATCH", 2048))
-    kv = os.environ.get("BENCH_KV", "int8")
+    kv = os.environ.get("BENCH_KV", "int16")
     print(json.dumps(_decode_bench(batch=batch, iters=6, kv=kv)))
 
 
 def _step_slope_us(batch=1, seq=24, vocab=32000, emb=256, ffn=1536,
-                   enc=6, dec=2, provider=None, kv=None, iters=12):
+                   enc=6, dec=2, provider=None, kv=None, iters=12,
+                   shortlist_width=0, ablate=None):
     """Per-decode-step DEVICE time via a two-point slope: time the
     same jitted translate_batch at max_steps=M and 2M and divide the
     difference by M.  Tunnel RTT, dispatch, host transfer, and the
@@ -208,11 +243,18 @@ def _step_slope_us(batch=1, seq=24, vocab=32000, emb=256, ffn=1536,
         decoder=os.environ.get("BENCH_UNROLL_DEC") != "1",
     ))
     provider = provider or os.environ.get("BENCH_PROVIDER") or config.qmm_provider
-    kv = kv or os.environ.get("BENCH_KV", "bfloat16")
+    kv = kv or os.environ.get("BENCH_KV", "int16")
     with_alignment = os.environ.get("BENCH_ALIGN") == "1"
-    argmax_method = os.environ.get("BENCH_ARGMAX", "packed_bf16")
+    argmax_method = os.environ.get("BENCH_ARGMAX", "packed_fp16")
     rng = np.random.default_rng(0)
     mask_j = jnp.asarray(np.ones((batch, seq), np.float32))
+    shortlist_width = shortlist_width or int(
+        os.environ.get("BENCH_SHORTLIST", 0)
+    )
+    sl = (
+        _make_shortlist(vocab, shortlist_width, rng)
+        if shortlist_width else None
+    )
 
     m = int(os.environ.get("BENCH_SLOPE_M", int(1.5 * seq)))
     k = int(os.environ.get("BENCH_SLOPE_K", 8))  # wide second point:
@@ -223,6 +265,7 @@ def _step_slope_us(batch=1, seq=24, vocab=32000, emb=256, ffn=1536,
             lambda p, i, mk: translate_batch(
                 p, i, mk, eos_id=-1, max_steps=steps,
                 num_heads=config.num_heads, provider=provider, kv_dtype=kv,
+                shortlist=sl,
                 with_alignment=with_alignment, argmax_method=argmax_method,
             )
         )
@@ -239,12 +282,29 @@ def _step_slope_us(batch=1, seq=24, vocab=32000, emb=256, ffn=1536,
         times.sort()
         return times[len(times) // 2]  # median: robust to tunnel hiccups
 
-    t1, t2 = timed(m), timed(k * m)
+    if ablate:
+        # Component ablation (scripts/ubench_decode_step.patched):
+        # slope with one component stubbed; full - ablated = that
+        # component's per-step device time.
+        sys.path.insert(
+            0,
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "scripts"),
+        )
+        from ubench_decode_step import patched
+
+        restore = patched(ablate)
+        try:
+            t1, t2 = timed(m), timed(k * m)
+        finally:
+            restore()
+    else:
+        t1, t2 = timed(m), timed(k * m)
     return max(t2 - t1, 0.0) / ((k - 1) * m) * 1e6, t1, m
 
 
 def bench_batch1():
-    kv = os.environ.get("BENCH_KV", "bfloat16")
+    kv = os.environ.get("BENCH_KV", "int16")
     result = _decode_bench(
         batch=1, seq=24, iters=20,
         metric="decode_tokens_per_sec_batch1_tiny11_int8", kv=kv,
@@ -326,6 +386,27 @@ def bench_shortlist(lines=2048):
     )
 
 
+def bench_headline_shortlist():
+    """The reference's flagship operating mode at device level:
+    shortlisted output projection (slimt/Shortlist.cc:115-175) in the
+    raw batched decode — the [B,E]x[E,32000] logit matmul (~40% of the
+    full-vocab step) shrinks to [B,E]x[E,width]. Width defaults to
+    1024 (the service's shortlist bucket; measured widths for
+    wrap-128 batches land in the 512-2048 range — see
+    bench.py realcorpus shortlist stats)."""
+    batch = int(os.environ.get("BENCH_BATCH", 2048))
+    kv = os.environ.get("BENCH_KV", "int16")
+    width = int(os.environ.get("BENCH_SHORTLIST", 1024))
+    print(
+        json.dumps(
+            _decode_bench(
+                batch=batch, iters=6, kv=kv, shortlist_width=width,
+                metric="decode_tokens_per_sec_per_chip_tiny11_int8_shortlist",
+            )
+        )
+    )
+
+
 def bench_base():
     print(
         json.dumps(
@@ -370,43 +451,126 @@ def bench_e2e(lines=2048, workers=4):
     )
 
 
+def _component_floors(batch, seq, kv, shortlist_width=0,
+                      dec=2, emb=256, ffn=1536, vocab=32000):
+    """Per-component device-time floors (µs/step): each component's
+    own limit — max(its unavoidable HBM bytes / peak BW, its MXU MACs
+    / peak int8 throughput). v5e defaults; override with
+    BENCH_HBM_PEAK_GBPS / BENCH_INT8_TOPS."""
+    peak_bw = float(os.environ.get("BENCH_HBM_PEAK_GBPS", 819.0)) * 1e9
+    peak_int8 = float(os.environ.get("BENCH_INT8_TOPS", 394.0)) * 1e12
+    kv_bytes = {"int8": 1, "int16": 2, "float16": 2, "bfloat16": 2, "float32": 4}.get(
+        kv, 2
+    )
+    logit_width = shortlist_width or vocab
+
+    def floor(hbm_bytes, macs):
+        return max(hbm_bytes / peak_bw, 2.0 * macs / peak_int8) * 1e6
+
+    return {
+        # KV cache reads dominate attention; Q/O projection weights +
+        # the [B,E] activations ride along.
+        "attention": floor(
+            2 * dec * batch * seq * emb * kv_bytes
+            + dec * 2 * emb * emb  # int8 Q, O weights
+            + 2 * batch * emb * 4,  # act in/out
+            dec * (2 * batch * emb * emb  # Q, O projections
+                   + batch * seq * emb * 2),  # scores + attn·V
+        ),
+        # Tied-embedding output projection [B,E]x[E,V or S] int8 +
+        # fused argmax.
+        "logits": floor(
+            emb * logit_width + batch * emb,
+            batch * emb * logit_width,
+        ),
+        # Decoder FFN W1/W2 int8 weights + activations.
+        "ffn": floor(
+            dec * 2 * emb * ffn + 2 * batch * emb * 4,
+            dec * 2 * batch * emb * ffn,
+        ),
+        # SSRU gates (F, O affines) + f32 cell state r/w + embed
+        # gather + token/valid bookkeeping.
+        "other": floor(
+            dec * 2 * emb * emb
+            + 2 * dec * batch * emb * 4
+            + batch * emb * 4,
+            dec * 2 * batch * emb * emb,
+        ),
+    }
+
+
 def bench_devstep():
     """Device-side decode-step time at serving batch via the
-    two-point slope (tunnel RTT/dispatch/encoder cancel): the
-    device-side counterpart of the wall-clock headline, plus the
-    roofline position of the pure step."""
+    two-point slope (tunnel RTT/dispatch/encoder cancel), DECOMPOSED
+    per component by ablation (scripts/ubench_decode_step stubs), each
+    against its own roofline (HBM floor or MXU int8 floor, whichever
+    binds). BENCH_SHORTLIST=<width> measures the shortlisted step."""
     batch = int(os.environ.get("BENCH_BATCH", 2048))
-    kv = os.environ.get("BENCH_KV", "int8")
+    kv = os.environ.get("BENCH_KV", "int16")
+    shortlist_width = int(os.environ.get("BENCH_SHORTLIST", 0))
     seq = 64
     slope_us, _, _ = _step_slope_us(
-        batch=batch, seq=seq, iters=8, kv=kv)
-    kv_bytes = {"int8": 1, "bfloat16": 2, "float32": 4}.get(kv, 2)
+        batch=batch, seq=seq, iters=8, kv=kv,
+        shortlist_width=shortlist_width)
+    # Ablation slopes: full - ablated = that component's share.
+    parts_us = {}
+    for name, ablation in (
+        ("attention", "no_attn"),
+        ("logits", "no_logits"),
+        ("ffn", "no_ffn"),
+    ):
+        without, _, _ = _step_slope_us(
+            batch=batch, seq=seq, iters=8, kv=kv,
+            shortlist_width=shortlist_width, ablate=ablation)
+        parts_us[name] = max(slope_us - without, 0.0)
+    parts_us["other"] = max(
+        slope_us - sum(parts_us.values()), 0.0
+    )
+
+    floors = _component_floors(batch, seq, kv, shortlist_width)
+    components = {}
+    for name, us in parts_us.items():
+        floor_us = floors[name]
+        components[name] = {
+            "us": round(us, 1),
+            "floor_us": round(floor_us, 1),
+            "pct_of_floor": round(100.0 * floor_us / us, 1) if us else None,
+        }
+    composite_floor = sum(floors.values())
+
+    kv_bytes = {"int8": 1, "int16": 2, "float16": 2, "bfloat16": 2, "float32": 4}.get(
+        kv, 2
+    )
     dec, emb, ffn, vocab = 2, 256, 1536, 32000
     bytes_per_step = (
         2 * dec * batch * seq * emb * kv_bytes
         + dec * (4 * emb * emb + 2 * emb * ffn)
-        + emb * vocab
+        + emb * (shortlist_width or vocab)
         + 2 * dec * batch * emb * 4
         + batch * emb * 4
     )
     peak_gbps = float(os.environ.get("BENCH_HBM_PEAK_GBPS", 819.0))
     device_tps = batch / (slope_us / 1e6) if slope_us else 0.0
     hbm = bytes_per_step / (slope_us / 1e6) / 1e9 if slope_us else 0.0
-    print(
-        json.dumps(
-            {
-                "metric": "decode_step_device_us",
-                "value": round(slope_us, 1),
-                "unit": "us/step",
-                "vs_baseline": round(device_tps / TARGET, 3),
-                "batch": batch,
-                "kv": kv,
-                "device_tokens_per_sec": round(device_tps, 1),
-                "hbm_gbps": round(hbm, 1),
-                "pct_peak": round(100.0 * hbm / peak_gbps, 1),
-            }
-        )
-    )
+    out = {
+        "metric": "decode_step_device_us",
+        "value": round(slope_us, 1),
+        "unit": "us/step",
+        "vs_baseline": round(device_tps / TARGET, 3),
+        "batch": batch,
+        "kv": kv,
+        "device_tokens_per_sec": round(device_tps, 1),
+        "hbm_gbps": round(hbm, 1),
+        "pct_peak": round(100.0 * hbm / peak_gbps, 1),
+        "components": components,
+        "composite_floor_us": round(composite_floor, 1),
+        "pct_of_composite_floor": (
+            round(100.0 * composite_floor / slope_us, 1) if slope_us else None
+        ),
+    }
+    if shortlist_width:
+        out["shortlist_width"] = shortlist_width
+    print(json.dumps(out))
 
 
 def bench_realcorpus():
@@ -723,6 +887,7 @@ def main():
     timer = _watchdog(mode, int(os.environ.get("BENCH_WATCHDOG_S", 2400)))
     {
         "headline": bench_headline,
+        "headline_shortlist": bench_headline_shortlist,
         "batch1": bench_batch1,
         "shortlist": bench_shortlist,
         "base": bench_base,

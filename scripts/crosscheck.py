@@ -59,6 +59,7 @@ from __future__ import annotations
 
 import argparse
 import dataclasses
+import json
 import os
 import subprocess
 import sys
@@ -188,7 +189,17 @@ def run_reference(paths, config, sentences, batch, with_shortlist,
 
 
 def run_slimt_tpu(model_bytes, config, sentences, batch, eos, pad,
-                  shortlist_gen):
+                  shortlist_gen, kv_dtype="float32", argmax_method="exact",
+                  with_alignment=True):
+    """Decode through slimt_tpu. Defaults are the EXACT numerics
+    (f32 KV cache, f32 variadic argmax — reference
+    Transformer.cc:279-339 semantics); the serving mode overrides
+    kv_dtype/argmax_method/with_alignment to diff the
+    reduced-precision execution configs against the same reference
+    outputs."""
+    import functools
+
+    import jax
     import jax.numpy as jnp
 
     from slimt_tpu.io import load_items
@@ -196,6 +207,25 @@ def run_slimt_tpu(model_bytes, config, sentences, batch, eos, pad,
     from slimt_tpu.models.decode import translate_batch
 
     params = load_weights(load_items(model_bytes), config)
+    # ONE jit wrapper (max_steps static): executables are cached per
+    # (shapes, max_steps) inside it and freed with it — an eager
+    # translate_batch here re-traces and permanently caches a fresh
+    # while_loop per CALL, which at serving-sweep scale (16k calls)
+    # both recompiles everything and leaks to OOM. The jitted form is
+    # the one the service itself runs (models/model.py
+    # translate_batch_jit) — byte-identical to the reference through
+    # the e2e CLI differential.
+    fn = jax.jit(
+        functools.partial(
+            translate_batch,
+            eos_id=eos,
+            num_heads=config.num_heads,
+            kv_dtype=kv_dtype,
+            argmax_method=argmax_method,
+            with_alignment=with_alignment,
+        ),
+        static_argnames=("max_steps",),
+    )
     out = []
     for start in range(0, len(sentences), batch):
         group = sentences[start : start + batch]
@@ -208,16 +238,25 @@ def run_slimt_tpu(model_bytes, config, sentences, batch, eos, pad,
         shortlist = None
         if shortlist_gen is not None:
             flat = [w for s in group for w in s]
-            shortlist = jnp.asarray(
-                shortlist_gen.generate(flat).astype(np.int32)
-            )
-        result = translate_batch(
+            sl = shortlist_gen.generate(flat).astype(np.int32)
+            # Pad the width to a multiple of 64 with DUPLICATES of an
+            # existing entry — semantics-preserving (a duplicate column
+            # carries an identical logit; whichever copy wins any tie
+            # maps to the same word id, and both argmax methods break
+            # ties first-index), unlike the service's generate_padded
+            # which adds real extra candidates. Bounds the number of
+            # compiled shortlist shapes.
+            want = -(-len(sl) // 64) * 64
+            if want > len(sl):
+                sl = np.concatenate(
+                    [sl, np.full(want - len(sl), sl[0], np.int32)]
+                )
+            shortlist = jnp.asarray(sl)
+        result = fn(
             params,
             jnp.asarray(indices),
             jnp.asarray(mask),
-            eos_id=eos,
             max_steps=int(1.5 * t),
-            num_heads=config.num_heads,
             shortlist=shortlist,
         )
         tokens = np.asarray(result.tokens)
@@ -382,6 +421,185 @@ def mode_tokens(args):
         diff("ruy-bias-bug (informational)", ref, got, args.verbose)[0]
     print(f"worst-cell sentence exact-match: {worst_sent:.1f}%")
     return worst_sent
+
+
+def serving_corpus(lines, eos, seed, lengths=(7, 11, 15), batch=8):
+    """Corpus for the serving-numerics sweep: consecutive groups of
+    `batch` sentences share a length, so every [B, T] batch shape (and
+    its 1.5*T step cap) repeats — bounding XLA compiles to
+    len(lengths) shapes per (cell, config) instead of one per group.
+    Both sides see the identical order, so grouping semantics match
+    the reference harness's fixed-size flush batching."""
+    rng = np.random.default_rng(seed)
+    out = []
+    while len(out) < lines:
+        n = int(lengths[(len(out) // batch) % len(lengths)])
+        for _ in range(batch):
+            ids = rng.integers(2, VOCAB, n).astype(np.uint32).tolist()
+            ids.append(eos)
+            out.append(ids)
+    return out[:lines]
+
+
+# The serving-numerics sweep: every reduced-precision execution config
+# the engine ships, diffed against the SAME reference-binary outputs
+# as the exact path. "exact" is the control row (must stay at the
+# tokens-mode floor); the rest quantify what each knob costs in
+# agreement with the reference (which has no reduced-precision mode of
+# its own — its numerics are f32-KV + f32 argmax, so agreement here IS
+# "distance from the reference's output").
+SERVING_CONFIGS = [
+    ("exact", {}),
+    ("kv=int16", {"kv_dtype": "int16"}),
+    ("kv=float16", {"kv_dtype": "float16"}),
+    ("kv=bfloat16", {"kv_dtype": "bfloat16"}),
+    ("kv=int8", {"kv_dtype": "int8"}),
+    ("argmax=packed_fp16", {"argmax_method": "packed_fp16"}),
+    ("argmax=packed_bf16", {"argmax_method": "packed_bf16"}),
+    # The declared serving config (= ModelConfig defaults = the bench
+    # headline): int16 per-row-scaled KV (2 bytes/elem, 16x finer than
+    # fp16) + packed-fp16 argmax + alignment-free.
+    ("int16+packedfp16+noalign", {
+        "kv_dtype": "int16", "argmax_method": "packed_fp16",
+        "with_alignment": False,
+    }),
+    ("fp16+packedfp16+noalign", {
+        "kv_dtype": "float16", "argmax_method": "packed_fp16",
+        "with_alignment": False,
+    }),
+    ("bf16+packedbf16+noalign", {
+        "kv_dtype": "bfloat16", "argmax_method": "packed_bf16",
+        "with_alignment": False,
+    }),
+    ("int8+packedbf16+noalign", {
+        "kv_dtype": "int8", "argmax_method": "packed_bf16",
+        "with_alignment": False,
+    }),
+]
+
+
+def mode_serving(args):
+    """Reduced-precision serving configs vs the reference binary
+    (VERDICT r2 task 1): 4 architectures × {full-vocab, shortlist} ×
+    B=8 × --serving-lines sentences per cell, for every config in
+    SERVING_CONFIGS. Prints one table (sentence-exact%, token
+    agreement%) and writes crosscheck/serving_agreement.json for
+    PERFORMANCE.md to cite. Exit status gates only the exact control
+    row (>=98% sentences, the tokens-mode floor); the reduced rows are
+    the published measurement."""
+    totals = {
+        label: [0, 0, 0, 0]  # sent_exact, sent_total, tok_agree, tok_total
+        for label, _ in SERVING_CONFIGS
+    }
+    per_cell = {label: [] for label, _ in SERVING_CONFIGS}
+    batch = 8
+    with tempfile.TemporaryDirectory() as tmp:
+        for label, enc, dec, heads, emb, ffn, seed in CELLS:
+            from slimt_tpu.io.shortlist import ShortlistGenerator
+
+            config, model_bytes, spm, paths = write_package(
+                tmp, enc, dec, heads, emb, ffn, seed
+            )
+            eos = spm.eos_id
+            pad = max(0, spm.pad_id)
+            sentences = serving_corpus(
+                args.serving_lines, eos, seed + 300, batch=batch
+            )
+            with open(paths["shortlist.bin"], "rb") as f:
+                gen = ShortlistGenerator(f.read(), VOCAB)
+            nobias_bytes = zero_logit_bias(model_bytes)
+            nobias_path = paths["model.bin"] + ".nobias"
+            with open(nobias_path, "wb") as f:
+                f.write(nobias_bytes)
+            for with_shortlist in (False, True):
+                # Shortlist cells: zeroed logit bias (reference Ruy
+                # provider's unselected-bias bug — module docstring).
+                cell_paths = (
+                    dict(paths, **{"model.bin": nobias_path})
+                    if with_shortlist else paths
+                )
+                cell_bytes = nobias_bytes if with_shortlist else model_bytes
+                ref = run_reference(
+                    cell_paths, config, sentences, batch, with_shortlist
+                )
+                for conf_label, opts in SERVING_CONFIGS:
+                    got = run_slimt_tpu(
+                        cell_bytes, config, sentences, batch, eos, pad,
+                        gen if with_shortlist else None, **opts,
+                    )
+                    se = st = ta = tt = 0
+                    for r, g in zip(ref, got):
+                        st += 1
+                        se += int(r == g)
+                        n = max(len(r), len(g))
+                        tt += n
+                        ta += sum(1 for a, b in zip(r, g) if a == b)
+                    agg = totals[conf_label]
+                    agg[0] += se
+                    agg[1] += st
+                    agg[2] += ta
+                    agg[3] += tt
+                    per_cell[conf_label].append(
+                        {
+                            "cell": label,
+                            "shortlist": with_shortlist,
+                            "sent_exact": se,
+                            "sent_total": st,
+                            "tok_agree": ta,
+                            "tok_total": tt,
+                        }
+                    )
+                    if args.verbose:
+                        print(
+                            f"  {label} shortlist={with_shortlist} "
+                            f"{conf_label}: {se}/{st} sentences, "
+                            f"{100.0 * ta / max(1, tt):.2f}% tokens",
+                            flush=True,
+                        )
+            # Keep the sweep's memory flat across cells: drop every
+            # cached executable before the next architecture.
+            import jax
+
+            jax.clear_caches()
+
+    print(
+        f"{'config':24s} {'sentences exact':>18s} {'tokens agree':>16s}"
+        f" {'worst cell tok%':>16s}"
+    )
+    report = {}
+    for conf_label, _ in SERVING_CONFIGS:
+        se, st, ta, tt = totals[conf_label]
+        worst = min(
+            100.0 * c["tok_agree"] / max(1, c["tok_total"])
+            for c in per_cell[conf_label]
+        )
+        print(
+            f"{conf_label:24s} {se:>7d}/{st} ({100.0 * se / max(1, st):5.1f}%)"
+            f" {100.0 * ta / max(1, tt):7.2f}% {worst:15.2f}%"
+        )
+        report[conf_label] = {
+            "sentence_exact_pct": round(100.0 * se / max(1, st), 2),
+            "token_agreement_pct": round(100.0 * ta / max(1, tt), 2),
+            "worst_cell_token_pct": round(worst, 2),
+            "sentences": st,
+            "cells": per_cell[conf_label],
+        }
+    out_path = os.path.join(ROOT, "crosscheck", "serving_agreement.json")
+    with open(out_path, "w") as f:
+        json.dump(
+            {
+                "batch": batch,
+                "lines_per_cell": args.serving_lines,
+                "reference": "crosscheck/bin/slimt_ref_harness "
+                "(verbatim reference core, Ruy provider)",
+                "configs": report,
+            },
+            f,
+            indent=1,
+        )
+    print(f"wrote {out_path}")
+    exact = totals["exact"]
+    return 100.0 * exact[0] / max(1, exact[1])
 
 
 def mode_shortlist(args):
@@ -696,9 +914,15 @@ def main():
     parser = argparse.ArgumentParser()
     parser.add_argument(
         "mode", nargs="?", default="all",
-        choices=["all", "tokens", "shortlist", "split", "process", "e2e"],
+        choices=["all", "tokens", "shortlist", "split", "process", "e2e",
+                 "serving"],
     )
     parser.add_argument("--lines", type=int, default=48)
+    parser.add_argument(
+        "--serving-lines", type=int, default=256,
+        help="sentences per architecture cell in the serving sweep "
+        "(x4 cells x2 projection legs = total corpus)",
+    )
     parser.add_argument("--verbose", action="store_true")
     args = parser.parse_args()
 
@@ -724,6 +948,11 @@ def main():
         # leaves headroom for a rare rounding-boundary argmax flip on
         # future corpora.
         if mode_tokens(args) < 98.0:
+            rc = 1
+    if args.mode == "serving":
+        # Gates only the exact control row; the reduced-precision rows
+        # are the published measurement (serving_agreement.json).
+        if mode_serving(args) < 98.0:
             rc = 1
     return rc
 

@@ -256,9 +256,16 @@ def mode_reduced(args):
     packed_argmax_bf16). PERFORMANCE.md cites this mode's output."""
     eos, max_steps = 2, 24
     options = [
+        ("kv=int16", dict(kv_dtype="int16")),
+        ("kv=float16", dict(kv_dtype="float16")),
         ("kv=bfloat16", dict(kv_dtype="bfloat16")),
         ("kv=int8", dict(kv_dtype="int8")),
+        ("argmax=packed_fp16", dict(argmax_method="packed_fp16")),
         ("argmax=packed_bf16", dict(argmax_method="packed_bf16")),
+        ("serving default", dict(
+            kv_dtype="int16", argmax_method="packed_fp16",
+            with_alignment=False,
+        )),
     ]
     stats = {label: [] for label, _ in options}
     for seed in range(args.models):

@@ -44,23 +44,31 @@ class ModelConfig:
     # is re-read from HBM every step, the dominant per-step cost at
     # serving batch. Reduced-precision dtypes also switch the cache to
     # the unpadded joined [B,T,E] layout with MXU-GEMM attention
-    # (models/transformer._decode_attention_joined): "bfloat16" is
-    # ~1.6x decode over f32 split-layout; "int8" (dynamic per-tensor
-    # scales, same scheme as the engine's activation quantization) is
-    # ~10% faster still with slightly looser numerics. "float32"
-    # restores exact reference numerics.
-    kv_cache_dtype: str = "bfloat16"
-    # Greedy-sampling argmax implementation. "exact" = f32 logits +
-    # XLA's variadic argmax (reference numerics). "packed_bf16" = one
-    # plain int32 max-reduce over (sortable-bf16 logit || reversed
+    # (models/transformer._decode_attention_joined). The default
+    # "int16" is the PARITY-PROVEN serving config: per-row (b,t)
+    # scales at 2 bytes/elem — the same HBM traffic as fp16/bf16
+    # (~1.6x decode over the f32 split layout) with a uniform absolute
+    # error of rowmax/65534 (16x finer than fp16, ~256x finer than
+    # bf16); converts to f32 inside the attention matmul operand read.
+    # Measured vs the compiled reference binary on the adversarial
+    # crosscheck serving sweep (crosscheck/serving_agreement.json):
+    # int16 99.9% tokens; fp16 99.0%; bf16 96.8%; int8 per-row 93.8%
+    # — all remain explicit opt-ins (int8 is ~15% faster at B=2048
+    # where its agreement suffices). "float32" restores exact
+    # reference numerics (and the split-layout cache).
+    kv_cache_dtype: str = "int16"
+    # Greedy-sampling argmax implementation. "packed_fp16" (default) =
+    # one plain int32 max-reduce over (sortable-fp16 logit || reversed
     # column) packed keys — ~10% faster decode steps at serving batch
     # (the variadic reduce is the slow part of the fused projection;
-    # scripts/ubench_logits.py). Compares bf16-ROUNDED logits: token
-    # agreement vs exact is mean 0.988 / worst 0.969 on adversarial
-    # random-weight models (scripts/parity.py reduced) — tighter than
-    # the bf16 KV default's own rounding. Tie-break (first index)
-    # matches jnp.argmax.
-    argmax_method: str = "exact"
+    # scripts/ubench_logits.py). Equals argmax over fp16-ROUNDED
+    # logits exactly (first-index tie-break, matching jnp.argmax;
+    # per-step invariant certified in tests/test_stacked.py) — fp16's
+    # 10 mantissa bits give 8x fewer rounding ties than the
+    # "packed_bf16" variant (99.9% vs 98.6% token agreement vs the
+    # reference binary; crosscheck/serving_agreement.json). "exact"
+    # restores the f32 variadic argmax (reference numerics).
+    argmax_method: str = "packed_fp16"
     # Blockwise Pallas encoder self-attention: O(T·block) memory,
     # lifts the reference's hard 128-token wrap constraint for long
     # inputs. Default off (einsum SDPA is fine at wrap_length).

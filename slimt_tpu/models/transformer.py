@@ -224,13 +224,48 @@ def _decode_attention_joined(
             "bht,bte->bhe", a_op, v_op, preferred_element_type=acc
         ).astype(jnp.float32) / s_a
         selt = _head_selector(e, num_heads, jnp.float32)
+    elif k.dtype == jnp.int16:
+        # int16 per-row-scaled cache (the service default): the cache
+        # converts to f32 inside the matmul operand read (2-byte HBM
+        # traffic, f32 MXU — same lowering shape as fp16); the per-row
+        # dequants fold elementwise exactly like the int8 branch, but
+        # q and attn stay f32 (no activation quantization needed — the
+        # f32 MXU takes them as-is).
+        sel = _head_selector(e, num_heads, jnp.float32)
+        q2 = q[:, :, None] * sel[None]  # [B, E, H] f32
+        scores = jnp.einsum(
+            "bte,beh->bht",
+            k.astype(jnp.float32),
+            q2,
+            preferred_element_type=jnp.float32,
+        ) * scale * kv["kqi"][:, None, :]
+        scores = scores + mask_add[:, :, 0, :]
+        attn = jax.nn.softmax(scores, axis=-1)  # [B, H, T]
+        attn_v = attn * kv["vqi"][:, None, :]
+        res = jnp.einsum(
+            "bht,bte->bhe",
+            attn_v,
+            v.astype(jnp.float32),
+            preferred_element_type=jnp.float32,
+        )  # [B, H, E]
+        selt = sel
     else:
         kv_dtype = k.dtype
+        # bf16 is the MXU's native reduced input type: BOTH operands
+        # of the dot get rounded through it, so round q/attn too (CPU
+        # then multiplies the same quantized values the TPU does).
+        # fp16 has no MXU input mode — XLA upcasts fp16 operands to
+        # f32 and runs an f32 matmul — so for an fp16 cache only the
+        # CACHE itself is rounded; q/attn stay f32 on both backends
+        # (faithful to the TPU lowering, and ~half the rounding
+        # sources: crosscheck serving agreement 99.4 -> 99.8%).
+        native_mxu = kv_dtype == jnp.bfloat16
 
         def op(arr):
-            # Round to the cache dtype (what the TPU MXU multiplies);
-            # upcast the rounded values to f32 on CPU for the dot.
-            arr = arr.astype(kv_dtype)
+            # Round to the cache dtype where the MXU genuinely
+            # multiplies in it; upcast to f32 on CPU for the dot.
+            if native_mxu:
+                arr = arr.astype(kv_dtype)
             return arr.astype(jnp.float32) if on_cpu else arr
 
         sel = _head_selector(e, num_heads, jnp.float32)
@@ -443,6 +478,34 @@ def precompute_cross_kv(
                 "kqi": 1.0 / kq,
                 "vqi": 1.0 / vq,
             }
+        if dtype == jnp.int16:
+            # int16 with the same per-row (b, t) scales: 2 bytes/elem
+            # (identical HBM traffic to fp16/bf16) but a UNIFORM
+            # absolute error of absmax/65534 per row — 16x finer than
+            # fp16's relative rounding, ~256x finer than bf16. The
+            # cache converts to f32 inside the attention matmul (no
+            # native s16 MXU mode; the convert fuses into the operand
+            # read, same lowering shape as the fp16 path). This is the
+            # service default: 99.9% token agreement vs the reference
+            # binary on the adversarial crosscheck serving sweep
+            # (crosscheck/serving_agreement.json).
+            kq = 32767.0 / jnp.maximum(
+                jnp.max(jnp.abs(k), axis=-1), 1e-6
+            )  # [B, T]
+            vq = 32767.0 / jnp.maximum(jnp.max(jnp.abs(v), axis=-1), 1e-6)
+
+            def q16(x, s):
+                return (
+                    jnp.clip(jnp.rint(x * s[..., None]), -32767, 32767)
+                    .astype(jnp.int16)
+                )
+
+            return {
+                "k": q16(k, kq),
+                "v": q16(v, vq),
+                "kqi": 1.0 / kq,
+                "vqi": 1.0 / vq,
+            }
         one = jnp.float32(1.0)
         return {
             "k": k.astype(dtype),
@@ -519,7 +582,7 @@ def decoder_step(
             sample
             and isinstance(layers, list)
             and isinstance(kv_caches[0], dict)
-            and kv_caches[0]["k"].dtype != jnp.int8
+            and kv_caches[0]["k"].dtype in (jnp.bfloat16, jnp.float32)
         ):
             raise ValueError(
                 "provider 'fused_step' needs sample=True, unstacked "
@@ -609,28 +672,34 @@ def output_logits(
     return qmm.affine(x, w, b, aq, bq, provider=provider)
 
 
-def packed_argmax_bf16(logits: jax.Array) -> jax.Array:
-    """argmax(logits.astype(bf16), axis=-1) as ONE plain int32
-    max-reduce over a packed key: the sortable-int transform of the
-    bf16 logit bits in the high 16 bits, the reversed column index in
-    the low 16 (so equal bf16 values resolve to the FIRST index —
-    jnp.argmax's tie-break).
+def packed_argmax_16(logits: jax.Array, dtype) -> jax.Array:
+    """argmax(logits.astype(dtype), axis=-1) for a 16-bit IEEE-ordered
+    float dtype (bfloat16 or float16), as ONE plain int32 max-reduce
+    over a packed key: the sortable-int transform of the rounded logit
+    bits in the high 16 bits, the reversed column index in the low 16
+    (so equal rounded values resolve to the FIRST index — jnp.argmax's
+    tie-break).
 
     Why: XLA's variadic (value, index) argmax reduce fused onto the
     int8 projection measured +60 µs/op over a plain reduce at B=2048,
     V=32k (scripts/ubench_logits.py: 235 variadic vs 175 packed); a
     single s32 max takes the fast fusion path. The only numerics
-    change is the bf16 rounding of the compared logits — the same
-    class as the default bf16 KV cache (token agreement mean 0.988 /
-    worst 0.969 over adversarial random-weight models, far above the
-    int8-KV default's 0.93/0.84; scripts/parity.py reduced).
+    change is the 16-bit rounding of the COMPARED values: float16
+    keeps 10 mantissa bits (8x finer ties than bfloat16's 7) and is
+    the service default — 99.8% token agreement vs the reference
+    binary on the adversarial crosscheck serving sweep
+    (crosscheck/serving_agreement.json). Logits beyond float16 range
+    (|x| > 65504) saturate to ±inf, which still orders correctly; a
+    divergence needs >= 2 overflowing logits in one row, impossible
+    for LN-bounded student-model logits.
 
     Requires logits.shape[-1] <= 65536 (the 32k vocab and every
     shortlist bucket qualify)."""
-    lb = logits.astype(jnp.bfloat16)
+    lb = logits.astype(dtype)
     bits = jax.lax.bitcast_convert_type(lb, jnp.uint16).astype(jnp.int32)
-    # Monotone bf16 -> [0, 0xFFFF]: flip all bits for negatives, set
-    # the sign bit for positives.
+    # Monotone 16-bit float -> [0, 0xFFFF]: flip all bits for
+    # negatives, set the sign bit for positives (IEEE ordering is
+    # sign-magnitude; both bf16 and fp16 qualify).
     sortable = jnp.where(bits >= 0x8000, 0xFFFF - bits, bits | 0x8000)
     col = jax.lax.broadcasted_iota(jnp.int32, logits.shape, logits.ndim - 1)
     # Bias into signed range BEFORE the shift (0x8000 << 16 would
@@ -638,6 +707,11 @@ def packed_argmax_bf16(logits: jax.Array) -> jax.Array:
     key = ((sortable - 0x8000) << 16) | (0xFFFF - col)
     best = jnp.max(key, axis=-1)
     return (0xFFFF - (best & 0xFFFF)).astype(jnp.int32)
+
+
+def packed_argmax_bf16(logits: jax.Array) -> jax.Array:
+    """Back-compat wrapper: packed argmax over bf16-rounded logits."""
+    return packed_argmax_16(logits, jnp.bfloat16)
 
 
 def output_argmax(
@@ -673,8 +747,11 @@ def output_argmax(
                 x, w, b, params["out"]["aq"], params["emb"]["scale"]
             )
     logits = output_logits(params, x, provider, None, projection)
-    if method == "packed_bf16" and w.shape[1] <= 65536:
-        return packed_argmax_bf16(logits)
+    if w.shape[1] <= 65536 and method in ("packed_bf16", "packed_fp16"):
+        return packed_argmax_16(
+            logits,
+            jnp.float16 if method == "packed_fp16" else jnp.bfloat16,
+        )
     return jnp.argmax(logits, axis=-1).astype(jnp.int32)
 
 

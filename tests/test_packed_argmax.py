@@ -1,9 +1,11 @@
-"""packed_argmax_bf16 (models/transformer.py): the single-reduce
-greedy sampler must equal argmax over bf16-ROUNDED logits exactly —
-including jnp.argmax's first-index tie-break — for every shape the
-decode path can produce (full 32k vocab and the shortlist buckets).
-The only sanctioned numerics difference vs the exact f32 path is the
-bf16 rounding itself (quantified by `scripts/parity.py reduced`)."""
+"""packed_argmax_16 (models/transformer.py): the single-reduce greedy
+sampler must equal argmax over the 16-bit-ROUNDED logits exactly —
+including jnp.argmax's first-index tie-break — for both rounding
+dtypes (float16, the service default, and bfloat16) and every shape
+the decode path can produce (full 32k vocab and the shortlist
+buckets). The only sanctioned numerics difference vs the exact f32
+path is the 16-bit rounding itself (quantified against the reference
+binary in crosscheck/serving_agreement.json)."""
 
 import numpy as np
 import pytest
@@ -11,34 +13,52 @@ import pytest
 import jax
 import jax.numpy as jnp
 
-from slimt_tpu.models.transformer import packed_argmax_bf16
+from slimt_tpu.models.transformer import packed_argmax_16, packed_argmax_bf16
+
+DTYPES = [jnp.float16, jnp.bfloat16]
 
 
-def _want(x):
-    # ground truth: argmax over the bf16-rounded values, first index
-    return jnp.argmax(x.astype(jnp.bfloat16), axis=-1).astype(jnp.int32)
+def _want(x, dtype=jnp.bfloat16):
+    # ground truth: argmax over the rounded values, first index
+    return jnp.argmax(x.astype(dtype), axis=-1).astype(jnp.int32)
 
 
+@pytest.mark.parametrize("dtype", DTYPES)
 @pytest.mark.parametrize(
     "shape", [(1, 7), (3, 96), (4, 1024), (2, 4096), (2, 32000), (1, 65536)]
 )
-def test_matches_bf16_argmax(shape):
+def test_matches_rounded_argmax(shape, dtype):
     rng = np.random.default_rng(abs(hash(shape)) % 2**32)
-    # wide dynamic range: mixes signs, magnitudes, and bf16-tied values
+    # wide dynamic range: mixes signs, magnitudes, and rounding-tied
+    # values
     x = jnp.asarray(
         (rng.standard_normal(shape) * rng.choice([0.01, 1.0, 100.0], shape))
         .astype(np.float32)
     )
     np.testing.assert_array_equal(
-        np.asarray(packed_argmax_bf16(x)), np.asarray(_want(x))
+        np.asarray(packed_argmax_16(x, dtype)), np.asarray(_want(x, dtype))
     )
 
 
-def test_all_negative():
+@pytest.mark.parametrize("dtype", DTYPES)
+def test_all_negative(dtype):
     rng = np.random.default_rng(5)
     x = jnp.asarray(-np.abs(rng.standard_normal((4, 513))).astype(np.float32) - 0.5)
     np.testing.assert_array_equal(
-        np.asarray(packed_argmax_bf16(x)), np.asarray(_want(x))
+        np.asarray(packed_argmax_16(x, dtype)), np.asarray(_want(x, dtype))
+    )
+
+
+def test_fp16_overflow_saturates_and_orders():
+    """Logits beyond float16 range saturate to ±inf; the packed key
+    must still order them above every finite value (and below, for
+    -inf) exactly like jnp.argmax over the fp16-rounded array."""
+    x = np.array(
+        [[1e5, 2e5, -1e5, 3.0], [-1e6, -2e6, 7.0, -3e6]], np.float32
+    )
+    np.testing.assert_array_equal(
+        np.asarray(packed_argmax_16(jnp.asarray(x), jnp.float16)),
+        np.asarray(_want(jnp.asarray(x), jnp.float16)),
     )
 
 

@@ -96,7 +96,9 @@ def test_alignment_shapes(model):
         assert all(0.0 <= p <= 1.001 for p in row)
 
 
-@pytest.mark.parametrize("kv_dtype", ["int8", "bfloat16", "float32"])
+@pytest.mark.parametrize(
+    "kv_dtype", ["int8", "int16", "float16", "bfloat16", "float32"]
+)
 def test_kv_cache_dtype_through_service(kv_dtype):
     """Every kv_cache_dtype decodes deterministically through the full
     Blocking service (joined-layout reduced-precision caches included)."""

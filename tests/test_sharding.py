@@ -140,3 +140,56 @@ def test_sharded_int8_kv_matches_single_device(params):
     np.testing.assert_array_equal(
         np.asarray(got.tokens), np.asarray(want.tokens)
     )
+
+
+def test_flagship_shapes_dp_tp_exact_match():
+    """The FLAGSHIP tiny11 shapes (32k vocab, emb 256, 6 enc / 2 dec)
+    under DP×TP: the vocab-sharded tied embedding + logit projection at
+    real shapes is the claim the toy-shape tests above skip. Every
+    matmul in the int8 path accumulates in i32 (associative), so the
+    TP partial-sum collective must be BIT-exact vs one device — for
+    the exact numerics AND the shipped serving config (fp16 KV +
+    packed_bf16 argmax). Mirrors the dryrun_multichip flagship leg
+    (__graft_entry__.py)."""
+    assert len(jax.devices()) >= 8
+    config = ModelConfig(encoder_layers=6, decoder_layers=2, num_heads=8)
+    items = load_items(
+        synthetic_model_bytes(
+            config=config, vocab_size=32000, emb_dim=256, ffn_dim=1536,
+            seed=3,
+        )
+    )
+    flag = load_weights(items, config)
+    rng = np.random.default_rng(4)
+    indices = rng.integers(3, 32000, (8, 16)).astype(np.int32)
+    mask = np.ones((8, 16), np.float32)
+    mask[4:, -3:] = 0.0
+
+    mesh = shd.make_mesh(data=4, model=2)
+    sharded = shd.shard_params(flag, mesh)
+    bspec = NamedSharding(mesh, shd.batch_pspec())
+
+    for options in (
+        {},  # exact reference numerics
+        {"kv_dtype": "float16", "argmax_method": "packed_bf16",
+         "with_alignment": False},  # the shipped serving config
+    ):
+        def run(p, i, m):
+            return translate_batch(
+                p, jnp.asarray(i), jnp.asarray(m),
+                eos_id=1, max_steps=6, num_heads=config.num_heads,
+                provider="xla_int8", **options,
+            )
+
+        want = run(flag, indices, mask)
+        got = run(
+            sharded,
+            jax.device_put(jnp.asarray(indices), bspec),
+            jax.device_put(jnp.asarray(mask), bspec),
+        )
+        np.testing.assert_array_equal(
+            np.asarray(got.valid), np.asarray(want.valid)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(got.tokens), np.asarray(want.tokens)
+        )

@@ -91,15 +91,21 @@ def test_kv_dtype_bfloat16_decodes(params):
     assert np.asarray(a.valid).any()
 
 
-@pytest.mark.parametrize("kv_dtype", ["bfloat16", "int8"])
-def test_reduced_kv_agrees_with_f32(params, kv_dtype):
-    """The joined-layout reduced-precision KV cache (bf16/int8 with
-    selector-matrix MXU attention) decodes nearly the same tokens as
-    the exact f32 split-layout path — both unrolled and stacked, with
-    and without a shortlist. Random-weight models have near-tied
+@pytest.mark.parametrize(
+    "kv_dtype,floor",
+    [("int16", 0.95), ("float16", 0.95), ("bfloat16", 0.9), ("int8", 0.9)],
+)
+def test_reduced_kv_agrees_with_f32(params, kv_dtype, floor):
+    """The joined-layout reduced-precision KV cache (fp16/bf16/int8
+    with selector-matrix MXU attention) decodes nearly the same tokens
+    as the exact f32 split-layout path — both unrolled and stacked,
+    with and without a shortlist. Random-weight models have near-tied
     logits (worst case for reduced precision), so assert a high
     agreement rate rather than exact equality; trained models are far
-    more peaked."""
+    more peaked. Cross-implementation agreement vs the reference
+    binary (4 architectures x 2048 sentences per config) lives in
+    crosscheck/serving_agreement.json — fp16 (the service default)
+    measured 99.9% tokens there."""
     indices, mask = _batch(seed=11)
     shortlist = np.arange(0, VOCAB, 3, dtype=np.int32)
     for p in (params, stack_layers(params)):
@@ -120,7 +126,7 @@ def test_reduced_kv_agrees_with_f32(params, kv_dtype):
             agree = (
                 np.asarray(got.tokens) == np.asarray(want.tokens)
             ).mean()
-            assert agree >= 0.9, f"token agreement {agree} (sl={sl is not None})"
+            assert agree >= floor, f"token agreement {agree} (sl={sl is not None})"
             assert np.asarray(got.valid).any()
 
 
@@ -140,35 +146,105 @@ def test_encoder_only_stacking(params):
     )
 
 
-def test_packed_argmax_decode_agreement(params):
-    """argmax_method="packed_bf16" (the headline bench default) must
-    decode with high token agreement vs the exact f32 argmax. Random
-    weights are the worst case (near-tied logits; same caveat as the
-    reduced-KV test); `scripts/parity.py reduced` carries the
-    statistical measurement across models."""
+@pytest.mark.parametrize(
+    "method,rdtype",
+    [("packed_fp16", jnp.float16), ("packed_bf16", jnp.bfloat16)],
+)
+def test_packed_argmax_decode_divergence_only_on_ties(
+    params, method, rdtype
+):
+    """The packed argmax methods (packed_fp16 is the service/headline
+    default) equal argmax over ROUNDED logits exactly (exhaustive
+    kernel tests in test_packed_argmax.py). Certify that property ON
+    REAL DECODE TRAJECTORIES through the fused projection+argmax path:
+    walk the decode step by step, continuing with the packed choices,
+    and at EVERY step assert the fused sample's pick equals
+    argmax(rounded(logits)) — so any divergence from the exact f32
+    argmax is a genuine rounding tie, never a plumbing bug. This is a
+    per-step invariant, not an agreement floor (cross-implementation
+    agreement numbers vs the reference binary live in
+    crosscheck/serving_agreement.json)."""
+    import math
+
+    from slimt_tpu.models import transformer as tfm
+
     indices, mask = _batch(seed=9)
     shortlist = np.arange(0, VOCAB, 3, dtype=np.int32)
+    emb_dim = EMB
+    sqrt_e = math.sqrt(emb_dim)
+    signal0 = tfm.sinusoidal_signal(0, 1, emb_dim)
     for p in (params, stack_layers(params)):
         for sl in (None, shortlist):
-            want = _run(p, indices, mask, shortlist=sl)
-            got = _run(
-                p, indices, mask, shortlist=sl,
-                argmax_method="packed_bf16",
+            sl_j = jnp.asarray(sl) if sl is not None else None
+            word_embedding = tfm.transform_embedding(
+                tfm.embed(p, jnp.asarray(indices))
             )
-            agree = (
-                np.asarray(got.tokens) == np.asarray(want.tokens)
-            ).mean()
-            # 32-entry shortlisted logits on random weights tie even
-            # harder; one early bf16 tie-flip cascades through the
-            # whole autoregressive sequence, so only the plumbing
-            # (valid decode, in-shortlist tokens) is asserted tightly.
-            floor = 0.9 if sl is None else 0.5
-            assert agree >= floor, f"token agreement {agree} (sl={sl is not None})"
-            valid = np.asarray(got.valid)
-            assert valid.any()
-            if sl is not None:
-                emitted = np.asarray(got.tokens)[valid]
-                assert np.isin(emitted, shortlist).all()
+            mask_add = tfm.make_additive_mask(jnp.asarray(mask))
+            encoder_out = tfm.encoder_forward(
+                p, word_embedding, mask_add, CONFIG.num_heads, "xla_int8"
+            )
+            kv = tfm.precompute_cross_kv(
+                p, encoder_out, CONFIG.num_heads, "xla_int8"
+            )
+            projection = tfm.prepare_output_projection(p, sl_j)
+            if isinstance(p["decoder"], list):
+                states = tuple(
+                    jnp.zeros((indices.shape[0], 1, emb_dim), jnp.float32)
+                    for _ in p["decoder"]
+                )
+            else:
+                n_layers = p["decoder"]["rnn"]["ln"]["scale"].shape[0]
+                states = jnp.zeros(
+                    (n_layers, indices.shape[0], 1, emb_dim), jnp.float32
+                )
+            prev = jnp.zeros((indices.shape[0],), jnp.int32)
+            divergences = 0
+            for step in range(8):
+                prev_embed = tfm.embed(p, prev[:, None])
+                if step == 0:
+                    prev_embed = jnp.zeros_like(prev_embed)
+                x = prev_embed * sqrt_e + signal0
+                common = dict(
+                    mask_add=mask_add, kv_caches=kv,
+                    num_heads=CONFIG.num_heads, provider="xla_int8",
+                    shortlist=sl_j, projection=projection,
+                )
+                logits, _, _ = tfm.decoder_step(
+                    p, states, x, sample=False, **common
+                )
+                choice, states, _ = tfm.decoder_step(
+                    p, states, x, sample=True,
+                    argmax_method=method, **common
+                )
+                logits_np = np.asarray(logits, np.float32)
+                choice_np = np.asarray(choice)
+                # The invariant: the fused pick IS the rounded argmax.
+                want = np.asarray(
+                    jnp.argmax(logits.astype(rdtype), axis=-1)
+                )
+                np.testing.assert_array_equal(choice_np, want)
+                exact = logits_np.argmax(axis=-1)
+                for b in range(logits_np.shape[0]):
+                    if exact[b] == choice_np[b]:
+                        continue
+                    divergences += 1
+                    # Divergence sanity: f32 prefers `exact`, the
+                    # rounding must prefer-or-tie `choice` — a genuine
+                    # tie within one rounding quantum.
+                    le, lc = logits_np[b, exact[b]], logits_np[b, choice_np[b]]
+                    assert le >= lc
+                    assert jnp.asarray(le, rdtype) <= jnp.asarray(
+                        lc, rdtype
+                    )
+                word = (
+                    np.asarray(sl)[choice_np]
+                    if sl is not None
+                    else choice_np
+                )
+                prev = jnp.asarray(word.astype(np.int32))
+            # The invariant held at every step (asserted above);
+            # divergences themselves are allowed and expected on
+            # random-weight near-tied logits.
 
 
 def test_without_alignment_tokens_identical(params):
