@@ -51,11 +51,12 @@ class ModelConfig:
     # error of rowmax/65534 (16x finer than fp16, ~256x finer than
     # bf16); converts to f32 inside the attention matmul operand read.
     # Measured vs the compiled reference binary on the adversarial
-    # crosscheck serving sweep (crosscheck/serving_agreement.json):
-    # int16 99.9% tokens; fp16 99.0%; bf16 96.8%; int8 per-row 93.8%
-    # — all remain explicit opt-ins (int8 is ~15% faster at B=2048
-    # where its agreement suffices). "float32" restores exact
-    # reference numerics (and the split-layout cache).
+    # crosscheck serving sweep (crosscheck/serving_agreement.json,
+    # 2048 sentences/config; the exact path's own ceiling there is
+    # 99.92%): int16 99.7% tokens; fp16 99.0%; bf16 96.8%; int8
+    # per-row 93.8% — all remain explicit opt-ins (int8 is ~15%
+    # faster at B=2048 where its agreement suffices). "float32"
+    # restores exact reference numerics (and the split-layout cache).
     kv_cache_dtype: str = "int16"
     # Greedy-sampling argmax implementation. "packed_fp16" (default) =
     # one plain int32 max-reduce over (sortable-fp16 logit || reversed
@@ -65,9 +66,11 @@ class ModelConfig:
     # logits exactly (first-index tie-break, matching jnp.argmax;
     # per-step invariant certified in tests/test_stacked.py) — fp16's
     # 10 mantissa bits give 8x fewer rounding ties than the
-    # "packed_bf16" variant (99.9% vs 98.6% token agreement vs the
-    # reference binary; crosscheck/serving_agreement.json). "exact"
-    # restores the f32 variadic argmax (reference numerics).
+    # "packed_bf16" variant (99.8% vs 98.6% token agreement vs the
+    # reference binary; crosscheck/serving_agreement.json). The FULL
+    # default stack (int16 KV + packed_fp16 + alignment-free) measures
+    # 99.57% tokens / 99.1% sentence-exact there. "exact" restores
+    # the f32 variadic argmax (reference numerics).
     argmax_method: str = "packed_fp16"
     # Blockwise Pallas encoder self-attention: O(T·block) memory,
     # lifts the reference's hard 128-token wrap constraint for long

@@ -258,7 +258,7 @@ def _decode_attention_joined(
         # f32 and runs an f32 matmul — so for an fp16 cache only the
         # CACHE itself is rounded; q/attn stay f32 on both backends
         # (faithful to the TPU lowering, and ~half the rounding
-        # sources: crosscheck serving agreement 99.4 -> 99.8%).
+        # sources — worth ~+0.6% serving agreement by itself).
         native_mxu = kv_dtype == jnp.bfloat16
 
         def op(arr):
@@ -486,8 +486,9 @@ def precompute_cross_kv(
             # cache converts to f32 inside the attention matmul (no
             # native s16 MXU mode; the convert fuses into the operand
             # read, same lowering shape as the fp16 path). This is the
-            # service default: 99.9% token agreement vs the reference
-            # binary on the adversarial crosscheck serving sweep
+            # service default: 99.69% token agreement vs the reference
+            # binary on the adversarial crosscheck serving sweep, vs
+            # 99.00% fp16 / 96.83% bf16 at identical bandwidth
             # (crosscheck/serving_agreement.json).
             kq = 32767.0 / jnp.maximum(
                 jnp.max(jnp.abs(k), axis=-1), 1e-6
@@ -685,10 +686,11 @@ def packed_argmax_16(logits: jax.Array, dtype) -> jax.Array:
     V=32k (scripts/ubench_logits.py: 235 variadic vs 175 packed); a
     single s32 max takes the fast fusion path. The only numerics
     change is the 16-bit rounding of the COMPARED values: float16
-    keeps 10 mantissa bits (8x finer ties than bfloat16's 7) and is
-    the service default — 99.8% token agreement vs the reference
-    binary on the adversarial crosscheck serving sweep
-    (crosscheck/serving_agreement.json). Logits beyond float16 range
+    keeps 10 mantissa bits (8x fewer ties than bfloat16's 7) and is
+    the service default — 99.79% token agreement vs the reference
+    binary on the adversarial crosscheck serving sweep, vs 98.56% for
+    bf16 keys (crosscheck/serving_agreement.json). Logits beyond
+    float16 range
     (|x| > 65504) saturate to ±inf, which still orders correctly; a
     divergence needs >= 2 overflowing logits in one row, impossible
     for LN-bounded student-model logits.
