@@ -88,16 +88,6 @@ def _decode_bench(
             config=config, vocab_size=vocab, emb_dim=emb, ffn_dim=ffn, seed=0
         )
     )
-    # BENCH_UNROLL_DEC=1: encoder stacked (scan), 2-layer decoder
-    # unrolled — drops the per-step inner scan-over-layers loop.
-    params = jax.device_put(stack_layers(
-        load_weights(items, config),
-        decoder=os.environ.get("BENCH_UNROLL_DEC") != "1",
-    ))
-    # BENCH_PROVIDER overrides the default (e.g. fused_step for the
-    # batch1 latency config); an explicit provider argument (the
-    # `providers` comparison mode) still wins.
-    provider = provider or os.environ.get("BENCH_PROVIDER") or config.qmm_provider
     # ONE declared numerics config across every mode (BENCH headline =
     # service default = parity table): int16 per-row-scaled KV cache +
     # packed_fp16 argmax + alignment-free — see
@@ -109,6 +99,20 @@ def _decode_bench(
     kv = kv or os.environ.get("BENCH_KV", "int16")
     with_alignment = os.environ.get("BENCH_ALIGN") == "1"
     argmax_method = os.environ.get("BENCH_ARGMAX", "packed_fp16")
+    # Decoder form matches the service's dtype-aware choice
+    # (models/model.py): stacked under int8 KV, unrolled otherwise
+    # (same-process A/B 2026-08-20: int16 829 stacked vs 755 unrolled;
+    # int8 602 stacked vs 638 unrolled, µs/step at B=2048).
+    # BENCH_STACK_DEC=1/0 forces it for ablations.
+    stack_env = os.environ.get("BENCH_STACK_DEC")
+    stack_dec = (kv == "int8") if stack_env is None else stack_env == "1"
+    params = jax.device_put(stack_layers(
+        load_weights(items, config), decoder=stack_dec,
+    ))
+    # BENCH_PROVIDER overrides the default (e.g. fused_step for the
+    # batch1 latency config); an explicit provider argument (the
+    # `providers` comparison mode) still wins.
+    provider = provider or os.environ.get("BENCH_PROVIDER") or config.qmm_provider
 
     rng = np.random.default_rng(0)
     indices = rng.integers(3, vocab, (batch, seq)).astype(np.int32)
@@ -236,14 +240,14 @@ def _step_slope_us(batch=1, seq=24, vocab=32000, emb=256, ffn=1536,
             config=config, vocab_size=vocab, emb_dim=emb, ffn_dim=ffn, seed=0
         )
     )
-    # BENCH_UNROLL_DEC=1: encoder stacked (scan), 2-layer decoder
-    # unrolled — drops the per-step inner scan-over-layers loop.
+    kv = kv or os.environ.get("BENCH_KV", "int16")
+    # Decoder form: dtype-aware like the service (see _decode_bench).
+    stack_env = os.environ.get("BENCH_STACK_DEC")
+    stack_dec = (kv == "int8") if stack_env is None else stack_env == "1"
     params = jax.device_put(stack_layers(
-        load_weights(items, config),
-        decoder=os.environ.get("BENCH_UNROLL_DEC") != "1",
+        load_weights(items, config), decoder=stack_dec,
     ))
     provider = provider or os.environ.get("BENCH_PROVIDER") or config.qmm_provider
-    kv = kv or os.environ.get("BENCH_KV", "int16")
     with_alignment = os.environ.get("BENCH_ALIGN") == "1"
     argmax_method = os.environ.get("BENCH_ARGMAX", "packed_fp16")
     rng = np.random.default_rng(0)
@@ -365,11 +369,11 @@ def bench_shortlist(lines=2048):
     # default, differential-tested identical outputs); the pinned
     # per-request exhaust loop (prefer_bulk=False, comparable with
     # recorded history) is reported alongside.
-    service = Blocking(Config(cache_size=0, max_words=4096))
+    service = Blocking(Config(cache_size=0, max_words=8192))
     tps, _ = _best_service_rate(
         lambda corpus: service.translate(model, corpus), lines
     )
-    general = Blocking(Config(cache_size=0, max_words=4096, prefer_bulk=False))
+    general = Blocking(Config(cache_size=0, max_words=8192, prefer_bulk=False))
     general_tps, _ = _best_service_rate(
         lambda corpus: general.translate(model, corpus), lines
     )
@@ -428,11 +432,11 @@ def bench_e2e(lines=2048, workers=4):
     # default, differential-tested identical outputs); the pinned
     # per-request exhaust loop (prefer_bulk=False, comparable with
     # recorded history) is reported alongside.
-    service = Blocking(Config(cache_size=0, max_words=4096))
+    service = Blocking(Config(cache_size=0, max_words=8192))
     tps, swps = _best_service_rate(
         lambda corpus: service.translate(model, corpus), lines
     )
-    general = Blocking(Config(cache_size=0, max_words=4096, prefer_bulk=False))
+    general = Blocking(Config(cache_size=0, max_words=8192, prefer_bulk=False))
     general_tps, _ = _best_service_rate(
         lambda corpus: general.translate(model, corpus), lines
     )
@@ -597,8 +601,8 @@ def bench_realcorpus():
     # reference semantics, slimt/Request.cc:29-85), so chunking is
     # what lets genuine corpus repetition show up, like a streaming
     # workload would.
-    Blocking(Config(cache_size=0, max_words=4096)).translate(model, corpus)
-    service = Blocking(Config(cache_size=4096, max_words=4096))
+    Blocking(Config(cache_size=0, max_words=8192)).translate(model, corpus)
+    service = Blocking(Config(cache_size=4096, max_words=8192))
     chunk = 64
     responses = []
     t0 = time.perf_counter()
@@ -683,7 +687,7 @@ def bench_multipair(lines_per_model=2048):
     model_b = _model()
 
     def run(corpus, per_line):
-        with Async(Config(cache_size=0, max_words=4096, workers=2, batch_latency=0.05)) as svc:
+        with Async(Config(cache_size=0, max_words=8192, workers=2, batch_latency=0.05)) as svc:
             if per_line:
                 handles = []
                 for line in corpus:
@@ -714,7 +718,7 @@ def bench_multipair(lines_per_model=2048):
     def measure_bulk():
         # Same corpora and batch budget as the async runs above, so
         # the printed bulk/async numbers are directly comparable.
-        service = Blocking(Config(cache_size=0, max_words=4096))
+        service = Blocking(Config(cache_size=0, max_words=8192))
 
         def both(corpus):
             return service.translate_bulk(
@@ -767,7 +771,7 @@ def bench_pivot(lines=2048):
 
     first = _model()
     second = _model()
-    service = Blocking(Config(cache_size=0, max_words=4096))
+    service = Blocking(Config(cache_size=0, max_words=8192))
     tps, swps = _best_service_rate(
         lambda corpus: service.pivot(first, second, corpus), lines
     )

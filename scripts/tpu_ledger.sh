@@ -3,6 +3,13 @@
 # Usage: scripts/tpu_ledger.sh [outfile]
 # Each step is a fresh process; bench.py's BENCH_WATCHDOG_S exits with
 # a JSON error line instead of hanging if the tunnel wedges.
+#
+# ONE declared numerics column: every unlabeled row runs the shipped
+# serving config (int16 per-row KV + packed_fp16 argmax +
+# alignment-free — bench.py defaults, = ModelConfig defaults, = the
+# parity table in crosscheck/serving_agreement.json). Rows that pin a
+# DIFFERENT numerics config say so in their label; they are ablations,
+# not alternative headlines.
 set -u
 cd "$(dirname "$0")/.."
 OUT="${1:-/tmp/tpu_ledger.log}"
@@ -16,22 +23,25 @@ run() {
 }
 
 : > "$OUT"
-# Headline defaults to int8 KV; every row pins BENCH_KV/BENCH_BATCH
-# explicitly so labels always match what was measured.
-run "headline bf16 KV"        env BENCH_KV=bfloat16 python bench.py
-run "headline int8 KV (per-row scales)" env BENCH_KV=int8 python bench.py
-run "headline B=1024 int8 KV (history comparison)" env BENCH_BATCH=1024 BENCH_KV=int8 python bench.py
-run "batch1 default"          python bench.py batch1
-run "batch1 fused_step"       env BENCH_PROVIDER=fused_step python bench.py batch1
+# --- declared serving config (the headline column) ---
+run "headline B=2048"         python bench.py
+run "headline B=1024"         env BENCH_BATCH=1024 python bench.py
+run "headline shortlist w=1024" python bench.py headline_shortlist
+run "devstep (components vs rooflines)" python bench.py devstep
+run "batch1"                  python bench.py batch1
 run "base model"              python bench.py base
 run "e2e service"             python bench.py e2e
 run "real corpus (cache+shortlist stats)" python bench.py realcorpus
-run "shortlist"               python bench.py shortlist
+run "shortlist via service"   python bench.py shortlist
 run "bulk corpus"             python bench.py bulk
 run "async corpus"            python bench.py corpus
 run "multipair"               python bench.py multipair
 run "pivot"                   python bench.py pivot
-run "providers"               python bench.py providers
-run "headline B=2048 int8 KV" env BENCH_BATCH=2048 BENCH_KV=int8 python bench.py
-run "headline B=2048 bf16 KV" env BENCH_BATCH=2048 BENCH_KV=bfloat16 python bench.py
+# --- ablations (explicitly non-default numerics) ---
+run "ABLATION headline int8 KV (faster, looser agreement)" env BENCH_KV=int8 python bench.py
+run "ABLATION headline bf16 KV" env BENCH_KV=bfloat16 python bench.py
+run "ABLATION headline fp16 KV" env BENCH_KV=float16 python bench.py
+run "ABLATION headline exact argmax" env BENCH_ARGMAX=exact python bench.py
+run "ABLATION batch1 fused_step (bf16 KV by design)" env BENCH_PROVIDER=fused_step BENCH_KV=bfloat16 python bench.py batch1
+run "ABLATION providers"      python bench.py providers
 echo "LEDGER DONE $(date +%H:%M:%S)" >> "$OUT"

@@ -72,6 +72,19 @@ def patched(name):
         tfm.output_logits = fake_logits
     elif name == "no_ffn":
         tfm._ffn_block = lambda layer, x, provider: x
+    orig_ssru = tfm.ssru_forward
+    if name == "no_ssru":
+        tfm.ssru_forward = (
+            lambda rnn, state, x, provider=None: (x, state)
+        )
+    orig_embed = tfm.embed
+    if name == "no_embed":
+        # zeros_like(gather) lets XLA dead-code-eliminate the gather —
+        # isolates the per-step [B,1,E] embedding-table lookup cost.
+        def fake_embed(params, idx):
+            return jnp.zeros_like(orig_embed(params, idx))
+
+        tfm.embed = fake_embed
     orig_dus = jax.lax.dynamic_update_slice
     if name == "no_align":
         jax.lax.dynamic_update_slice = lambda op, upd, idx: op
@@ -88,6 +101,8 @@ def patched(name):
         setattr(tfm, "output_logits", orig_logits),
         setattr(tfm, "_ffn_block", orig_ffn),
         setattr(tfm, "output_argmax", orig_argmax),
+        setattr(tfm, "ssru_forward", orig_ssru),
+        setattr(tfm, "embed", orig_embed),
         setattr(jax.lax, "dynamic_update_slice", orig_dus),
     )
 

@@ -61,7 +61,11 @@ def time_bulk(model, lines, completion_threads, ingest_processes):
             ingest_processes=ingest_processes,
         )
     ) as svc:
-        svc.translate_bulk(model, lines[:512])  # warm (starts pool too)
+        # Warm with a MULTI-chunk call: the ingest process pool starts
+        # lazily on the first multi-chunk translate_bulk, and spawning
+        # N interpreters (each importing jax) costs tens of seconds
+        # that must not land in the timed run.
+        svc.translate_bulk(model, lines)
         t0 = time.perf_counter()
         responses = svc.translate_bulk(model, lines)
         elapsed = time.perf_counter() - t0

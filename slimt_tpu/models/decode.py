@@ -65,7 +65,11 @@ def greedy_decode(
                 for l in range(n_layers)
             ],
         )
-    if provider == "fused_step" and kv_dtype is None:
+    if provider == "fused_step" and kv_dtype not in ("bfloat16", "float32"):
+        # The whole-step Pallas kernel reads a float joined cache;
+        # coerce the service default (int16) / other reduced dtypes to
+        # bf16 rather than erroring — fused_step is an explicit
+        # latency-regime opt-in with its own numerics note.
         kv_dtype = "bfloat16"
     # "fused_step" only changes the decode-step body; every other op
     # (KV projection here, encoder in translate_batch) runs the

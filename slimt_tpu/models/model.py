@@ -114,10 +114,18 @@ class Model:
             self.vocab_size, self.emb_dim, self.ffn_dim = model_dims(
                 host_params
             )
-            # Stacked layers (lax.scan): ~100x faster XLA compiles per
-            # shape bucket and slightly faster steady-state than
-            # unrolled.
-            host_params = stack_layers(host_params)
+            # Encoder stacked (lax.scan): ~100x faster XLA compiles
+            # per shape bucket. Decoder form is DTYPE-AWARE (measured
+            # same-process A/B at B=2048, 2026-08-20): under the int16
+            # serving default the UNROLLED 2-layer decoder is ~74-92
+            # µs/step faster (829 -> 755) — the per-step
+            # scan-over-layers loop costs more than its scheduling
+            # helps — while under int8 KV the STACKED form schedules
+            # better (602 vs 638; the 2026-08-19 finding). Each KV
+            # config gets the form that measured faster.
+            host_params = stack_layers(
+                host_params, decoder=config.kv_cache_dtype == "int8"
+            )
         if mesh is not None:
             from slimt_tpu.parallel import sharding as shd
 

@@ -93,10 +93,18 @@ def test_fused_step_batch_sizes(params, b):
     assert np.isfinite(np.asarray(got.alignment)).all()
 
 
-def test_fused_step_rejects_int8_kv(params):
+def test_fused_step_coerces_reduced_kv(params):
+    """The whole-step kernel reads a float joined cache; requesting a
+    quantized cache (int8/int16, e.g. inherited from the service
+    default) coerces to bf16 instead of erroring — bit-identical to
+    asking for bf16 directly."""
     indices, mask = _batch(seed=6)
-    with pytest.raises(ValueError, match="fused_step"):
-        _run(params, indices, mask, "fused_step", kv_dtype="int8")
+    want = _run(params, indices, mask, "fused_step", kv_dtype="bfloat16")
+    for kv in ("int8", "int16"):
+        got = _run(params, indices, mask, "fused_step", kv_dtype=kv)
+        np.testing.assert_array_equal(
+            np.asarray(got.tokens), np.asarray(want.tokens)
+        )
 
 
 def test_fused_step_through_service():
