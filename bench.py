@@ -173,7 +173,7 @@ def _decode_bench(
     # cannot avoid — KV caches, decoder weights incl. the output
     # projection, recurrent state r/w; fused intermediates and logits
     # excluded, so this is a FLOOR and pct_peak is conservative).
-    kv_bytes = {"int8": 1, "int16": 2, "float16": 2, "bfloat16": 2, "float32": 4}.get(
+    kv_bytes = {"int8": 1, "k8v16": 1.5, "int16": 2, "float16": 2, "bfloat16": 2, "float32": 4}.get(
         kv, 2
     )
     kv_traffic = 2 * dec * batch * seq * emb * kv_bytes  # K+V, joined layout
@@ -463,7 +463,7 @@ def _component_floors(batch, seq, kv, shortlist_width=0,
     BENCH_HBM_PEAK_GBPS / BENCH_INT8_TOPS."""
     peak_bw = float(os.environ.get("BENCH_HBM_PEAK_GBPS", 819.0)) * 1e9
     peak_int8 = float(os.environ.get("BENCH_INT8_TOPS", 394.0)) * 1e12
-    kv_bytes = {"int8": 1, "int16": 2, "float16": 2, "bfloat16": 2, "float32": 4}.get(
+    kv_bytes = {"int8": 1, "k8v16": 1.5, "int16": 2, "float16": 2, "bfloat16": 2, "float32": 4}.get(
         kv, 2
     )
     logit_width = shortlist_width or vocab
@@ -516,17 +516,33 @@ def bench_devstep():
     slope_us, _, _ = _step_slope_us(
         batch=batch, seq=seq, iters=8, kv=kv,
         shortlist_width=shortlist_width)
-    # Ablation slopes: full - ablated = that component's share.
+    # Ablation slopes: full - ablated = that component's share. Each
+    # ablation is PAIRED with a fresh full-slope measurement taken
+    # right before it, so tunnel-session drift (observed ±30% over
+    # tens of minutes) cancels within the pair instead of masquerading
+    # as component time; the headline `value` stays the first
+    # (unpaired) full slope.
     parts_us = {}
+    fulls = [slope_us]
     for name, ablation in (
         ("attention", "no_attn"),
         ("logits", "no_logits"),
         ("ffn", "no_ffn"),
     ):
+        paired_full, _, _ = _step_slope_us(
+            batch=batch, seq=seq, iters=8, kv=kv,
+            shortlist_width=shortlist_width)
         without, _, _ = _step_slope_us(
             batch=batch, seq=seq, iters=8, kv=kv,
             shortlist_width=shortlist_width, ablate=ablation)
-        parts_us[name] = max(slope_us - without, 0.0)
+        fulls.append(paired_full)
+        parts_us[name] = max(paired_full - without, 0.0)
+    # Scale component shares onto the reported full slope so they and
+    # "other" add up on one timebase.
+    med_full = sorted(fulls)[len(fulls) // 2]
+    if med_full > 0:
+        ratio = slope_us / med_full
+        parts_us = {k: v * ratio for k, v in parts_us.items()}
     parts_us["other"] = max(
         slope_us - sum(parts_us.values()), 0.0
     )
@@ -542,7 +558,7 @@ def bench_devstep():
         }
     composite_floor = sum(floors.values())
 
-    kv_bytes = {"int8": 1, "int16": 2, "float16": 2, "bfloat16": 2, "float32": 4}.get(
+    kv_bytes = {"int8": 1, "k8v16": 1.5, "int16": 2, "float16": 2, "bfloat16": 2, "float32": 4}.get(
         kv, 2
     )
     dec, emb, ffn, vocab = 2, 256, 1536, 32000

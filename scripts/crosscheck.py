@@ -451,6 +451,7 @@ def serving_corpus(lines, eos, seed, lengths=(7, 11, 15), batch=8):
 SERVING_CONFIGS = [
     ("exact", {}),
     ("kv=int16", {"kv_dtype": "int16"}),
+    ("kv=k8v16", {"kv_dtype": "k8v16"}),
     ("kv=float16", {"kv_dtype": "float16"}),
     ("kv=bfloat16", {"kv_dtype": "bfloat16"}),
     ("kv=int8", {"kv_dtype": "int8"}),
@@ -461,6 +462,10 @@ SERVING_CONFIGS = [
     # fp16) + packed-fp16 argmax + alignment-free.
     ("int16+packedfp16+noalign", {
         "kv_dtype": "int16", "argmax_method": "packed_fp16",
+        "with_alignment": False,
+    }),
+    ("k8v16+packedfp16+noalign", {
+        "kv_dtype": "k8v16", "argmax_method": "packed_fp16",
         "with_alignment": False,
     }),
     ("fp16+packedfp16+noalign", {

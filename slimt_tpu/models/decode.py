@@ -77,7 +77,13 @@ def greedy_decode(
     base_provider = None if provider == "fused_step" else provider
     kv_caches = tfm.precompute_cross_kv(
         params, encoder_out, num_heads, base_provider,
-        dtype=jnp.dtype(kv_dtype) if kv_dtype else None,
+        # "k8v16" (mixed int8-K / int16-V cache) is a composite tag,
+        # not a jnp dtype — passed through as-is.
+        dtype=(
+            kv_dtype
+            if kv_dtype == "k8v16"
+            else jnp.dtype(kv_dtype) if kv_dtype else None
+        ),
     )
     # Loop-invariant output projection (incl. shortlist select).
     projection = tfm.prepare_output_projection(params, shortlist)

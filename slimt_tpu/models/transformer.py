@@ -188,7 +188,38 @@ def _decode_attention_joined(
     # ROUNDED THROUGH bf16 so CPU sees the same quantized values the
     # TPU multiplies; only dot accumulation order can still differ.
     on_cpu = jax.default_backend() == "cpu"
-    if k.dtype == jnp.int8:
+    if k.dtype == jnp.int8 and v.dtype == jnp.int16:
+        # MIXED cache ("k8v16"): scores from an int8 K (int8 MXU, like
+        # the int8 branch) but the value mix from an int16 V (f32 MXU
+        # via fused convert, like the int16 branch) — 1.5 bytes/elem
+        # average HBM traffic. Rationale: attention OUTPUT error is
+        # dominated by V's quantization (it adds directly), while
+        # score perturbations pass through a softmax over LN-bounded
+        # logits; keeping V at int16 buys most of int16's agreement at
+        # 3/4 of its bandwidth (measured: crosscheck serving sweep).
+        sel8 = _head_selector(e, num_heads, jnp.int8)
+        aq = 127.0 / jnp.maximum(jnp.max(jnp.abs(q)), 1e-6)
+        q_q = qmm.quantize_activations(q, aq)
+        q2 = q_q[:, :, None] * sel8[None]  # [B, E, H] int8
+        if on_cpu:
+            k_op, q2_op = k.astype(jnp.float32), q2.astype(jnp.float32)
+            acc = jnp.float32
+        else:
+            k_op, q2_op, acc = k, q2, jnp.int32
+        scores = jnp.einsum(
+            "bte,beh->bht", k_op, q2_op, preferred_element_type=acc
+        ).astype(jnp.float32) * (scale / aq) * kv["kqi"][:, None, :]
+        scores = scores + mask_add[:, :, 0, :]
+        attn = jax.nn.softmax(scores, axis=-1)  # [B, H, T]
+        attn_v = attn * kv["vqi"][:, None, :]
+        res = jnp.einsum(
+            "bht,bte->bhe",
+            attn_v,
+            v.astype(jnp.float32),
+            preferred_element_type=jnp.float32,
+        )  # [B, H, E]
+        selt = _head_selector(e, num_heads, jnp.float32)
+    elif k.dtype == jnp.int8:
         sel = _head_selector(e, num_heads, jnp.int8)
         # Dynamic per-step activation scale for q (per-tensor, like
         # every other activation quantization in the engine).
@@ -475,6 +506,23 @@ def precompute_cross_kv(
             return {
                 "k": qmm.quantize_activations(k, kq[..., None]),
                 "v": qmm.quantize_activations(v, vq[..., None]),
+                "kqi": 1.0 / kq,
+                "vqi": 1.0 / vq,
+            }
+        if dtype == "k8v16":
+            # Mixed cache: int8 K (score operand; int8 MXU) + int16 V
+            # (value mix; f32 MXU) with per-row scales on both — 1.5
+            # bytes/elem average (see _decode_attention_joined).
+            kq = 127.0 / jnp.maximum(
+                jnp.max(jnp.abs(k), axis=-1), 1e-6
+            )  # [B, T]
+            vq = 32767.0 / jnp.maximum(jnp.max(jnp.abs(v), axis=-1), 1e-6)
+            return {
+                "k": qmm.quantize_activations(k, kq[..., None]),
+                "v": (
+                    jnp.clip(jnp.rint(v * vq[..., None]), -32767, 32767)
+                    .astype(jnp.int16)
+                ),
                 "kqi": 1.0 / kq,
                 "vqi": 1.0 / vq,
             }

@@ -116,24 +116,28 @@ def _prepend_none(spec_tree):
 
 def weight_pspecs(params: dict) -> dict:
     """PartitionSpec pytree mirroring loader.load_weights output
-    (list-form layers) or loader.stack_layers output (stacked)."""
-    stacked = not isinstance(params["encoder"], list)
+    (list-form layers) or loader.stack_layers output (stacked).
+    Encoder and decoder forms are detected INDEPENDENTLY — the service
+    runs the mixed form (stacked encoder for compile speed, unrolled
+    2-layer decoder for step speed under non-int8 KV; models/model.py)."""
     spec = {
         # Vocab-sharded tied embedding: logit projection is embarrassingly
         # parallel over "model"; the (small) embedding gather all-gathers.
         "emb": {"q": P("model", None), "scale": P()},
         "out": {"aq": P(), "b": P("model")},
     }
-    if stacked:
-        spec["encoder"] = _prepend_none(_encoder_layer_spec())
-        spec["decoder"] = _prepend_none(_decoder_layer_spec())
-    else:
+    if isinstance(params["encoder"], list):
         spec["encoder"] = [
             _encoder_layer_spec() for _ in params["encoder"]
         ]
+    else:
+        spec["encoder"] = _prepend_none(_encoder_layer_spec())
+    if isinstance(params["decoder"], list):
         spec["decoder"] = [
             _decoder_layer_spec() for _ in params["decoder"]
         ]
+    else:
+        spec["decoder"] = _prepend_none(_decoder_layer_spec())
     return spec
 
 
