@@ -52,8 +52,25 @@ def greedy_decode(
     steps_cap: Optional[jax.Array] = None,
     with_alignment: bool = True,
     argmax_method: str = "exact",
+    loop_unroll: Optional[int] = None,
 ) -> GreedyResult:
     batch, t_src, emb_dim = encoder_out.shape
+    # Decode steps per while_loop iteration. Hypothesis: each
+    # iteration is a fusion barrier with fixed overhead (part of the
+    # ~195 µs/step "other" bucket in the devstep decomposition) and a
+    # 2-step body would amortize it. MEASURED (B=2048/int16,
+    # same-process slope A/B 2026-08-20): unroll=2 is ~18% SLOWER
+    # (789 -> 931 µs/step) — the doubled body raises VMEM/register
+    # pressure more than the barrier costs. Default stays 1; the
+    # mechanism is kept (bit-exact for any factor incl. steps_cap
+    # tails, tested) for future hardware where the tradeoff may flip.
+    # SLIMT_TPU_DECODE_UNROLL or the parameter overrides.
+    if loop_unroll is None:
+        import os as _os
+
+        loop_unroll = int(_os.environ.get("SLIMT_TPU_DECODE_UNROLL", "1"))
+    unroll = max(1, int(loop_unroll))
+    steps_padded = -(-max_steps // unroll) * unroll
     if provider == "fused_step" and not isinstance(params["decoder"], list):
         # The whole-step fused kernel unrolls layers statically:
         # unstack ONCE here (loop-invariant) rather than per step.
@@ -96,8 +113,8 @@ def greedy_decode(
         n_layers = params["decoder"]["rnn"]["ln"]["scale"].shape[0]
         states0 = jnp.zeros((n_layers, batch, 1, emb_dim), jnp.float32)
 
-    tokens0 = jnp.zeros((batch, max_steps), jnp.int32)
-    valid0 = jnp.zeros((batch, max_steps), jnp.bool_)
+    tokens0 = jnp.zeros((batch, steps_padded), jnp.int32)
+    valid0 = jnp.zeros((batch, steps_padded), jnp.bool_)
     # `with_alignment=False` (requests without Options.alignment/html —
     # the serving default) drops the [B, max_steps, T_src] alignment
     # buffer from the loop carry entirely: the per-step masked write
@@ -107,7 +124,7 @@ def greedy_decode(
     # it. A zero-width [B, max_steps, 0] result keeps the return
     # structure (and downstream reshapes) intact.
     align_w = t_src if with_alignment else 0
-    align0 = jnp.zeros((batch, max_steps, align_w), jnp.float32)
+    align0 = jnp.zeros((batch, steps_padded, align_w), jnp.float32)
     # Padding rows (fully-masked; added by batch-size bucketing) start
     # complete so they never defeat the early exit.
     complete0 = ~jnp.any(mask_add[:, 0, 0, :] == 0.0, axis=-1)
@@ -134,7 +151,7 @@ def greedy_decode(
     # signal is a constant — computed once, not per step.
     signal0 = tfm.sinusoidal_signal(0, 1, emb_dim)
 
-    def body(carry):
+    def one_step(carry):
         step, prev, states, complete, tokens, valid, align = carry
 
         prev_embed = tfm.embed(params, prev[:, None])  # [B, 1, E]
@@ -168,7 +185,10 @@ def greedy_decode(
         else:
             word = choice
 
-        active = ~complete
+        # `step < limit` guards unroll tail sub-steps past the cap —
+        # a no-op for unroll=1 (the loop cond already guarantees it).
+        in_limit = step < limit
+        active = ~complete & in_limit
         tokens = jax.lax.dynamic_update_slice_in_dim(
             tokens, jnp.where(active, word, 0)[:, None], step, axis=1
         )
@@ -182,11 +202,20 @@ def greedy_decode(
                 jnp.where(active[:, None], head0, 0.0)[:, None, :],
                 (0, step, 0),
             )
-        complete = complete | (word == eos_id)
+        complete = complete | ((word == eos_id) & in_limit)
         return (step + 1, word, new_states, complete, tokens, valid, align)
+
+    def body(carry):
+        for _ in range(unroll):
+            carry = one_step(carry)
+        return carry
 
     carry = (0, prev0, states0, complete0, tokens0, valid0, align0)
     _, _, _, _, tokens, valid, align = jax.lax.while_loop(cond, body, carry)
+    if steps_padded != max_steps:
+        tokens = tokens[:, :max_steps]
+        valid = valid[:, :max_steps]
+        align = align[:, :max_steps]
     return GreedyResult(tokens, valid, align)
 
 
@@ -205,6 +234,7 @@ def translate_batch(
     steps_cap: Optional[jax.Array] = None,
     with_alignment: bool = True,
     argmax_method: str = "exact",
+    loop_unroll: Optional[int] = None,
 ) -> GreedyResult:
     """Full forward: embed → encoder → greedy decode
     (slimt/Model.cc:187-204). `indices`/`mask`: [B, T] padded batch in
@@ -231,6 +261,7 @@ def translate_batch(
         steps_cap,
         with_alignment,
         argmax_method,
+        loop_unroll,
     )
 
 

@@ -192,11 +192,13 @@ def _decode_attention_joined(
         # MIXED cache ("k8v16"): scores from an int8 K (int8 MXU, like
         # the int8 branch) but the value mix from an int16 V (f32 MXU
         # via fused convert, like the int16 branch) — 1.5 bytes/elem
-        # average HBM traffic. Rationale: attention OUTPUT error is
-        # dominated by V's quantization (it adds directly), while
-        # score perturbations pass through a softmax over LN-bounded
-        # logits; keeping V at int16 buys most of int16's agreement at
-        # 3/4 of its bandwidth (measured: crosscheck serving sweep).
+        # average HBM traffic. MEASURED OUTCOME (crosscheck serving
+        # sweep): 96.0% token agreement — int8-class, not int16-class
+        # — so K's quantization DOMINATES the attention error (score
+        # perturbations flip near-tie argmaxes; V's error mixes out
+        # under the softmax), and the mix showed no step-speed win
+        # over int16 either (same-process slope A/B). Kept as a
+        # measured variant; int16 remains the default.
         sel8 = _head_selector(e, num_heads, jnp.int8)
         aq = 127.0 / jnp.maximum(jnp.max(jnp.abs(q)), 1e-6)
         q_q = qmm.quantize_activations(q, aq)
