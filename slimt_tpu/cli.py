@@ -143,6 +143,19 @@ def cmd_translate(args) -> int:
         model_config.num_heads = args.num_heads
     if args.split_mode:
         model_config.split_mode = args.split_mode
+    # Execution-numerics overrides (engine extensions; no reference
+    # counterpart). --exact pins the reference-exact path — what the
+    # crosscheck e2e differential uses for byte-identical comparison.
+    if args.exact:
+        model_config.kv_cache_dtype = "float32"
+        model_config.argmax_method = "exact"
+    if args.kv_dtype:
+        model_config.kv_cache_dtype = args.kv_dtype
+    if args.argmax_method:
+        model_config.argmax_method = args.argmax_method
+    # The pivot's second model shares the numerics choice.
+    follow_config.kv_cache_dtype = model_config.kv_cache_dtype
+    follow_config.argmax_method = model_config.argmax_method
     model = Model(
         model_config, _package(args),
         tgt_length_limit_factor=args.limit_factor,
@@ -418,6 +431,19 @@ def main(argv=None) -> int:
     t.add_argument(
         "--split-mode", default=None,
         choices=["sentence", "paragraph", "wrapped_text"],
+    )
+    t.add_argument(
+        "--exact", action="store_true",
+        help="pin reference-exact numerics (f32 KV + exact argmax)",
+    )
+    t.add_argument(
+        "--kv-dtype", default=None,
+        choices=["float32", "int16", "k8v16", "float16", "bfloat16",
+                 "int8"],
+    )
+    t.add_argument(
+        "--argmax-method", default=None,
+        choices=["exact", "packed_fp16", "packed_bf16"],
     )
     t.add_argument(
         "--url", default=None,
