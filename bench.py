@@ -617,15 +617,39 @@ def bench_realcorpus():
     # reference semantics, slimt/Request.cc:29-85), so chunking is
     # what lets genuine corpus repetition show up, like a streaming
     # workload would.
-    Blocking(Config(cache_size=0, max_words=8192)).translate(model, corpus)
-    service = Blocking(Config(cache_size=4096, max_words=8192))
     chunk = 64
+    # Warm with the SAME chunking as the measured pass: chunked calls
+    # produce different (B, T, shortlist-width) buckets than one
+    # mega-call, and an unwarmed bucket means an XLA compile inside
+    # the timed region (~1.4 s per 64-line chunk — what this bench
+    # used to measure by accident).
+    warm = Blocking(Config(cache_size=0, max_words=8192))
+    for start in range(0, len(corpus), chunk):
+        warm.translate(model, corpus[start : start + chunk])
+    service = Blocking(Config(cache_size=4096, max_words=8192))
+    # Two chunks in flight (a 2-deep software pipeline): chunk i+1's
+    # ingest+dispatch overlaps chunk i's device wait + assembly — a
+    # streaming client would do the same — while chunk i+2 still sees
+    # every cache entry chunk i produced. Fully-serial chunks measured
+    # RTT-bound on the tunnel (each 64-line call pays the full
+    # host↔device round trip with nothing overlapped).
+    from concurrent.futures import ThreadPoolExecutor
+
+    starts = list(range(0, len(corpus), chunk))
     responses = []
     t0 = time.perf_counter()
-    for start in range(0, len(corpus), chunk):
-        responses.extend(
-            service.translate(model, corpus[start : start + chunk])
-        )
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        futures = []
+        for start in starts:
+            futures.append(
+                pool.submit(
+                    service.translate, model, corpus[start : start + chunk]
+                )
+            )
+            if len(futures) > 1:  # keep at most 2 in flight, in order
+                responses.extend(futures.pop(0).result())
+        for future in futures:
+            responses.extend(future.result())
     elapsed = time.perf_counter() - t0
 
     tokens = sum(

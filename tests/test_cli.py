@@ -231,3 +231,25 @@ def test_translate_remote_unreachable():
     )
     assert result.returncode == 1
     assert "cannot reach" in result.stderr
+
+
+def test_translate_numerics_flags(tmp_path):
+    """--exact / --kv-dtype / --argmax-method select execution
+    numerics; --exact must reproduce the explicit f32+exact pair."""
+    out = str(tmp_path / "pkg")
+    assert _run("synth", "--out", out).returncode == 0
+    base = _run(
+        "translate", "--root", out, "--exact", "--text", "hello world"
+    )
+    assert base.returncode == 0, base.stderr
+    explicit = _run(
+        "translate", "--root", out, "--kv-dtype", "float32",
+        "--argmax-method", "exact", "--text", "hello world",
+    )
+    assert explicit.stdout == base.stdout
+    served = _run(
+        "translate", "--root", out, "--kv-dtype", "int8",
+        "--argmax-method", "packed_bf16", "--text", "hello world",
+    )
+    assert served.returncode == 0, served.stderr
+    assert served.stdout.strip()

@@ -105,8 +105,8 @@ def test_reduced_kv_agrees_with_f32(params, kv_dtype, floor):
     agreement rate rather than exact equality; trained models are far
     more peaked. Cross-implementation agreement vs the reference
     binary (4 architectures x 2048 sentences per config) lives in
-    crosscheck/serving_agreement.json — fp16 (the service default)
-    measured 99.9% tokens there."""
+    crosscheck/serving_agreement.json — int16 (the service default)
+    measured 99.69% tokens there."""
     indices, mask = _batch(seed=11)
     shortlist = np.arange(0, VOCAB, 3, dtype=np.int32)
     for p in (params, stack_layers(params)):
@@ -132,10 +132,10 @@ def test_reduced_kv_agrees_with_f32(params, kv_dtype, floor):
 
 
 def test_encoder_only_stacking(params):
-    """stack_layers(decoder=False) (the unroll-the-decoder perf
-    experiment's substrate — rejected for speed but kept reproducible)
-    must decode bit-identically to both the unrolled and fully stacked
-    forms."""
+    """stack_layers(decoder=False) — the SERVICE's form for non-int8
+    KV configs (stacked encoder for compile speed, unrolled 2-layer
+    decoder for step speed; models/model.py) — must decode
+    bit-identically to both the unrolled and fully stacked forms."""
     indices, mask = _batch(seed=14)
     want = _run(params, indices, mask)
     got = _run(stack_layers(params, decoder=False), indices, mask)
@@ -318,3 +318,36 @@ def test_decoder_position_zero_false(params):
     np.testing.assert_array_equal(  # step 0 identical (position 0)
         np.asarray(ref_mode.tokens)[:, 0], np.asarray(marian_mode.tokens)[:, 0]
     )
+
+
+@pytest.mark.parametrize("unroll", [2, 3])
+def test_loop_unroll_bit_exact(params, unroll):
+    """greedy_decode's loop_unroll (N steps per while_loop iteration;
+    measured slower on current TPUs, kept for future hardware) must be
+    BIT-exact vs unroll=1 — including odd max_steps (buffer-padding
+    tails) and a traced steps_cap that is not a multiple of the
+    unroll factor."""
+    indices, mask = _batch(seed=21)
+    for max_steps, cap in ((8, None), (9, None), (9, 7)):
+        kw = dict(
+            eos_id=2, max_steps=max_steps, num_heads=CONFIG.num_heads,
+            provider="xla_int8",
+            steps_cap=None if cap is None else jnp.asarray(cap),
+        )
+        want = dec.translate_batch(
+            params, jnp.asarray(indices), jnp.asarray(mask),
+            **kw, loop_unroll=1,
+        )
+        got = dec.translate_batch(
+            params, jnp.asarray(indices), jnp.asarray(mask),
+            **kw, loop_unroll=unroll,
+        )
+        np.testing.assert_array_equal(
+            np.asarray(got.tokens), np.asarray(want.tokens)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(got.valid), np.asarray(want.valid)
+        )
+        np.testing.assert_allclose(
+            np.asarray(got.alignment), np.asarray(want.alignment)
+        )
