@@ -133,3 +133,31 @@ def test_text_pipeline_identical(crosscheck):
         verbose = True
 
     assert crosscheck.mode_process(Args()) == 0
+
+
+def test_serving_config_agreement_vs_reference(cell):
+    """CI slice of the serving-numerics differential
+    (scripts/crosscheck.py serving): the SHIPPED config (int16 KV +
+    packed_fp16 argmax + alignment-free — ModelConfig defaults) vs the
+    reference binary on one cell. The full published measurement
+    (4 architectures x 2048 sentences/config = 99.57% tokens) lives in
+    crosscheck/serving_agreement.json; this guards against a numerics
+    regression sneaking into the default path between sweep runs."""
+    cc, config, model_bytes, spm, paths = cell
+    sentences = cc.serving_corpus(32, spm.eos_id, 17)
+    ref = cc.run_reference(paths, config, sentences, 8, False)
+    got = cc.run_slimt_tpu(
+        model_bytes, config, sentences, 8, spm.eos_id,
+        max(0, spm.pad_id), None,
+        kv_dtype="int16", argmax_method="packed_fp16",
+        with_alignment=False,
+    )
+    tok_total = tok_agree = 0
+    for r, g in zip(ref, got):
+        n = max(len(r), len(g))
+        tok_total += n
+        tok_agree += sum(1 for a, b in zip(r, g) if a == b)
+    agree = tok_agree / max(1, tok_total)
+    # Small-sample floor well under the published 99.57% but far above
+    # anything a broken int16/packed path would produce.
+    assert agree >= 0.95, f"serving-config agreement {agree:.3f}"
