@@ -6,10 +6,11 @@ word/sentence iterators (bindings/python/utils.py:54-75,
 iterators.py). Since this framework is Python-native those just live
 here.
 
-Config patching for marian-training YAMLs
-(utils.py patch_marian_for_slimt) and network model repositories are
-out of scope offline; `package_from_config` reads translateLocally
-`config.*.yml` manifests to locate artifact files when present.
+`patch_marian_for_slimt` adapts a marian-training YAML for this
+engine (reference utils.py:21-50 semantics); `package_from_config`
+reads translateLocally `config.*.yml` manifests to locate artifact
+files when present. Network model repositories live in
+slimt_tpu/repository.py (offline-graceful).
 """
 
 from __future__ import annotations
@@ -184,3 +185,36 @@ def package_from_config(path: str) -> Package:
         shortlist=resolve("shortlist"),
         ssplit=resolve("ssplit-prefix-file"),
     )
+
+
+def patch_marian_for_slimt(
+    marian_config_path: str,
+    slimt_config_path: str,
+    quality: bool = False,
+) -> None:
+    """Adapt a marian-training YAML (post-quantization) for engine
+    use: override the serving-relevant entries the reference hardcodes
+    (reference bindings/python/utils.py:21-50 — identical keys and
+    values, so a config patched by either implementation is
+    interchangeable)."""
+    import yaml
+
+    with open(marian_config_path, encoding="utf-8") as f:
+        data = yaml.safe_load(f) or {}
+
+    data.update(
+        {
+            "ssplit-prefix-file": "",
+            "ssplit-mode": "paragraph",
+            "max-length-break": 128,
+            "mini-batch-words": 1024,
+            # Shipped models carry big workspaces; keep it low.
+            "workspace": 128,
+            "alignment": "soft",
+        }
+    )
+    if quality:
+        data.update({"quality": quality, "skip-cost": False})
+
+    with open(slimt_config_path, "w", encoding="utf-8") as output_file:
+        print(yaml.dump(data, sort_keys=False), file=output_file)

@@ -86,3 +86,34 @@ def test_service_translate_defaults_to_utf8_ranges(model):
         utf8.source.sentence_as_range(0).end
         < raw.source.sentence_as_range(0).end
     )
+
+
+def test_patch_marian_for_slimt(tmp_path):
+    """Reference utils.py:21-50 semantics: the serving keys are
+    overridden, everything else survives, quality adds its pair."""
+    import yaml
+
+    from slimt_tpu.bindings import patch_marian_for_slimt
+
+    marian = tmp_path / "marian.yml"
+    marian.write_text(
+        "models: [model.intgemm8.bin]\n"
+        "vocabs: [vocab.spm, vocab.spm]\n"
+        "workspace: 9000\n"
+        "beam-size: 1\n"
+    )
+    out = tmp_path / "slimt.yml"
+    patch_marian_for_slimt(str(marian), str(out))
+    data = yaml.safe_load(out.read_text())
+    assert data["workspace"] == 128
+    assert data["max-length-break"] == 128
+    assert data["mini-batch-words"] == 1024
+    assert data["ssplit-mode"] == "paragraph"
+    assert data["alignment"] == "soft"
+    assert data["beam-size"] == 1  # untouched keys survive
+    assert data["models"] == ["model.intgemm8.bin"]
+    assert "quality" not in data
+
+    patch_marian_for_slimt(str(marian), str(out), quality=True)
+    data = yaml.safe_load(out.read_text())
+    assert data["quality"] is True and data["skip-cost"] is False
