@@ -41,16 +41,31 @@ from slimt_tpu.io.synthetic import synthetic_model_bytes
 
 B = int(os.environ.get("UB_B", 1024))
 KV = os.environ.get("UB_KV", "bfloat16")
+ALIGN = os.environ.get("UB_ALIGN", "0") == "1"  # serving default: off
+ARGMAX = os.environ.get("UB_ARGMAX", "packed_fp16")
 T = 64
 STEPS_LO, STEPS_HI = 24, 96
 
 
 def patched(name):
-    """Context-manager-free monkey patches for one ablation."""
+    """Context-manager-free monkey patches for one ablation.
+
+    "skeleton" stacks every compute ablation at once (attention,
+    logits, FFN, SSRU, embed all stubbed): what remains is the
+    while_loop itself — carry threading, token/valid writes, EOS
+    bookkeeping, the per-iteration fusion barrier. Its slope bounds
+    the TRUE loop overhead; the decomposition's "other" bucket is
+    misattributed fused work to the extent it exceeds this.
+    """
+    names = (
+        {"no_attn", "no_logits", "no_ffn", "no_ssru", "no_embed"}
+        if name == "skeleton"
+        else {name}
+    )
     orig_attn = tfm.attention_forward
     orig_logits = tfm.output_logits
     orig_ffn = tfm._ffn_block
-    if name == "no_attn":
+    if "no_attn" in names:
         def fake_attn(att, q_in, k_in, v_in, mask_add, num_heads,
                       provider=None, kv_cache=None, flash=False):
             if kv_cache is not None:  # decode cross-attention only
@@ -61,7 +76,7 @@ def patched(name):
             return orig_attn(att, q_in, k_in, v_in, mask_add, num_heads,
                              provider, kv_cache, flash)
         tfm.attention_forward = fake_attn
-    elif name == "no_logits":
+    if "no_logits" in names:
         def fake_logits(params, x, provider=None, shortlist=None,
                         projection=None):
             w, b = projection if projection is not None else (
@@ -70,15 +85,15 @@ def patched(name):
             return qmm.affine(x, w[:, :32], b[:32], params["out"]["aq"],
                               params["emb"]["scale"], provider=provider)
         tfm.output_logits = fake_logits
-    elif name == "no_ffn":
+    if "no_ffn" in names:
         tfm._ffn_block = lambda layer, x, provider: x
     orig_ssru = tfm.ssru_forward
-    if name == "no_ssru":
+    if "no_ssru" in names:
         tfm.ssru_forward = (
             lambda rnn, state, x, provider=None: (x, state)
         )
     orig_embed = tfm.embed
-    if name == "no_embed":
+    if "no_embed" in names:
         # zeros_like(gather) lets XLA dead-code-eliminate the gather —
         # isolates the per-step [B,1,E] embedding-table lookup cost.
         def fake_embed(params, idx):
@@ -86,10 +101,10 @@ def patched(name):
 
         tfm.embed = fake_embed
     orig_dus = jax.lax.dynamic_update_slice
-    if name == "no_align":
+    if "no_align" in names:
         jax.lax.dynamic_update_slice = lambda op, upd, idx: op
     orig_argmax = tfm.output_argmax
-    if name == "bf16_argmax":
+    if "bf16_argmax" in names:
         def bf16_argmax(params, x, provider=None, projection=None):
             logits = orig_logits(params, x, provider, None, projection)
             return jnp.argmax(
@@ -117,7 +132,7 @@ def measure(params, config, name):
             fn = jax.jit(lambda p, i, m: translate_batch(
                 p, i, m, eos_id=-1, max_steps=steps,
                 num_heads=config.num_heads, provider=config.qmm_provider,
-                kv_dtype=KV))
+                kv_dtype=KV, with_alignment=ALIGN, argmax_method=ARGMAX))
             variants = [
                 jnp.asarray(rng.integers(3, 32000, (B, T)).astype(np.int32))
                 for _ in range(4)
