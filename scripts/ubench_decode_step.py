@@ -122,24 +122,44 @@ def patched(name):
     )
 
 
+_SEED = [0]  # process-global: NO dispatch is ever repeated — the
+
+
+# tunnel dedupes identical (computation, input) dispatches, which
+# made repeated measure() calls in one process report fake-fast
+# numbers (477 -> 218 us/step observed for back-to-back identical
+# skeleton runs).
+
+
 def measure(params, config, name):
+    # "name@K" runs the ablation with loop_unroll=K (e.g. full@2).
+    label, unroll = name, 1
+    if "@" in name:
+        name, unroll = name.split("@")
+        unroll = int(unroll)
     restore = patched(name)
     try:
-        rng = np.random.default_rng(0)
         mask_j = jnp.ones((B, T), jnp.float32)
 
         def timed(steps):
             fn = jax.jit(lambda p, i, m: translate_batch(
                 p, i, m, eos_id=-1, max_steps=steps,
                 num_heads=config.num_heads, provider=config.qmm_provider,
-                kv_dtype=KV, with_alignment=ALIGN, argmax_method=ARGMAX))
-            variants = [
-                jnp.asarray(rng.integers(3, 32000, (B, T)).astype(np.int32))
-                for _ in range(4)
-            ]
-            np.asarray(fn(params, variants[0], mask_j).tokens)
+                kv_dtype=KV, with_alignment=ALIGN, argmax_method=ARGMAX,
+                loop_unroll=unroll))
+
+            def fresh(k):
+                _SEED[0] += 1
+                r = np.random.default_rng(_SEED[0])
+                return [
+                    jnp.asarray(r.integers(3, 32000, (B, T)).astype(np.int32))
+                    for _ in range(k)
+                ]
+
+            np.asarray(fn(params, fresh(1)[0], mask_j).tokens)
             best = 1e9
             for _ in range(3):
+                variants = fresh(4)
                 t0 = time.perf_counter()
                 outs = [fn(params, i, mask_j) for i in variants]
                 for o in outs:
@@ -149,7 +169,7 @@ def measure(params, config, name):
 
         lo, hi = timed(STEPS_LO), timed(STEPS_HI)
         per_step = (hi - lo) / (STEPS_HI - STEPS_LO) * 1e6
-        print(f"{name:10s} per-step {per_step:7.1f} us")
+        print(f"{label:10s} per-step {per_step:7.1f} us", flush=True)
         return per_step
     finally:
         restore()
