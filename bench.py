@@ -126,8 +126,15 @@ def _decode_bench(
         if shortlist_width else None
     )
 
-    fn = jax.jit(
-        lambda p, i, m: translate_batch(
+    # Transport compaction (uint16 tokens + bit-packed valid) is the
+    # serving default (ModelConfig.compact_transfer) — the bench
+    # matches it, including the host-side unpack cost.
+    # BENCH_COMPACT=0 measures plain int32/bool transport.
+    compact = os.environ.get("BENCH_COMPACT", "1") == "1"
+    from slimt_tpu.models.decode import compact_result, unpack_compact
+
+    def _run(p, i, m):
+        res = translate_batch(
             p, i, m,
             eos_id=-1,  # never emitted: full-length decode, no early exit
             max_steps=max_steps,
@@ -138,7 +145,9 @@ def _decode_bench(
             with_alignment=with_alignment,
             argmax_method=argmax_method,
         )
-    )
+        return compact_result(res) if compact else res
+
+    fn = jax.jit(_run)
     # Distinct inputs per iteration: identical dispatches can be
     # deduplicated by the runtime and flatter the numbers.
     variants = [
@@ -148,7 +157,8 @@ def _decode_bench(
         for _ in range(iters)
     ]
     mask_j = jnp.asarray(mask)
-    np.asarray(fn(params, variants[0], mask_j).tokens)  # warmup/compile
+    warm_out = fn(params, variants[0], mask_j)  # warmup/compile
+    np.asarray(warm_out.packed if compact else warm_out.tokens)
     # Pipelined like the serving exhaust loop (forward_async): dispatch
     # every batch, then materialize every result on the host — with
     # fetches on a small thread pool exactly like the service's
@@ -158,6 +168,9 @@ def _decode_bench(
     from concurrent.futures import ThreadPoolExecutor
 
     def materialize(out):
+        if compact:
+            tokens, valid = unpack_compact(np.asarray(out.packed), max_steps)
+            return int(tokens[0, 0]) + int(valid.sum())
         return int(np.asarray(out.tokens)[0, 0]) + int(
             np.asarray(out.valid).sum()
         )

@@ -1,0 +1,85 @@
+"""Measure tunnel/host result-transfer cost for decode outputs.
+
+The headline wall-clock sits ~35% above device-side step time and
+B=2048 vs 4096 measured within 1% — pointing at per-batch result
+transfer, not dispatch count. This times np.asarray() fetches of
+decode-result-shaped arrays at several dtypes/packings to size the
+win of compact transport (uint16 tokens + bit-packed valid).
+
+Run on the real TPU: python scripts/ubench_transfer.py
+"""
+
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+
+B = int(os.environ.get("UB_B", 2048))
+S = int(os.environ.get("UB_S", 96))
+REPS = int(os.environ.get("UB_REPS", 8))
+
+
+def timed_fetch(make, label, nbytes):
+    # Distinct arrays per rep (the tunnel dedupes identical dispatches).
+    arrays = [make(i) for i in range(REPS)]
+    for a in arrays:
+        a.block_until_ready()
+    # One throwaway fetch (transfer-path warmup), then time the rest.
+    np.asarray(arrays[0])
+    times = []
+    for a in arrays[1:]:
+        t0 = time.perf_counter()
+        np.asarray(a)
+        times.append(time.perf_counter() - t0)
+    med = sorted(times)[len(times) // 2]
+    print(
+        f"{label:28s} {nbytes/1024:8.0f} KiB  median {med*1e3:7.2f} ms  "
+        f"{nbytes/med/1e6:8.1f} MB/s"
+    )
+    return med
+
+
+def main():
+    print(f"devices: {jax.devices()}  B={B} S={S}")
+    key = jax.random.PRNGKey(0)
+
+    def tok_i32(i):
+        return jax.random.randint(
+            jax.random.fold_in(key, i), (B, S), 0, 32000, jnp.int32
+        )
+
+    def tok_u16(i):
+        return tok_i32(i).astype(jnp.uint16)
+
+    def valid_bool(i):
+        return jax.random.bernoulli(jax.random.fold_in(key, 1000 + i), 0.9, (B, S))
+
+    def valid_bits(i):
+        return jnp.packbits(valid_bool(i), axis=-1)
+
+    timed_fetch(tok_i32, "tokens int32", B * S * 4)
+    timed_fetch(tok_u16, "tokens uint16", B * S * 2)
+    timed_fetch(valid_bool, "valid bool bytes", B * S)
+    timed_fetch(valid_bits, "valid packed bits", B * ((S + 7) // 8))
+    # The full per-batch fetch a serving exhaust loop pays today vs
+    # compact.
+    t_now = timed_fetch(tok_i32, "NOW: tokens i32", B * S * 4) + timed_fetch(
+        valid_bool, "NOW: valid bytes", B * S
+    )
+    t_compact = timed_fetch(tok_u16, "COMPACT: tokens u16", B * S * 2) + (
+        timed_fetch(valid_bits, "COMPACT: valid bits", B * ((S + 7) // 8))
+    )
+    print(
+        f"per-batch fetch: now {t_now*1e3:.2f} ms -> compact "
+        f"{t_compact*1e3:.2f} ms ({t_now/max(t_compact,1e-9):.2f}x)"
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -76,6 +76,13 @@ class ModelConfig:
     # lifts the reference's hard 128-token wrap constraint for long
     # inputs. Default off (einsum SDPA is fine at wrap_length).
     flash_attention: bool = False
+    # LOSSLESS result-transport compaction: the decode jit returns
+    # tokens as uint16 and the valid mask bit-packed (2.35x fewer
+    # result bytes per batch over the host link; models/decode.
+    # compact_result / unpack_compact). Bit-exact — a transport
+    # encoding, not a numerics knob; auto-disabled when
+    # vocab_size > 65535 (marian tiny/base vocabs are 32k).
+    compact_transfer: bool = True
 
 
 @dataclasses.dataclass

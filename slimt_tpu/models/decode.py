@@ -265,6 +265,58 @@ def translate_batch(
     )
 
 
+class CompactResult(NamedTuple):
+    """Transport-compact decode result: ONE uint16 buffer per batch.
+
+    packed[:, :S] = tokens as uint16 (valid for 32k marian vocabs;
+    the caller guards vocab_size > 65535); packed[:, S:] = the valid
+    mask bit-packed little-endian-by-byte into uint16 words. One
+    buffer matters as much as the byte count: the host link charges a
+    large fixed cost PER ARRAY fetched (~45 ms on the axon tunnel)
+    on top of ~5 MB/s, so tokens+valid ride one fetch. ~2.4× fewer
+    bytes and half the fetches vs (int32 tokens, bool valid).
+    Alignments are untouched (f32-semantic: HTML hard-align ties).
+    """
+
+    packed: jax.Array  # [B, S + ceil(ceil(S/8)/2)] uint16
+    alignment: jax.Array  # as GreedyResult
+
+
+def compact_result(result: GreedyResult) -> CompactResult:
+    """Lossless device-side compaction; inverse: `unpack_compact`."""
+    tokens16 = result.tokens.astype(jnp.uint16)
+    bits = jnp.packbits(result.valid, axis=-1)  # [B, ceil(S/8)] u8
+    if bits.shape[-1] % 2:
+        bits = jnp.pad(bits, ((0, 0), (0, 1)))
+    lo = bits[:, 0::2].astype(jnp.uint16)
+    hi = bits[:, 1::2].astype(jnp.uint16)
+    words = lo | (hi << 8)
+    return CompactResult(
+        jnp.concatenate([tokens16, words], axis=1), result.alignment
+    )
+
+
+def unpack_compact(packed, max_steps: int):
+    """Host-side inverse of `compact_result` on the fetched numpy
+    array: returns (tokens int32 [B, max_steps], valid bool
+    [B, max_steps])."""
+    import numpy as _np
+
+    packed = _np.asarray(packed)
+    tokens = packed[:, :max_steps].astype(_np.int32)
+    words = packed[:, max_steps:]
+    byte_pairs = _np.empty(
+        (words.shape[0], 2 * words.shape[1]), _np.uint8
+    )
+    byte_pairs[:, 0::2] = words & 0xFF
+    byte_pairs[:, 1::2] = words >> 8
+    nbytes = (max_steps + 7) // 8
+    valid = _np.unpackbits(
+        byte_pairs[:, :nbytes], axis=1, count=max_steps
+    ).astype(bool)
+    return tokens, valid
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
@@ -278,6 +330,7 @@ def translate_batch(
         "kv_dtype",
         "with_alignment",
         "argmax_method",
+        "compact_output",
     ),
 )
 def translate_batch_jit(
@@ -297,10 +350,14 @@ def translate_batch_jit(
     kv_dtype: Optional[str] = None,
     with_alignment: bool = True,
     argmax_method: str = "exact",
+    compact_output: bool = False,
 ):
     """Jitted entry; compile cache keyed on (B, T, S) bucket shapes.
-    `steps_cap` is a traced scalar (no recompile across values)."""
-    return translate_batch(
+    `steps_cap` is a traced scalar (no recompile across values).
+    `compact_output` applies `compact_result` inside the jit (no extra
+    dispatch): tokens uint16 + bit-packed valid for cheap host
+    transfer; decode numerics are untouched."""
+    result = translate_batch(
         params,
         indices,
         mask,
@@ -316,3 +373,4 @@ def translate_batch_jit(
         with_alignment,
         argmax_method,
     )
+    return compact_result(result) if compact_output else result

@@ -292,6 +292,13 @@ class Model:
         else:
             indices_j = jnp.asarray(indices)
             mask_j = jnp.asarray(mask)
+        # Lossless transport compaction (uint16 tokens + bit-packed
+        # valid): 2.35x fewer result bytes per fetch. Transport
+        # encoding only — bit-exact after unpack_compact.
+        compact = (
+            getattr(self.config, "compact_transfer", False)
+            and self.vocab_size <= 65535
+        )
         result = translate_batch_jit(
             self.params,
             indices_j,
@@ -319,19 +326,32 @@ class Model:
             # at most two variants, warmed per the service's needs.
             with_alignment=bool(need_alignment),
             argmax_method=self.config.argmax_method,
+            compact_output=compact,
         )
         def finish() -> List[Hypothesis]:
             if self._multiprocess:
                 from jax.experimental import multihost_utils
 
-                tokens = np.asarray(
-                    multihost_utils.process_allgather(
-                        result.tokens, tiled=True
+                if compact:
+                    from slimt_tpu.models.decode import unpack_compact
+
+                    packed = np.asarray(
+                        multihost_utils.process_allgather(
+                            result.packed, tiled=True
+                        )
                     )
-                )
-                valid = np.asarray(
-                    multihost_utils.process_allgather(result.valid, tiled=True)
-                )
+                    tokens, valid = unpack_compact(packed, max_steps)
+                else:
+                    tokens = np.asarray(
+                        multihost_utils.process_allgather(
+                            result.tokens, tiled=True
+                        )
+                    )
+                    valid = np.asarray(
+                        multihost_utils.process_allgather(
+                            result.valid, tiled=True
+                        )
+                    )
                 align = (
                     np.asarray(
                         multihost_utils.process_allgather(
@@ -340,6 +360,13 @@ class Model:
                     )
                     if need_alignment
                     else None
+                )
+            elif compact:
+                from slimt_tpu.models.decode import unpack_compact
+
+                tokens, valid = unpack_compact(result.packed, max_steps)
+                align = (
+                    np.asarray(result.alignment) if need_alignment else None
                 )
             else:
                 tokens = np.asarray(result.tokens)
