@@ -131,6 +131,10 @@ def _decode_bench(
     # matches it, including the host-side unpack cost.
     # BENCH_COMPACT=0 measures plain int32/bool transport.
     compact = os.environ.get("BENCH_COMPACT", "1") == "1"
+    # Pallas decode-attention kernel — measured 8% SLOWER than the
+    # XLA formulation in-loop (see ModelConfig.attn_kernel); off by
+    # default, BENCH_ATTN_KERNEL=1 measures it.
+    attn_kernel = os.environ.get("BENCH_ATTN_KERNEL", "0") == "1"
     from slimt_tpu.models.decode import compact_result, unpack_compact
 
     def _run(p, i, m):
@@ -144,6 +148,7 @@ def _decode_bench(
             shortlist=sl,
             with_alignment=with_alignment,
             argmax_method=argmax_method,
+            attn_kernel=attn_kernel,
         )
         return compact_result(res) if compact else res
 
@@ -277,6 +282,8 @@ def _step_slope_us(batch=1, seq=24, vocab=32000, emb=256, ffn=1536,
     k = int(os.environ.get("BENCH_SLOPE_K", 8))  # wide second point:
     # (k-1)*m extra steps must clear tunnel jitter
 
+    attn_kernel = os.environ.get("BENCH_ATTN_KERNEL", "0") == "1"
+
     def timed(steps):
         fn = jax.jit(
             lambda p, i, mk: translate_batch(
@@ -284,6 +291,7 @@ def _step_slope_us(batch=1, seq=24, vocab=32000, emb=256, ffn=1536,
                 num_heads=config.num_heads, provider=provider, kv_dtype=kv,
                 shortlist=sl,
                 with_alignment=with_alignment, argmax_method=argmax_method,
+                attn_kernel=attn_kernel,
             )
         )
         variants = [

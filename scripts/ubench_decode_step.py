@@ -42,6 +42,7 @@ from slimt_tpu.io.synthetic import synthetic_model_bytes
 B = int(os.environ.get("UB_B", 1024))
 KV = os.environ.get("UB_KV", "bfloat16")
 ALIGN = os.environ.get("UB_ALIGN", "0") == "1"  # serving default: off
+ATTN_KERNEL = os.environ.get("UB_ATTN_KERNEL", "0") == "1"
 ARGMAX = os.environ.get("UB_ARGMAX", "packed_fp16")
 T = 64
 STEPS_LO, STEPS_HI = 24, 96
@@ -146,7 +147,7 @@ def measure(params, config, name):
                 p, i, m, eos_id=-1, max_steps=steps,
                 num_heads=config.num_heads, provider=config.qmm_provider,
                 kv_dtype=KV, with_alignment=ALIGN, argmax_method=ARGMAX,
-                loop_unroll=unroll))
+                loop_unroll=unroll, attn_kernel=ATTN_KERNEL))
 
             def fresh(k):
                 _SEED[0] += 1

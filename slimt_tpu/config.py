@@ -76,6 +76,22 @@ class ModelConfig:
     # lifts the reference's hard 128-token wrap constraint for long
     # inputs. Default off (einsum SDPA is fine at wrap_length).
     flash_attention: bool = False
+    # Pallas decode-attention kernel for the int16 joined KV cache
+    # (ops/decode_attn_pallas): keeps everything but the K/V streams
+    # in VMEM, to remove the [B,E,H] selector-operand buffer the XLA
+    # formulation materializes. MEASURED AND REJECTED as the default
+    # (2026-08-20, same-process interleaved headline A/B at
+    # B=2048/int16: kernel 1.67-1.69M vs XLA 1.81-1.85M tok/s, -8%
+    # both rounds): inside the decode while_loop the per-step
+    # pallas_call boundary (launch + lost fusion with the surrounding
+    # LN/residual/O-affine) costs more than the saved HBM traffic —
+    # the third Pallas-vs-XLA loss in this engine (fused layer blocks,
+    # fused_step at serving batch); XLA's in-loop fusion is strong on
+    # these shapes. Kept as a tested variant: "off" (default) | "on" |
+    # "auto" (= on for TPU backends on an unsharded single-process
+    # model — alignment-free int16 requests only; parity:
+    # tests/test_decode_attn_pallas.py).
+    attn_kernel: str = "off"
     # LOSSLESS result-transport compaction: the decode jit returns
     # tokens as uint16 and the valid mask bit-packed (2.35x fewer
     # result bytes per batch over the host link; models/decode.

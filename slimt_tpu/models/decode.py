@@ -53,8 +53,14 @@ def greedy_decode(
     with_alignment: bool = True,
     argmax_method: str = "exact",
     loop_unroll: Optional[int] = None,
+    attn_kernel: bool = False,
 ) -> GreedyResult:
     batch, t_src, emb_dim = encoder_out.shape
+    # The Pallas decode-attention kernel serves the alignment-free
+    # int16 path only (it does not materialize attention weights).
+    attn_kernel = bool(attn_kernel) and not with_alignment and (
+        kv_dtype == "int16"
+    ) and provider != "fused_step"
     # Decode steps per while_loop iteration. Hypothesis: each
     # iteration is a fusion barrier with fixed overhead (part of the
     # ~195 µs/step "other" bucket in the devstep decomposition) and a
@@ -179,6 +185,7 @@ def greedy_decode(
             projection=projection,
             sample=True,
             argmax_method=argmax_method,
+            attn_kernel=attn_kernel,
         )
         if shortlist is not None:
             word = jnp.take(shortlist, choice, axis=0).astype(jnp.int32)
@@ -235,6 +242,7 @@ def translate_batch(
     with_alignment: bool = True,
     argmax_method: str = "exact",
     loop_unroll: Optional[int] = None,
+    attn_kernel: bool = False,
 ) -> GreedyResult:
     """Full forward: embed → encoder → greedy decode
     (slimt/Model.cc:187-204). `indices`/`mask`: [B, T] padded batch in
@@ -262,6 +270,7 @@ def translate_batch(
         with_alignment,
         argmax_method,
         loop_unroll,
+        attn_kernel,
     )
 
 
@@ -331,6 +340,7 @@ def unpack_compact(packed, max_steps: int):
         "with_alignment",
         "argmax_method",
         "compact_output",
+        "attn_kernel",
     ),
 )
 def translate_batch_jit(
@@ -351,6 +361,7 @@ def translate_batch_jit(
     with_alignment: bool = True,
     argmax_method: str = "exact",
     compact_output: bool = False,
+    attn_kernel: bool = False,
 ):
     """Jitted entry; compile cache keyed on (B, T, S) bucket shapes.
     `steps_cap` is a traced scalar (no recompile across values).
@@ -372,5 +383,6 @@ def translate_batch_jit(
         steps_cap,
         with_alignment,
         argmax_method,
+        attn_kernel=attn_kernel,
     )
     return compact_result(result) if compact_output else result

@@ -299,6 +299,16 @@ class Model:
             getattr(self.config, "compact_transfer", False)
             and self.vocab_size <= 65535
         )
+        # Pallas decode attention (int16, alignment-free): "auto"
+        # gates on a TPU backend with no mesh sharding (the kernel has
+        # no partitioning rules) — forced via config.attn_kernel.
+        attn_mode = getattr(self.config, "attn_kernel", "off")
+        attn_kernel = attn_mode == "on" or (
+            attn_mode == "auto"
+            and jax.default_backend() not in ("cpu",)
+            and self._batch_sharding is None
+            and not self._multiprocess
+        )
         result = translate_batch_jit(
             self.params,
             indices_j,
@@ -327,6 +337,7 @@ class Model:
             with_alignment=bool(need_alignment),
             argmax_method=self.config.argmax_method,
             compact_output=compact,
+            attn_kernel=attn_kernel,
         )
         def finish() -> List[Hypothesis]:
             if self._multiprocess:

@@ -169,6 +169,7 @@ def _decode_attention_joined(
     kv: dict,
     mask_add: jax.Array,
     num_heads: int,
+    attn_kernel: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
     """Decode-step (T_q == 1) cross-attention over a joined-layout
     [B, T, E] KV cache. Both contraction steps run as batched MXU
@@ -257,6 +258,21 @@ def _decode_attention_joined(
             "bht,bte->bhe", a_op, v_op, preferred_element_type=acc
         ).astype(jnp.float32) / s_a
         selt = _head_selector(e, num_heads, jnp.float32)
+    elif k.dtype == jnp.int16 and attn_kernel and not on_cpu:
+        # Pallas kernel (ops/decode_attn_pallas): the selector-GEMM
+        # formulation below materializes q2 = q ⊙ sel as a [B, E, H]
+        # f32 HBM buffer per layer (~78 µs/step at B=2048 across both
+        # layers — the measured gap to the attention HBM floor); the
+        # kernel keeps everything but the K/V streams in VMEM.
+        # Alignment-free path only — attention weights are not
+        # materialized (zeros returned; XLA DCEs them).
+        from slimt_tpu.ops.decode_attn_pallas import decode_attention_int16
+
+        out = decode_attention_int16(
+            q, k, v, kv["kqi"], kv["vqi"], mask_add[:, 0, 0, :], num_heads
+        )
+        attn = jnp.zeros((b, num_heads, t), jnp.float32)
+        return out[:, None, :], attn[:, :, None, :]
     elif k.dtype == jnp.int16:
         # int16 per-row-scaled cache (the service default): the cache
         # converts to f32 inside the matmul operand read (2-byte HBM
@@ -335,6 +351,7 @@ def attention_forward(
     provider: Optional[str] = None,
     kv_cache: Optional[Tuple[jax.Array, jax.Array]] = None,
     flash: bool = False,
+    attn_kernel: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
     """Full attention block incl. residual + post-LN
     (slimt/Modules.cc:287-319). Returns (out, attn_weights).
@@ -345,12 +362,14 @@ def attention_forward(
     f32 path) or a joined-layout dict from precompute_cross_kv
     (reduced-precision [B,Tk,E] cache). `flash=True` uses the
     blockwise Pallas kernel (O(T·block) memory; attn weights not
-    materialized — returns None for them).
+    materialized — returns None for them). `attn_kernel=True` routes
+    the int16 joined cache through the Pallas decode-attention kernel
+    (alignment-free path; weights come back as zeros).
     """
     if isinstance(kv_cache, dict):
         yq = _affine(att["q"], q_in, provider)  # [B, 1, E]
         attn_out, attn = _decode_attention_joined(
-            yq, kv_cache, mask_add, num_heads
+            yq, kv_cache, mask_add, num_heads, attn_kernel
         )
         out = _affine(att["o"], attn_out, provider)
         return layer_norm(q_in + out, att["ln"]), attn
@@ -581,6 +600,7 @@ def decoder_layer_forward(
     kv_cache: Tuple[jax.Array, jax.Array],
     num_heads: int,
     provider: Optional[str] = None,
+    attn_kernel: bool = False,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """SSRU → cross-attention → FFN (slimt/Modules.cc:237-259).
     Returns (out, new_state, cross_attn_weights)."""
@@ -594,6 +614,7 @@ def decoder_layer_forward(
         num_heads,
         provider,
         kv_cache=kv_cache,
+        attn_kernel=attn_kernel,
     )
     return _ffn_block(layer, out, provider), new_state, attn
 
@@ -610,6 +631,7 @@ def decoder_step(
     projection: Optional[Tuple[jax.Array, jax.Array]] = None,
     sample: bool = False,
     argmax_method: str = "exact",
+    attn_kernel: bool = False,
 ) -> Tuple[jax.Array, Tuple, jax.Array]:
     """One decode timestep over all decoder layers + logit projection
     (slimt/Transformer.cc:120-183).
@@ -658,7 +680,8 @@ def decoder_step(
         guided = None
         for layer, state, kv in zip(layers, states, kv_caches):
             x, new_state, attn = decoder_layer_forward(
-                layer, state, x, mask_add, kv, num_heads, provider
+                layer, state, x, mask_add, kv, num_heads, provider,
+                attn_kernel,
             )
             new_states.append(new_state)
             guided = attn
@@ -668,7 +691,8 @@ def decoder_step(
         def step(x, inputs):
             layer, state, kv = inputs
             y, new_state, attn = decoder_layer_forward(
-                layer, state, x, mask_add, kv, num_heads, provider
+                layer, state, x, mask_add, kv, num_heads, provider,
+                attn_kernel,
             )
             return y, (new_state, attn)
 
