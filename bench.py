@@ -534,36 +534,40 @@ def bench_devstep():
     kv = os.environ.get("BENCH_KV", "int16")
     shortlist_width = int(os.environ.get("BENCH_SHORTLIST", 0))
     seq = 64
-    slope_us, _, _ = _step_slope_us(
-        batch=batch, seq=seq, iters=8, kv=kv,
-        shortlist_width=shortlist_width)
     # Ablation slopes: full - ablated = that component's share. Each
     # ablation is PAIRED with a fresh full-slope measurement taken
-    # right before it, so tunnel-session drift (observed ±30% over
-    # tens of minutes) cancels within the pair instead of masquerading
-    # as component time; the headline `value` stays the first
-    # (unpaired) full slope.
-    parts_us = {}
-    fulls = [slope_us]
-    for name, ablation in (
+    # right beside it (tunnel-session drift, observed ±30% over tens
+    # of minutes, cancels within the pair), and every pair is measured
+    # BENCH_DEVSTEP_ROUNDS times (default 3) with the median
+    # difference reported — single-pair differences of noisy slopes
+    # produced incoherent decompositions (components below their own
+    # floors) on drifting sessions.
+    rounds = int(os.environ.get("BENCH_DEVSTEP_ROUNDS", 3))
+    ablations = (
         ("attention", "no_attn"),
         ("logits", "no_logits"),
         ("ffn", "no_ffn"),
-    ):
-        paired_full, _, _ = _step_slope_us(
-            batch=batch, seq=seq, iters=8, kv=kv,
-            shortlist_width=shortlist_width)
-        without, _, _ = _step_slope_us(
-            batch=batch, seq=seq, iters=8, kv=kv,
-            shortlist_width=shortlist_width, ablate=ablation)
-        fulls.append(paired_full)
-        parts_us[name] = max(paired_full - without, 0.0)
-    # Scale component shares onto the reported full slope so they and
-    # "other" add up on one timebase.
-    med_full = sorted(fulls)[len(fulls) // 2]
-    if med_full > 0:
-        ratio = slope_us / med_full
-        parts_us = {k: v * ratio for k, v in parts_us.items()}
+    )
+    fulls = []
+    diffs = {name: [] for name, _ in ablations}
+    for _ in range(rounds):
+        for name, ablation in ablations:
+            paired_full, _, _ = _step_slope_us(
+                batch=batch, seq=seq, iters=8, kv=kv,
+                shortlist_width=shortlist_width)
+            without, _, _ = _step_slope_us(
+                batch=batch, seq=seq, iters=8, kv=kv,
+                shortlist_width=shortlist_width, ablate=ablation)
+            fulls.append(paired_full)
+            diffs[name].append(paired_full - without)
+
+    def median(xs):
+        return sorted(xs)[len(xs) // 2]
+
+    slope_us = median(fulls)
+    parts_us = {
+        name: max(median(vals), 0.0) for name, vals in diffs.items()
+    }
     parts_us["other"] = max(
         slope_us - sum(parts_us.values()), 0.0
     )

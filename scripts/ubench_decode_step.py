@@ -68,14 +68,15 @@ def patched(name):
     orig_ffn = tfm._ffn_block
     if "no_attn" in names:
         def fake_attn(att, q_in, k_in, v_in, mask_add, num_heads,
-                      provider=None, kv_cache=None, flash=False):
+                      provider=None, kv_cache=None, flash=False,
+                      attn_kernel=False):
             if kv_cache is not None:  # decode cross-attention only
                 b = q_in.shape[0]
                 tk = mask_add.shape[-1]
                 attn = jnp.zeros((b, num_heads, 1, tk), jnp.float32)
                 return q_in, attn
             return orig_attn(att, q_in, k_in, v_in, mask_add, num_heads,
-                             provider, kv_cache, flash)
+                             provider, kv_cache, flash, attn_kernel)
         tfm.attention_forward = fake_attn
     if "no_logits" in names:
         def fake_logits(params, x, provider=None, shortlist=None,
