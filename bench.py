@@ -191,7 +191,7 @@ def _decode_bench(
     # cannot avoid — KV caches, decoder weights incl. the output
     # projection, recurrent state r/w; fused intermediates and logits
     # excluded, so this is a FLOOR and pct_peak is conservative).
-    kv_bytes = {"int8": 1, "k8v16": 1.5, "int16": 2, "float16": 2, "bfloat16": 2, "float32": 4}.get(
+    kv_bytes = {"int8": 1, "k8v16": 1.5, "k16v8": 1.5, "int16": 2, "float16": 2, "bfloat16": 2, "float32": 4}.get(
         kv, 2
     )
     kv_traffic = 2 * dec * batch * seq * emb * kv_bytes  # K+V, joined layout
@@ -484,7 +484,7 @@ def _component_floors(batch, seq, kv, shortlist_width=0,
     BENCH_HBM_PEAK_GBPS / BENCH_INT8_TOPS."""
     peak_bw = float(os.environ.get("BENCH_HBM_PEAK_GBPS", 819.0)) * 1e9
     peak_int8 = float(os.environ.get("BENCH_INT8_TOPS", 394.0)) * 1e12
-    kv_bytes = {"int8": 1, "k8v16": 1.5, "int16": 2, "float16": 2, "bfloat16": 2, "float32": 4}.get(
+    kv_bytes = {"int8": 1, "k8v16": 1.5, "k16v8": 1.5, "int16": 2, "float16": 2, "bfloat16": 2, "float32": 4}.get(
         kv, 2
     )
     logit_width = shortlist_width or vocab
@@ -583,7 +583,7 @@ def bench_devstep():
         }
     composite_floor = sum(floors.values())
 
-    kv_bytes = {"int8": 1, "k8v16": 1.5, "int16": 2, "float16": 2, "bfloat16": 2, "float32": 4}.get(
+    kv_bytes = {"int8": 1, "k8v16": 1.5, "k16v8": 1.5, "int16": 2, "float16": 2, "bfloat16": 2, "float32": 4}.get(
         kv, 2
     )
     dec, emb, ffn, vocab = 2, 256, 1536, 32000

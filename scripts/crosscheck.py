@@ -452,6 +452,7 @@ SERVING_CONFIGS = [
     ("exact", {}),
     ("kv=int16", {"kv_dtype": "int16"}),
     ("kv=k8v16", {"kv_dtype": "k8v16"}),
+    ("kv=k16v8", {"kv_dtype": "k16v8"}),
     ("kv=float16", {"kv_dtype": "float16"}),
     ("kv=bfloat16", {"kv_dtype": "bfloat16"}),
     ("kv=int8", {"kv_dtype": "int8"}),
@@ -466,6 +467,15 @@ SERVING_CONFIGS = [
     }),
     ("k8v16+packedfp16+noalign", {
         "kv_dtype": "k8v16", "argmax_method": "packed_fp16",
+        "with_alignment": False,
+    }),
+    # k16v8 = the REVERSE mix (int16 K + int8 V, 1.5 B/elem): k8v16
+    # landed at int8-class agreement because K's score error flips
+    # near-tie argmaxes; if V's error really mixes out under softmax,
+    # this orientation should land near int16-class at 25% less KV
+    # bandwidth.
+    ("k16v8+packedfp16+noalign", {
+        "kv_dtype": "k16v8", "argmax_method": "packed_fp16",
         "with_alignment": False,
     }),
     ("fp16+packedfp16+noalign", {

@@ -438,7 +438,7 @@ def main(argv=None) -> int:
     )
     t.add_argument(
         "--kv-dtype", default=None,
-        choices=["float32", "int16", "k8v16", "float16", "bfloat16",
+        choices=["float32", "int16", "k8v16", "k16v8", "float16", "bfloat16",
                  "int8"],
     )
     t.add_argument(

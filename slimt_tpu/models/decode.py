@@ -100,11 +100,11 @@ def greedy_decode(
     base_provider = None if provider == "fused_step" else provider
     kv_caches = tfm.precompute_cross_kv(
         params, encoder_out, num_heads, base_provider,
-        # "k8v16" (mixed int8-K / int16-V cache) is a composite tag,
-        # not a jnp dtype — passed through as-is.
+        # "k8v16"/"k16v8" (mixed-precision caches) are composite
+        # tags, not jnp dtypes — passed through as-is.
         dtype=(
             kv_dtype
-            if kv_dtype == "k8v16"
+            if kv_dtype in ("k8v16", "k16v8")
             else jnp.dtype(kv_dtype) if kv_dtype else None
         ),
     )

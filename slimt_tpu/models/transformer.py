@@ -279,7 +279,9 @@ def _decode_attention_joined(
         # traffic, f32 MXU — same lowering shape as fp16); the per-row
         # dequants fold elementwise exactly like the int8 branch, but
         # q and attn stay f32 (no activation quantization needed — the
-        # f32 MXU takes them as-is).
+        # f32 MXU takes them as-is). The "k16v8" mixed cache (int16 K
+        # + int8 V) rides this same branch: both operands convert to
+        # f32 inside their reads, V just carries 1 byte/elem of HBM.
         sel = _head_selector(e, num_heads, jnp.float32)
         q2 = q[:, :, None] * sel[None]  # [B, E, H] f32
         scores = jnp.einsum(
@@ -544,6 +546,27 @@ def precompute_cross_kv(
                     jnp.clip(jnp.rint(v * vq[..., None]), -32767, 32767)
                     .astype(jnp.int16)
                 ),
+                "kqi": 1.0 / kq,
+                "vqi": 1.0 / vq,
+            }
+        if dtype == "k16v8":
+            # Mixed cache, the REVERSE of k8v16: int16 K (the
+            # argmax-sensitive score operand stays at int16 precision)
+            # + int8 V (the value mix, whose per-row error dissolves
+            # under the softmax weights) — 1.5 bytes/elem average.
+            # k8v16 measured int8-CLASS agreement because K's score
+            # perturbation flips near-tie argmaxes; this orientation
+            # tests the converse hypothesis (see the Numerics table).
+            kq = 32767.0 / jnp.maximum(
+                jnp.max(jnp.abs(k), axis=-1), 1e-6
+            )  # [B, T]
+            vq = 127.0 / jnp.maximum(jnp.max(jnp.abs(v), axis=-1), 1e-6)
+            return {
+                "k": (
+                    jnp.clip(jnp.rint(k * kq[..., None]), -32767, 32767)
+                    .astype(jnp.int16)
+                ),
+                "v": qmm.quantize_activations(v, vq[..., None]),
                 "kqi": 1.0 / kq,
                 "vqi": 1.0 / vq,
             }

@@ -97,7 +97,7 @@ def test_alignment_shapes(model):
 
 
 @pytest.mark.parametrize(
-    "kv_dtype", ["int8", "int16", "k8v16", "float16", "bfloat16", "float32"]
+    "kv_dtype", ["int8", "int16", "k8v16", "k16v8", "float16", "bfloat16", "float32"]
 )
 def test_kv_cache_dtype_through_service(kv_dtype):
     """Every kv_cache_dtype decodes deterministically through the full

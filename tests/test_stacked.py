@@ -93,7 +93,7 @@ def test_kv_dtype_bfloat16_decodes(params):
 
 @pytest.mark.parametrize(
     "kv_dtype,floor",
-    [("int16", 0.95), ("k8v16", 0.9), ("float16", 0.95),
+    [("int16", 0.95), ("k8v16", 0.9), ("k16v8", 0.95), ("float16", 0.95),
      ("bfloat16", 0.9), ("int8", 0.9)],
 )
 def test_reduced_kv_agrees_with_f32(params, kv_dtype, floor):
