@@ -924,6 +924,92 @@ def bench_corpus(path=None, workers=8):
     )
 
 
+def bench_longctx():
+    """Long-context encoder (SURVEY §5 "long context"): the reference
+    hard-wraps every input at 128 tokens because its SDPA materializes
+    full [B,H,T,T] score matrices (slimt/Modules.cc:24-86,
+    slimt/Frontend.hh:27). This engine lifts the constraint with the
+    blockwise Pallas encoder attention (`flash_attention`,
+    ops/attention.py — O(T·128) attention memory). Measures encoder
+    throughput at growing T with the TOTAL token count fixed, einsum
+    SDPA vs the blockwise kernel, on the tiny11 encoder. Results fetch
+    as a device-side checksum (a [B,T,E] f32 fetch would be
+    transfer-bound through the tunnel and time the link, not the
+    encoder)."""
+    import jax
+    import jax.numpy as jnp
+
+    from slimt_tpu.config import ModelConfig
+    from slimt_tpu.io import load_items
+    from slimt_tpu.io.loader import load_weights, stack_layers
+    from slimt_tpu.io.synthetic import synthetic_model_bytes
+    from slimt_tpu.models import transformer as tfm
+
+    vocab, emb, ffn = 32000, 256, 1536
+    config = ModelConfig(encoder_layers=6, decoder_layers=2)
+    items = load_items(
+        synthetic_model_bytes(
+            config=config, vocab_size=vocab, emb_dim=emb, ffn_dim=ffn, seed=0
+        )
+    )
+    params = jax.device_put(stack_layers(load_weights(items, config)))
+    total = int(os.environ.get("BENCH_LONGCTX_TOKENS", 16384))
+    lengths = [int(t) for t in os.environ.get(
+        "BENCH_LONGCTX_T", "128,512,1024,2048,4096").split(",")]
+    rng = np.random.default_rng(0)
+    rows = {}
+    flash_1024 = None
+    for t in lengths:
+        batch = max(1, total // t)
+        for flash in (False, True):
+            if not flash and batch * t * t * config.num_heads * 4 > 2 << 30:
+                # einsum SDPA materializes [B,H,T,T] f32 — skip configs
+                # whose score matrices alone exceed ~2 GiB (the point
+                # of the blockwise kernel).
+                rows[f"T={t} einsum"] = "skipped (scores > 2 GiB)"
+                continue
+
+            def run(p, idx, msk):
+                x = tfm.transform_embedding(tfm.embed(p, idx))
+                out = tfm.encoder_forward(
+                    p, x, tfm.make_additive_mask(msk),
+                    config.num_heads, None, flash=flash,
+                )
+                return jnp.sum(out)  # scalar fetch: don't time the link
+
+            fn = jax.jit(run)
+            variants = [
+                jnp.asarray(
+                    rng.integers(3, vocab, (batch, t)).astype(np.int32)
+                )
+                for _ in range(4)
+            ]
+            msk = jnp.asarray(np.ones((batch, t), np.float32))
+            np.asarray(fn(params, variants[0], msk))  # compile
+            times = []
+            for idx in variants:
+                t0 = time.perf_counter()
+                np.asarray(fn(params, idx, msk))
+                times.append(time.perf_counter() - t0)
+            med = sorted(times)[len(times) // 2]
+            tps = batch * t / med
+            rows[f"T={t} " + ("flash" if flash else "einsum")] = round(tps, 1)
+            if flash and t == 1024:
+                flash_1024 = tps
+    print(
+        json.dumps(
+            {
+                "metric": "longctx_encoder_tokens_per_sec_T1024_flash",
+                "value": round(flash_1024 or 0.0, 1),
+                "unit": "tokens/s",
+                "vs_baseline": round((flash_1024 or 0.0) / TARGET, 3),
+                "total_tokens_per_config": total,
+                "rows": rows,
+            }
+        )
+    )
+
+
 def bench_providers():
     for provider in ("xla_int8", "pallas", "f32"):
         result = _decode_bench(provider=provider, iters=3)
@@ -978,6 +1064,7 @@ def main():
         "realcorpus": bench_realcorpus,
         "devstep": bench_devstep,
         "providers": bench_providers,
+        "longctx": bench_longctx,
     }[mode]()
     timer.cancel()
 

@@ -44,4 +44,5 @@ run "ABLATION headline fp16 KV" env BENCH_KV=float16 python bench.py
 run "ABLATION headline exact argmax" env BENCH_ARGMAX=exact python bench.py
 run "ABLATION batch1 fused_step (bf16 KV by design)" env BENCH_PROVIDER=fused_step BENCH_KV=bfloat16 python bench.py batch1
 run "ABLATION providers"      python bench.py providers
+run "long-context encoder (flash vs einsum)" python bench.py longctx
 echo "LEDGER DONE $(date +%H:%M:%S)" >> "$OUT"
