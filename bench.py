@@ -32,6 +32,14 @@ import numpy as np
 
 TARGET = 1e4  # tokens/sec/chip (BASELINE.md)
 
+# KV-cache bytes/elem per dtype tag, for the HBM floor-bytes models —
+# ONE copy (three bench modes consume it; a missed edit in a copied
+# literal silently mis-sizes hbm_gbps/pct_peak for that mode).
+KV_BYTES = {
+    "int8": 1, "k8v16": 1.5, "k16v8": 1.5, "int16": 2,
+    "float16": 2, "bfloat16": 2, "float32": 4,
+}
+
 
 def _model(vocab=32000, emb=256, ffn=1536, enc=6, dec=2, with_shortlist=False):
     from slimt_tpu.config import ModelConfig
@@ -191,9 +199,7 @@ def _decode_bench(
     # cannot avoid — KV caches, decoder weights incl. the output
     # projection, recurrent state r/w; fused intermediates and logits
     # excluded, so this is a FLOOR and pct_peak is conservative).
-    kv_bytes = {"int8": 1, "k8v16": 1.5, "k16v8": 1.5, "int16": 2, "float16": 2, "bfloat16": 2, "float32": 4}.get(
-        kv, 2
-    )
+    kv_bytes = KV_BYTES.get(kv, 2)
     kv_traffic = 2 * dec * batch * seq * emb * kv_bytes  # K+V, joined layout
     step_weights = dec * (4 * emb * emb + 2 * emb * ffn)  # int8: SSRU F/O, att Q/O, FFN
     logit_width = shortlist_width or vocab
@@ -484,9 +490,7 @@ def _component_floors(batch, seq, kv, shortlist_width=0,
     BENCH_HBM_PEAK_GBPS / BENCH_INT8_TOPS."""
     peak_bw = float(os.environ.get("BENCH_HBM_PEAK_GBPS", 819.0)) * 1e9
     peak_int8 = float(os.environ.get("BENCH_INT8_TOPS", 394.0)) * 1e12
-    kv_bytes = {"int8": 1, "k8v16": 1.5, "k16v8": 1.5, "int16": 2, "float16": 2, "bfloat16": 2, "float32": 4}.get(
-        kv, 2
-    )
+    kv_bytes = KV_BYTES.get(kv, 2)
     logit_width = shortlist_width or vocab
 
     def floor(hbm_bytes, macs):
@@ -583,9 +587,7 @@ def bench_devstep():
         }
     composite_floor = sum(floors.values())
 
-    kv_bytes = {"int8": 1, "k8v16": 1.5, "k16v8": 1.5, "int16": 2, "float16": 2, "bfloat16": 2, "float32": 4}.get(
-        kv, 2
-    )
+    kv_bytes = KV_BYTES.get(kv, 2)
     dec, emb, ffn, vocab = 2, 256, 1536, 32000
     bytes_per_step = (
         2 * dec * batch * seq * emb * kv_bytes

@@ -63,18 +63,17 @@ def main():
     def valid_bits(i):
         return jnp.packbits(valid_bool(i), axis=-1)
 
-    timed_fetch(tok_i32, "tokens int32", B * S * 4)
-    timed_fetch(tok_u16, "tokens uint16", B * S * 2)
-    timed_fetch(valid_bool, "valid bool bytes", B * S)
-    timed_fetch(valid_bits, "valid packed bits", B * ((S + 7) // 8))
+    t_i32 = timed_fetch(tok_i32, "tokens int32", B * S * 4)
+    t_u16 = timed_fetch(tok_u16, "tokens uint16", B * S * 2)
+    t_bool = timed_fetch(valid_bool, "valid bool bytes", B * S)
+    t_bits = timed_fetch(valid_bits, "valid packed bits", B * ((S + 7) // 8))
     # The full per-batch fetch a serving exhaust loop pays today vs
-    # compact.
-    t_now = timed_fetch(tok_i32, "NOW: tokens i32", B * S * 4) + timed_fetch(
-        valid_bool, "NOW: valid bytes", B * S
-    )
-    t_compact = timed_fetch(tok_u16, "COMPACT: tokens u16", B * S * 2) + (
-        timed_fetch(valid_bits, "COMPACT: valid bits", B * ((S + 7) // 8))
-    )
+    # compact — composed from the medians above (re-running the same
+    # closures would issue dispatch streams identical to ones already
+    # executed, which the tunnel can dedupe: the fake-fast failure
+    # mode this script exists to avoid).
+    t_now = t_i32 + t_bool
+    t_compact = t_u16 + t_bits
     print(
         f"per-batch fetch: now {t_now*1e3:.2f} ms -> compact "
         f"{t_compact*1e3:.2f} ms ({t_now/max(t_compact,1e-9):.2f}x)"

@@ -305,7 +305,11 @@ class Model:
         attn_mode = getattr(self.config, "attn_kernel", "off")
         attn_kernel = attn_mode == "on" or (
             attn_mode == "auto"
-            and jax.default_backend() not in ("cpu",)
+            # Positive TPU check ("axon" is the tunneled TPU platform):
+            # the kernel is pallas.tpu and cannot lower on GPU/other
+            # plugins — "not cpu" would crash there instead of falling
+            # back to the XLA formulation.
+            and jax.default_backend() in ("tpu", "axon")
             and self._batch_sharding is None
             and not self._multiprocess
         )

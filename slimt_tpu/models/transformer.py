@@ -258,7 +258,14 @@ def _decode_attention_joined(
             "bht,bte->bhe", a_op, v_op, preferred_element_type=acc
         ).astype(jnp.float32) / s_a
         selt = _head_selector(e, num_heads, jnp.float32)
-    elif k.dtype == jnp.int16 and attn_kernel and not on_cpu:
+    elif (
+        k.dtype == jnp.int16
+        and attn_kernel
+        # Positive TPU check: the kernel is pallas.tpu-only (cannot
+        # lower on GPU); every other backend falls through to the XLA
+        # formulation below.
+        and jax.default_backend() in ("tpu", "axon")
+    ):
         # Pallas kernel (ops/decode_attn_pallas): the selector-GEMM
         # formulation below materializes q2 = q ⊙ sel as a [B, E, H]
         # f32 HBM buffer per layer (~78 µs/step at B=2048 across both

@@ -46,13 +46,19 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _block_batch(batch: int, t: int, emb: int) -> int:
-    """Largest power-of-two batch block whose working set fits VMEM:
-    K+V double-buffered int16 (8·bB·T·E bytes) + one reused f32
-    scratch (4·bB·T·E) within a ~12 MiB budget."""
+    """Largest power-of-two batch block that DIVIDES the batch (the
+    grid floors — a non-divisor would leave trailing rows unwritten)
+    and whose working set fits VMEM: K+V double-buffered int16
+    (8·bB·T·E bytes) + one reused f32 scratch (4·bB·T·E) within a
+    ~12 MiB budget. Batches are power-of-two buckets times the
+    data-parallel process count, so non-powers like 24 occur."""
     budget = 12 * 1024 * 1024
     per_row = 12 * t * emb  # bytes per batch row in the working set
     bb = 1
-    while bb * 2 <= batch and (bb * 2) * per_row <= budget:
+    while (
+        batch % (bb * 2) == 0
+        and (bb * 2) * per_row <= budget
+    ):
         bb *= 2
     return bb
 

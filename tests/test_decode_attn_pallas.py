@@ -65,8 +65,29 @@ def test_fully_masked_rows_are_finite():
 def test_block_batch_sizing():
     from slimt_tpu.ops.decode_attn_pallas import _block_batch
 
-    # Fits the 12 MiB budget and divides the (power-of-two) batch.
-    for batch, t in [(2048, 64), (2048, 128), (2048, 192), (16, 64), (1, 16)]:
+    # Fits the 12 MiB budget and divides the batch — including
+    # NON-power-of-two batches (a power-of-two bucket times a
+    # data-parallel process count, e.g. 8 x 3 = 24): the grid floors,
+    # so a non-divisor block would leave trailing rows unwritten.
+    for batch, t in [
+        (2048, 64), (2048, 128), (2048, 192), (16, 64), (1, 16),
+        (24, 64), (96, 64), (40, 128), (3, 16),
+    ]:
         bb = _block_batch(batch, t, 256)
-        assert batch % bb == 0
+        assert batch % bb == 0, (batch, t, bb)
         assert 12 * bb * t * 256 <= 12 * 1024 * 1024 or bb == 1
+
+
+def test_non_power_of_two_batch_all_rows_written():
+    """batch=24 (8-bucket x 3 processes shape): every output row must
+    be computed — the grid-floor bug left rows >= bb uninitialized."""
+    e, h = 64, 4
+    q, kv, mask = _case(24, 16, e, h, seed=5)
+    mask_add = mask[:, None, None, :]
+    want, _ = tfm._decode_attention_joined(q[:, None, :], kv, mask_add, h)
+    got = decode_attention_int16(
+        q, kv["k"], kv["v"], kv["kqi"], kv["vqi"], mask, h, interpret=True
+    )
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want[:, 0, :]), rtol=2e-5, atol=2e-5
+    )
