@@ -60,16 +60,24 @@ def test_jit_compact_roundtrip(params):
     np.testing.assert_array_equal(valid, np.asarray(plain.valid))
 
 
-def test_compact_result_matches_manual_packing(params):
-    rng = np.random.default_rng(1)
-    res_tokens = jnp.asarray(rng.integers(0, 65535, (3, 10)).astype(np.int32))
-    res_valid = jnp.asarray(rng.integers(0, 2, (3, 10)).astype(bool))
+@pytest.mark.parametrize(
+    "b,s",
+    [(3, 10), (1, 1), (2, 8), (1, 7), (4, 9), (2, 16), (1, 17), (5, 96)],
+)
+def test_compact_result_matches_manual_packing(b, s):
+    """Round-trip across the bit-packing edge cases: S below/at/above
+    one byte word, odd S (padding byte), single-row batches."""
+    rng = np.random.default_rng(s * 31 + b)
+    res_tokens = jnp.asarray(rng.integers(0, 65535, (b, s)).astype(np.int32))
+    res_valid = jnp.asarray(rng.integers(0, 2, (b, s)).astype(bool))
 
     from slimt_tpu.models.decode import GreedyResult
 
-    res = GreedyResult(res_tokens, res_valid, jnp.zeros((3, 10, 0)))
+    res = GreedyResult(res_tokens, res_valid, jnp.zeros((b, s, 0)))
     c = compact_result(res)
-    tokens, valid = unpack_compact(np.asarray(c.packed), 10)
+    assert c.packed.dtype == jnp.uint16
+    assert c.packed.shape == (b, s + (((s + 7) // 8 + 1) // 2))
+    tokens, valid = unpack_compact(np.asarray(c.packed), s)
     np.testing.assert_array_equal(tokens, np.asarray(res_tokens))
     np.testing.assert_array_equal(valid, np.asarray(res_valid))
 
