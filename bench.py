@@ -962,12 +962,20 @@ def bench_longctx():
     rows = {}
     flash_1024 = None
     for t in lengths:
-        batch = max(1, total // t)
         for flash in (False, True):
-            if not flash and batch * t * t * config.num_heads * 4 > 2 << 30:
+            # Two-point slope over batch size (4x total tokens vs 1x):
+            # per-call dispatch/RTT through the tunnel (~20-30 ms) is
+            # identical at both points and cancels — single-call
+            # timings here measure the link, not the encoder.
+            b_lo = max(1, total // t)
+            b_hi = 4 * b_lo
+            if (
+                not flash
+                and b_hi * t * t * config.num_heads * 4 > 2 << 30
+            ):
                 # einsum SDPA materializes [B,H,T,T] f32 — skip configs
-                # whose score matrices alone exceed ~2 GiB (the point
-                # of the blockwise kernel).
+                # whose score matrices exceed ~2 GiB (the point of the
+                # blockwise kernel).
                 rows[f"T={t} einsum"] = "skipped (scores > 2 GiB)"
                 continue
 
@@ -980,21 +988,30 @@ def bench_longctx():
                 return jnp.sum(out)  # scalar fetch: don't time the link
 
             fn = jax.jit(run)
-            variants = [
-                jnp.asarray(
-                    rng.integers(3, vocab, (batch, t)).astype(np.int32)
+
+            def timed(batch):
+                variants = [
+                    jnp.asarray(
+                        rng.integers(3, vocab, (batch, t)).astype(np.int32)
+                    )
+                    for _ in range(4)
+                ]
+                msk = jnp.asarray(np.ones((batch, t), np.float32))
+                np.asarray(fn(params, variants[0], msk))  # compile
+                times = []
+                for idx in variants:
+                    t0 = time.perf_counter()
+                    np.asarray(fn(params, idx, msk))
+                    times.append(time.perf_counter() - t0)
+                return sorted(times)[len(times) // 2]
+
+            lo, hi = timed(b_lo), timed(b_hi)
+            if hi <= lo:
+                rows[f"T={t} " + ("flash" if flash else "einsum")] = (
+                    "unresolved (slope <= 0 under jitter)"
                 )
-                for _ in range(4)
-            ]
-            msk = jnp.asarray(np.ones((batch, t), np.float32))
-            np.asarray(fn(params, variants[0], msk))  # compile
-            times = []
-            for idx in variants:
-                t0 = time.perf_counter()
-                np.asarray(fn(params, idx, msk))
-                times.append(time.perf_counter() - t0)
-            med = sorted(times)[len(times) // 2]
-            tps = batch * t / med
+                continue
+            tps = (b_hi - b_lo) * t / (hi - lo)
             rows[f"T={t} " + ("flash" if flash else "einsum")] = round(tps, 1)
             if flash and t == 1024:
                 flash_1024 = tps
