@@ -957,12 +957,124 @@ def mode_e2e(args):
     return mismatch
 
 
+def mode_bleu(args):
+    """THE driver metric, one command (reference scripts/run.sh:1-28:
+    translate a test set with both engines, score with sacrebleu):
+    run the verbatim-compiled reference CLI and the slimt_tpu CLI on
+    identical input and print corpus BLEU for both plus line-level
+    agreement.
+
+    With a real model package (--bleu-package, e.g. en-de tiny11 via
+    `python -m slimt_tpu download`) and a real test set
+    (--bleu-source/--bleu-reference, e.g. WNGT20), this prints the
+    real-weights BLEU parity the reference README quotes. Offline —
+    the default — it validates the identical plumbing on the synthetic
+    package + data/corpus.txt, scoring against the reference CLI's own
+    output as pseudo-reference (reference BLEU = 100 by construction;
+    the slimt_tpu rows then express translation agreement in BLEU
+    units). Scoring: scripts/bleu.py, validated against the installed
+    sacrebleu to 4 decimals (tests/test_bleu.py)."""
+    from bleu import corpus_bleu
+
+    cli = os.path.join(ROOT, "crosscheck", "bin", "slimt_ref_cli")
+    env = dict(os.environ, JAX_PLATFORMS="cpu",
+               SLIMT_TPU_BATCH_BACKEND="native")
+
+    with tempfile.TemporaryDirectory() as tmp:
+        pkg = args.bleu_package
+        model_name, vocab_name = args.bleu_model, args.bleu_vocab
+        if pkg is None:
+            pkg = os.path.join(tmp, "pkg")
+            subprocess.run(
+                [sys.executable, "-m", "slimt_tpu", "synth", "--out", pkg],
+                check=True, capture_output=True, env=env, cwd=ROOT,
+            )
+            with open(os.path.join(pkg, "prefixes.txt"), "w") as f:
+                f.write(PREFIX_FILE)
+
+        if args.bleu_source:
+            with open(args.bleu_source, encoding="utf-8") as f:
+                sources = [line.rstrip("\n") for line in f]
+        else:
+            with open(os.path.join(ROOT, "data", "corpus.txt")) as f:
+                sources = [line.rstrip("\n") for line in f if line.strip()]
+        sources = sources[: args.bleu_lines]
+        text = "\n".join(sources)
+
+        ssplit = (
+            ["--ssplit", "prefixes.txt"]
+            if os.path.exists(os.path.join(pkg, "prefixes.txt"))
+            else []
+        )
+        ref = subprocess.run(
+            [cli, "--root", pkg, "--model", model_name,
+             "--vocabulary", vocab_name] + ssplit,
+            input=text, capture_output=True, text=True, check=True,
+        )
+        ref_lines = ref.stdout.splitlines()[4:]  # drop the config echo
+
+        def run_mine(extra):
+            mine = subprocess.run(
+                [sys.executable, "-m", "slimt_tpu", "translate",
+                 "--root", pkg, "--model", model_name,
+                 "--vocabulary", vocab_name] + ssplit + extra,
+                input=text, capture_output=True, text=True, check=True,
+                env=env, cwd=ROOT,
+            )
+            return mine.stdout.splitlines()
+
+        serving_lines = run_mine([])  # the declared serving config
+        exact_lines = run_mine(["--exact"])
+
+        pseudo = args.bleu_reference is None
+        if pseudo:
+            references = ref_lines
+        else:
+            with open(args.bleu_reference, encoding="utf-8") as f:
+                references = [line.rstrip("\n") for line in f]
+            references = references[: args.bleu_lines]
+
+        n = min(len(references), len(ref_lines), len(serving_lines),
+                len(exact_lines))
+        rows = {}
+        for label, lines in (
+            ("reference_cli", ref_lines),
+            ("slimt_tpu_serving", serving_lines),
+            ("slimt_tpu_exact", exact_lines),
+        ):
+            score, detail = corpus_bleu(lines[:n], references[:n])
+            rows[f"bleu_{label}"] = round(score, 2)
+        agree_serving = sum(
+            a == b for a, b in zip(serving_lines[:n], ref_lines[:n])
+        )
+        agree_exact = sum(
+            a == b for a, b in zip(exact_lines[:n], ref_lines[:n])
+        )
+        out = {
+            **rows,
+            "delta_serving": round(
+                rows["bleu_slimt_tpu_serving"] - rows["bleu_reference_cli"], 2
+            ),
+            "lines": n,
+            "line_exact_vs_reference_serving": round(agree_serving / n, 4),
+            "line_exact_vs_reference_exact": round(agree_exact / n, 4),
+            "pseudo_reference": pseudo,
+        }
+        print(json.dumps(out))
+        # Gate: the exact path must reproduce the reference's text
+        # nearly verbatim (pseudo-ref mode); with a real reference
+        # file there is no gate — the two BLEUs are the report.
+        if pseudo and out["line_exact_vs_reference_exact"] < 0.98:
+            return 1
+        return 0
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument(
         "mode", nargs="?", default="all",
         choices=["all", "tokens", "shortlist", "split", "process", "e2e",
-                 "serving"],
+                 "serving", "bleu"],
     )
     parser.add_argument("--lines", type=int, default=48)
     parser.add_argument(
@@ -971,6 +1083,23 @@ def main():
         "(x4 cells x2 projection legs = total corpus)",
     )
     parser.add_argument("--verbose", action="store_true")
+    parser.add_argument(
+        "--bleu-package", default=None,
+        help="model package dir for the bleu mode (default: synthetic "
+        "package; for real weights: python -m slimt_tpu download)",
+    )
+    parser.add_argument("--bleu-model", default="model.bin")
+    parser.add_argument("--bleu-vocab", default="vocab.spm")
+    parser.add_argument(
+        "--bleu-source", default=None,
+        help="test-set source file (default: data/corpus.txt)",
+    )
+    parser.add_argument(
+        "--bleu-reference", default=None,
+        help="test-set reference translations; absent = score against "
+        "the reference CLI's own output (plumbing validation)",
+    )
+    parser.add_argument("--bleu-lines", type=int, default=128)
     args = parser.parse_args()
 
     if not os.path.exists(HARNESS):
@@ -995,6 +1124,9 @@ def main():
         # leaves headroom for a rare rounding-boundary argmax flip on
         # future corpora.
         if mode_tokens(args) < 98.0:
+            rc = 1
+    if args.mode == "bleu":
+        if mode_bleu(args) != 0:
             rc = 1
     if args.mode == "serving":
         # Gates only the exact control row; the reduced-precision rows

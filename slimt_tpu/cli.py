@@ -146,6 +146,15 @@ def cmd_translate(args) -> int:
     # Execution-numerics overrides (engine extensions; no reference
     # counterpart). --exact pins the reference-exact path — what the
     # crosscheck e2e differential uses for byte-identical comparison.
+    if args.exact and (args.kv_dtype or args.argmax_method):
+        # --exact promises the reference-exact numerics; silently
+        # letting a later flag un-pin them would make the flag lie.
+        print(
+            "--exact pins kv-dtype/argmax-method; do not combine it "
+            "with --kv-dtype or --argmax-method",
+            file=sys.stderr,
+        )
+        return 2
     if args.exact:
         model_config.kv_cache_dtype = "float32"
         model_config.argmax_method = "exact"

@@ -31,6 +31,15 @@ import jax.numpy as jnp
 
 from slimt_tpu.models import transformer as tfm
 
+# Read ONCE at import: the value participates in traced control flow,
+# so a mid-process change could not take effect for already-compiled
+# shape buckets anyway (jit caches would silently mix unrolls). Set it
+# before the process imports slimt_tpu, or pass `loop_unroll`
+# explicitly per call.
+import os as _os
+
+_ENV_DECODE_UNROLL = int(_os.environ.get("SLIMT_TPU_DECODE_UNROLL", "1"))
+
 
 class GreedyResult(NamedTuple):
     tokens: jax.Array  # [B, max_steps] int32
@@ -72,9 +81,7 @@ def greedy_decode(
     # tails, tested) for future hardware where the tradeoff may flip.
     # SLIMT_TPU_DECODE_UNROLL or the parameter overrides.
     if loop_unroll is None:
-        import os as _os
-
-        loop_unroll = int(_os.environ.get("SLIMT_TPU_DECODE_UNROLL", "1"))
+        loop_unroll = _ENV_DECODE_UNROLL
     unroll = max(1, int(loop_unroll))
     steps_padded = -(-max_steps // unroll) * unroll
     if provider == "fused_step" and not isinstance(params["decoder"], list):
@@ -94,6 +101,13 @@ def greedy_decode(
         # bf16 rather than erroring — fused_step is an explicit
         # latency-regime opt-in with its own numerics note.
         kv_dtype = "bfloat16"
+    if kv_dtype == "float32" and provider != "fused_step":
+        # "float32" means THE exact path (split [B,H,T,D] f32 caches —
+        # the same mapping models/model.py applies to
+        # ModelConfig.kv_cache_dtype), not a joined-layout f32 cache
+        # with its different accumulation order. fused_step is the one
+        # consumer of a genuinely joined float cache.
+        kv_dtype = None
     # "fused_step" only changes the decode-step body; every other op
     # (KV projection here, encoder in translate_batch) runs the
     # default int8 qmm path.

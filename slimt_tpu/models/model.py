@@ -303,6 +303,17 @@ class Model:
         # gates on a TPU backend with no mesh sharding (the kernel has
         # no partitioning rules) — forced via config.attn_kernel.
         attn_mode = getattr(self.config, "attn_kernel", "off")
+        if attn_mode == "on" and (
+            self._batch_sharding is not None or self._multiprocess
+        ):
+            # The Pallas kernel has no partitioning rules: forcing it
+            # onto a meshed model would fail (or mis-lower) inside the
+            # sharded decode loop. "auto" falls back silently; an
+            # explicit "on" gets an explicit error.
+            raise ValueError(
+                "attn_kernel='on' is incompatible with a sharded model "
+                "(mesh/multiprocess) — use attn_kernel='auto'"
+            )
         attn_kernel = attn_mode == "on" or (
             attn_mode == "auto"
             # Positive TPU check ("axon" is the tunneled TPU platform):

@@ -21,16 +21,17 @@ tiled.
 Returns (y, c', attn_head0) — head 0 of the attention weights feeds
 the soft alignments (slimt/Model.cc:84-108).
 
-STATUS: experimental, interpret-parity-tested, compiles standalone on
-TPU with a raised VMEM cap — but not wired into the default decode:
-for head_dim=32 student models Mosaic pads the per-head K/V lane
-dimension to 128 (4x VMEM), so inside the decode scan the kernel plus
-XLA's surrounding fusion exceeds the 16 MB scoped-VMEM budget at
-serving batch sizes. The XLA path with the VPU mul-reduce attention
-(transformer.scaled_dot_product_attention) is within ~2-3x of the HBM
-floor already, so the remaining headroom did not justify a layout
-rewrite this round; revisit with [B,T,E]-layout KV and selector-matrix
-head reduction if more decode throughput is needed.
+STATUS (round 3): the per-layer kernel above is the historical
+experiment; what SHIPS from this file is `whole_decode_step` — the
+whole-step fusion behind `ModelConfig(qmm_provider="fused_step")`,
+the measured interactive-latency recommendation at batch=1 (10-12
+µs/step vs ~27-35 for the default path, re-confirmed across two
+sessions — PERFORMANCE.md "batch1"). At serving batch sizes it
+measures SLOWER than XLA's own fusion (1234 vs 793 µs/step at
+B=2048) and the serving default remains xla_int8. Numerics: the
+kernel runs a float joined KV cache (bf16 coercion for reduced
+dtypes) + its own argmax — bf16-class agreement, labeled wherever the
+B=1 number is quoted.
 """
 
 from __future__ import annotations

@@ -161,3 +161,23 @@ def test_serving_config_agreement_vs_reference(cell):
     # Small-sample floor well under the published 99.57% but far above
     # anything a broken int16/packed path would produce.
     assert agree >= 0.95, f"serving-config agreement {agree:.3f}"
+
+
+def test_bleu_parity_harness(crosscheck):
+    """CI slice of the one-command BLEU-parity harness
+    (scripts/crosscheck.py bleu): both CLIs on 12 natural-corpus
+    lines against the synthetic package, scored with scripts/bleu.py
+    (itself sacrebleu-validated in test_bleu.py). Gates on the exact
+    path reproducing the reference CLI's text (pseudo-reference
+    mode)."""
+
+    class Args:
+        verbose = True
+        bleu_package = None
+        bleu_model = "model.bin"
+        bleu_vocab = "vocab.spm"
+        bleu_source = None
+        bleu_reference = None
+        bleu_lines = 12
+
+    assert crosscheck.mode_bleu(Args()) == 0
