@@ -45,7 +45,62 @@ def timed_fetch(make, label, nbytes):
     return med
 
 
+def mode_grouped():
+    """Size the fetch-grouping win (round-4): one [k,B,S'] fetch of
+    k batches' compact buffers vs k separate fetches, serial and on
+    the 4-thread pool the benches use. Resolves whether the link cost
+    is fixed-per-array (grouping wins) or bandwidth-per-byte at one
+    stream (grouping loses to overlapped streams)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    print(f"devices: {jax.devices()}  B={B} S={S} grouped-fetch probe")
+    key = jax.random.PRNGKey(7)
+    s_packed = S + ((S + 7) // 8 + 1) // 2  # compact_result width
+    nbytes1 = B * s_packed * 2
+
+    def one(i):
+        return jax.random.randint(
+            jax.random.fold_in(key, i), (B, s_packed), 0, 60000, jnp.int32
+        ).astype(jnp.uint16)
+
+    for k in (1, 2, 4, 6, 8):
+        def grouped(i, k=k):
+            return jax.random.randint(
+                jax.random.fold_in(key, 10_000 * k + i),
+                (k, B, s_packed), 0, 60000, jnp.int32,
+            ).astype(jnp.uint16)
+
+        timed_fetch(grouped, f"grouped k={k} one array", k * nbytes1)
+
+    # k separate arrays, fetched serially and on a 4-thread pool.
+    for threads in (1, 4):
+        for k in (4, 6, 8):
+            arrays = [
+                [one(1000 * rep + 17 * k + j) for j in range(k)]
+                for rep in range(REPS)
+            ]
+            for rep in arrays:
+                for a in rep:
+                    a.block_until_ready()
+            [np.asarray(a) for a in arrays[0]]
+            times = []
+            with ThreadPoolExecutor(max_workers=threads) as pool:
+                for rep in arrays[1:]:
+                    t0 = time.perf_counter()
+                    list(pool.map(np.asarray, rep))
+                    times.append(time.perf_counter() - t0)
+            med = sorted(times)[len(times) // 2]
+            total = k * nbytes1
+            print(
+                f"separate k={k} threads={threads}      "
+                f"{total/1024:8.0f} KiB  median {med*1e3:7.2f} ms  "
+                f"{total/med/1e6:8.1f} MB/s"
+            )
+
+
 def main():
+    if len(sys.argv) > 1 and sys.argv[1] == "grouped":
+        return mode_grouped()
     print(f"devices: {jax.devices()}  B={B} S={S}")
     key = jax.random.PRNGKey(0)
 

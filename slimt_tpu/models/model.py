@@ -196,12 +196,19 @@ class Model:
         self,
         segments: Sequence[Sequence[int]],
         need_alignment: bool = True,
+        raw: bool = False,
     ):
         """Dispatch the device computation and return a zero-arg
         callable producing the Histories. JAX dispatch is async, so
         callers can launch several batches back-to-back and fetch
         results later — hiding the host↔device round-trip behind
-        compute (the serving loops use this to pipeline batches)."""
+        compute (the serving loops use this to pipeline batches).
+
+        `raw=True`: finish() returns the columnar result arrays
+        (tokens [B, steps], per-row step counts, alignment or None)
+        instead of per-row Hypothesis objects — the serving loops feed
+        these straight to Batch.complete_raw (one native decode call
+        for the whole matrix, no per-row Python)."""
         batch = len(segments)
         lengths = [len(s) for s in segments]
         # power-of-two bucket, rounded to a multiple of the data axis
@@ -219,7 +226,7 @@ class Model:
         if self.shortlist_generator is not None:
             words = [w for s in segments for w in s]
         return self._dispatch(
-            indices, mask, lengths, batch, need_alignment, words
+            indices, mask, lengths, batch, need_alignment, words, raw=raw
         )
 
     def forward_async_arrays(

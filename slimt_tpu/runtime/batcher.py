@@ -19,7 +19,7 @@ import heapq
 import threading
 from typing import Dict, List, Optional, Tuple
 
-from slimt_tpu.runtime.request import History, Request
+from slimt_tpu.runtime.request import History, Hypothesis, Request
 
 
 class SegmentRef:
@@ -75,6 +75,46 @@ class Batch:
             for history, d in zip(histories, decoded):
                 history.decoded = d
         for ref, history in zip(self.segment_refs, histories):
+            ref.complete(history)
+
+    def complete_raw(self, tokens, steps, vocabulary) -> None:
+        """Columnar completion for alignment-free batches: decode the
+        padded device token matrix in ONE native call
+        (decode_padded — no per-token Python objects), then hand each
+        request a Hypothesis carrying presliced bytes + end offsets.
+        This is the bulk lane's fetch path (runtime/bulk.py
+        _translate_bulk_columnar.fetch) applied to the per-request
+        machinery; Request.process/continuation semantics (countdown,
+        cache store, pivot CPS) are unchanged and the Responses are
+        byte-identical to complete() (differential-tested,
+        tests/test_service.py)."""
+        refs = self.segment_refs
+        n = len(refs)
+        if n == 0:
+            return
+        nat = vocabulary._native
+        text, text_off, ends, ends_off = nat.decode_padded(tokens[:n], steps)
+        steps_l = steps.tolist()
+        text_off_l = text_off.tolist()
+        ends_off_l = ends_off.tolist()
+        ends_l = ends.tolist()
+        # Target token lists are only consumed by the translation
+        # cache (Request.process stores them for future hits); one
+        # whole-matrix tolist beats per-row numpy slicing when needed.
+        rows = (
+            tokens[:n].tolist()
+            if any(ref.request.cache is not None for ref in refs)
+            else None
+        )
+        for i, ref in enumerate(refs):
+            history = Hypothesis(
+                target=rows[i][: steps_l[i]] if rows is not None else [],
+                alignment=[],
+                decoded=(
+                    text[text_off_l[i] : text_off_l[i + 1]].tobytes(),
+                    ends_l[ends_off_l[i] : ends_off_l[i + 1]],
+                ),
+            )
             ref.complete(history)
 
 

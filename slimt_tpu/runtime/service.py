@@ -48,6 +48,32 @@ def _needs_alignment(batch: Batch) -> bool:
     return any(ref.request.needs_alignment for ref in batch.segment_refs)
 
 
+# Differential-test toggle (tests/test_service.py): False pins every
+# batch to the historical per-row completion path.
+RAW_COMPLETION = True
+
+
+def _use_raw(model, need_alignment: bool) -> bool:
+    """Alignment-free batches with the native tokenizer complete
+    through the columnar path (Batch.complete_raw — one decode call
+    per device batch, no per-row Hypothesis/tolist work); alignment
+    batches keep the per-row path that materializes the attention
+    matrices."""
+    return (
+        RAW_COMPLETION
+        and not need_alignment
+        and model.vocabulary.resolved_batch_backend == "native"
+    )
+
+
+def _complete_batch(model, batch: Batch, finish, raw: bool) -> None:
+    if raw:
+        tokens, steps, _align = finish()
+        batch.complete_raw(tokens, steps, model.vocabulary)
+    else:
+        batch.complete(finish())
+
+
 def _exhaust(model, batcher: Batcher, meters=None, pool=None) -> None:
     """Translate until the batcher runs dry, recording wps/occupancy
     (slimt/Frontend.cc:42-60).
@@ -67,22 +93,29 @@ def _exhaust(model, batcher: Batcher, meters=None, pool=None) -> None:
         batch = batcher.generate()
         while not batch.empty():
             segments = [ref.get() for ref in batch.segment_refs]
+            need_alignment = _needs_alignment(batch)
+            raw = _use_raw(model, need_alignment)
             finish = model.forward_async(
-                segments, need_alignment=_needs_alignment(batch)
+                segments, need_alignment=need_alignment, raw=raw
             )
-            in_flight.append((batch, len(segments), finish))
+            in_flight.append((batch, len(segments), finish, raw))
             batch = batcher.generate()
         if not in_flight:
             return
 
         pending = []
         try:
-            for batch, n_segments, finish in in_flight:
-                histories = finish()
+            for batch, n_segments, finish, raw in in_flight:
                 if pool is None:
-                    batch.complete(histories)
+                    _complete_batch(model, batch, finish, raw)
                 else:
-                    pending.append(pool.submit(batch.complete, histories))
+                    # finish() (the device→host fetch) rides the pool
+                    # too: the link moves ~4-5x more bytes/s across
+                    # concurrent streams than on one
+                    # (scripts/ubench_transfer.py grouped).
+                    pending.append(
+                        pool.submit(_complete_batch, model, batch, finish, raw)
+                    )
                 if meters is not None:
                     meters.record_batch(
                         words=batch.token_count,
@@ -366,11 +399,13 @@ class Async:
                 return
             try:
                 t0 = time.perf_counter()
-                histories = model.forward(
+                need_alignment = _needs_alignment(batch)
+                raw = _use_raw(model, need_alignment)
+                finish = model.forward_async(
                     [ref.get() for ref in batch.segment_refs],
-                    need_alignment=_needs_alignment(batch),
+                    need_alignment=need_alignment, raw=raw,
                 )
-                batch.complete(histories)
+                _complete_batch(model, batch, finish, raw)
                 self.meters.record_batch(
                     words=batch.token_count,
                     elapsed=time.perf_counter() - t0,

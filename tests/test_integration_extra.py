@@ -57,6 +57,9 @@ def test_async_error_surfaces_to_future(model):
         def forward(self, segments, need_alignment=True):
             raise RuntimeError("synthetic device failure")
 
+        def forward_async(self, segments, need_alignment=True, raw=False):
+            raise RuntimeError("synthetic device failure")
+
     with Async(Config(cache_size=0, workers=1)) as service:
         handle = service.translate(BrokenModel(), "hello world")
         with pytest.raises(RuntimeError, match="synthetic device failure"):

@@ -226,3 +226,58 @@ def test_decode_cap_uses_actual_length(model):
     if eos in words:
         pytest.skip("synthetic decode emitted EOS before the cap")
     assert len(words) == cap
+
+
+def test_raw_completion_differential(model):
+    """The columnar completion path (Batch.complete_raw — round 4)
+    must produce byte-identical Responses to the per-row path on both
+    the Blocking exhaust loop and the Async workers, including cached
+    reuse across batches."""
+    from slimt_tpu.runtime import service as service_mod
+
+    corpus = [
+        "hello world",
+        "the quick brown fox jumps over the lazy dog again and again",
+        "goodbye test",
+        "",
+        "hello world",  # duplicate: cache interplay
+        "one two three four five six seven eight nine ten eleven twelve "
+        "thirteen fourteen fifteen sixteen",  # wraps into 2+ segments
+    ]
+
+    def snapshot(responses):
+        return [
+            (
+                r.source.text,
+                r.target.text,
+                [
+                    r.target.word(s, w)
+                    for s in range(r.target.sentence_count())
+                    for w in range(r.target.word_count(s))
+                ],
+                r.alignments,
+            )
+            for r in responses
+        ]
+
+    results = {}
+    for raw_flag in (True, False):
+        service_mod.RAW_COMPLETION = raw_flag
+        try:
+            blocking = Blocking(
+                Config(cache_size=64, max_words=64, wrap_length=16,
+                       prefer_bulk=False)
+            )
+            got_blocking = snapshot(blocking.translate(model, corpus))
+            with Async(
+                Config(cache_size=64, max_words=64, wrap_length=16,
+                       workers=2)
+            ) as svc:
+                handles = svc.translate_many(model, corpus)
+                got_async = snapshot([h.result(120) for h in handles])
+        finally:
+            service_mod.RAW_COMPLETION = True
+        results[raw_flag] = (got_blocking, got_async)
+
+    assert results[True][0] == results[False][0]  # Blocking identical
+    assert results[True][1] == results[False][1]  # Async identical
