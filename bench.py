@@ -65,6 +65,15 @@ def _model(vocab=32000, emb=256, ffn=1536, enc=6, dec=2, with_shortlist=False):
     return Model(config, package)
 
 
+def _default_enc_dtype():
+    """The service default (ModelConfig.encoder_dtype) so every bench
+    mode runs THE declared numerics config unless BENCH_ENC_DTYPE
+    overrides for an ablation."""
+    from slimt_tpu.config import ModelConfig
+
+    return ModelConfig.encoder_dtype
+
+
 def _make_shortlist(vocab, width, rng):
     """Static sorted unique shortlist of `width` target ids — the
     device-side shape of the reference's flagship operating mode
@@ -107,6 +116,11 @@ def _decode_bench(
     kv = kv or os.environ.get("BENCH_KV", "int16")
     with_alignment = os.environ.get("BENCH_ALIGN") == "1"
     argmax_method = os.environ.get("BENCH_ARGMAX", "packed_fp16")
+    # Reduced-precision encoder activations (ModelConfig.encoder_dtype
+    # default); BENCH_ENC_DTYPE=float32 ablates the exact f32 encoder.
+    enc_dtype = os.environ.get("BENCH_ENC_DTYPE", _default_enc_dtype())
+    if enc_dtype in ("", "float32", "none"):
+        enc_dtype = None
     # Decoder form matches the service's dtype-aware choice
     # (models/model.py): stacked under int8 KV, unrolled otherwise
     # (same-process A/B 2026-08-20: int16 829 stacked vs 755 unrolled;
@@ -157,6 +171,7 @@ def _decode_bench(
             with_alignment=with_alignment,
             argmax_method=argmax_method,
             attn_kernel=attn_kernel,
+            encoder_dtype=enc_dtype,
         )
         return compact_result(res) if compact else res
 

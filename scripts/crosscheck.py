@@ -190,7 +190,7 @@ def run_reference(paths, config, sentences, batch, with_shortlist,
 
 def run_slimt_tpu(model_bytes, config, sentences, batch, eos, pad,
                   shortlist_gen, kv_dtype="float32", argmax_method="exact",
-                  with_alignment=True):
+                  with_alignment=True, encoder_dtype=None):
     """Decode through slimt_tpu. Defaults are the EXACT numerics
     (f32 KV cache, f32 variadic argmax — reference
     Transformer.cc:279-339 semantics); the serving mode overrides
@@ -223,6 +223,7 @@ def run_slimt_tpu(model_bytes, config, sentences, batch, eos, pad,
             kv_dtype=kv_dtype,
             argmax_method=argmax_method,
             with_alignment=with_alignment,
+            encoder_dtype=encoder_dtype,
         ),
         static_argnames=("max_steps",),
     )
@@ -490,6 +491,20 @@ SERVING_CONFIGS = [
         "kv_dtype": "int8", "argmax_method": "packed_bf16",
         "with_alignment": False,
     }),
+    # Reduced-precision ENCODER activations (ModelConfig.encoder_dtype
+    # — the residual stream between encoder blocks rides fp16/bf16;
+    # int8 affine inputs round through it before quantization). A
+    # one-shot perturbation of encoder_out, unlike the KV rows whose
+    # error re-enters every decode step.
+    ("enc=float16", {"encoder_dtype": "float16"}),
+    ("enc=bfloat16", {"encoder_dtype": "bfloat16"}),
+    # Candidate full stack: fp16 encoder on top of the declared
+    # serving config.
+    ("encfp16+int16+packedfp16+noalign", {
+        "encoder_dtype": "float16",
+        "kv_dtype": "int16", "argmax_method": "packed_fp16",
+        "with_alignment": False,
+    }),
 ]
 
 
@@ -502,11 +517,20 @@ def mode_serving(args):
     PERFORMANCE.md to cite. Exit status gates only the exact control
     row (>=98% sentences, the tokens-mode floor); the reduced rows are
     the published measurement."""
+    configs = SERVING_CONFIGS
+    partial = bool(getattr(args, "serving_configs", None))
+    if partial:
+        pats = [p.strip() for p in args.serving_configs.split(",") if p.strip()]
+        configs = [
+            (label, opts)
+            for label, opts in SERVING_CONFIGS
+            if label == "exact" or any(p in label for p in pats)
+        ]
     totals = {
         label: [0, 0, 0, 0]  # sent_exact, sent_total, tok_agree, tok_total
-        for label, _ in SERVING_CONFIGS
+        for label, _ in configs
     }
-    per_cell = {label: [] for label, _ in SERVING_CONFIGS}
+    per_cell = {label: [] for label, _ in configs}
     batch = 8
     with tempfile.TemporaryDirectory() as tmp:
         for label, enc, dec, heads, emb, ffn, seed in CELLS:
@@ -537,7 +561,7 @@ def mode_serving(args):
                 ref = run_reference(
                     cell_paths, config, sentences, batch, with_shortlist
                 )
-                for conf_label, opts in SERVING_CONFIGS:
+                for conf_label, opts in configs:
                     got = run_slimt_tpu(
                         cell_bytes, config, sentences, batch, eos, pad,
                         gen if with_shortlist else None, **opts,
@@ -582,7 +606,7 @@ def mode_serving(args):
         f" {'worst cell tok%':>16s}"
     )
     report = {}
-    for conf_label, _ in SERVING_CONFIGS:
+    for conf_label, _ in configs:
         se, st, ta, tt = totals[conf_label]
         worst = min(
             100.0 * c["tok_agree"] / max(1, c["tok_total"])
@@ -600,6 +624,10 @@ def mode_serving(args):
             "cells": per_cell[conf_label],
         }
     out_path = os.path.join(ROOT, "crosscheck", "serving_agreement.json")
+    if partial:
+        print("(filtered run: serving_agreement.json NOT updated)")
+        exact = totals["exact"]
+        return 100.0 * exact[0] / max(1, exact[1])
     with open(out_path, "w") as f:
         json.dump(
             {
@@ -1081,6 +1109,13 @@ def main():
         "--serving-lines", type=int, default=256,
         help="sentences per architecture cell in the serving sweep "
         "(x4 cells x2 projection legs = total corpus)",
+    )
+    parser.add_argument(
+        "--serving-configs", default=None,
+        help="comma-separated substring filter over SERVING_CONFIGS "
+        "labels ('exact' always included as the control); a filtered "
+        "run prints the table but does NOT overwrite "
+        "serving_agreement.json",
     )
     parser.add_argument("--verbose", action="store_true")
     parser.add_argument(

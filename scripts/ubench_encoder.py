@@ -98,16 +98,18 @@ def main():
     rng = np.random.default_rng(0)
     mask = jnp.asarray(np.ones((B, T), np.float32))
 
-    def make_fn(embed_only=False, flash=False):
+    def make_fn(embed_only=False, flash=False, act=None):
+        adt = jnp.dtype(act) if act else None
+
         def run(p, i, m):
-            x = tfm.transform_embedding(tfm.embed(p, i))
+            x = tfm.transform_embedding(tfm.embed(p, i, dtype=adt))
             if embed_only:
                 return jnp.sum(x)
             out = tfm.encoder_forward(
                 p, x, tfm.make_additive_mask(m), config.num_heads, None,
-                flash=flash,
+                flash=flash, act_dtype=adt,
             )
-            return jnp.sum(out)
+            return jnp.sum(out.astype(jnp.float32))
 
         return jax.jit(run)
 
@@ -130,8 +132,12 @@ def main():
         t_lo, t_hi = chain(lo), chain(hi)
         return (t_hi - t_lo) / (hi - lo)
 
-    cases = ("no_scores", "no_attn", "no_ffn", "embed_only", "unrolled",
-             "flash")
+    cases = tuple(
+        os.environ.get(
+            "UB_CASES",
+            "no_scores,no_attn,no_ffn,embed_only,unrolled,flash,f16,bf16",
+        ).split(",")
+    )
     fulls = []
     diffs = {c: [] for c in cases}
     for r in range(ROUNDS):
@@ -143,6 +149,10 @@ def main():
                 abl = slope(make_fn(), unstacked)
             elif case == "flash":
                 abl = slope(make_fn(flash=True), stacked)
+            elif case == "f16":
+                abl = slope(make_fn(act="float16"), stacked)
+            elif case == "bf16":
+                abl = slope(make_fn(act="bfloat16"), stacked)
             else:
                 restore = patched(case)
                 try:
@@ -160,7 +170,7 @@ def main():
           f"({B*T/med(fulls)/1e6:.2f}M enc tok/s)")
     for case in cases:
         d = med(diffs[case]) * 1e3
-        if case in ("unrolled", "flash"):
+        if case in ("unrolled", "flash", "f16", "bf16"):
             print(f"  {case:10s} delta {d:+7.1f} ms (negative = variant "
                   "slower)")
         elif case == "embed_only":

@@ -99,6 +99,25 @@ class ModelConfig:
     # encoding, not a numerics knob; auto-disabled when
     # vocab_size > 65535 (marian tiny/base vocabs are 32k).
     compact_transfer: bool = True
+    # Reduced-precision ENCODER activations ("float16"/"bfloat16"):
+    # the residual stream and SDPA operands between encoder blocks
+    # ride this dtype (LN statistics and matmul accumulation stay
+    # f32; the int8 affine inputs round through it before
+    # quantization). The encoder is activation-HBM-traffic-bound at
+    # serving batch (scripts/ubench_encoder.py: 42-48 ms/batch at
+    # B=2048xT=64, 47% of the headline wall), so halving the bytes is
+    # a ~25% encoder win (fp16 -10.5 ms, bf16 -13.5 ms, same-process
+    # slope A/B). MEASURED AGREEMENT (adversarial crosscheck serving
+    # sweep vs the reference binary): float16 92.8% / bfloat16 92.5%
+    # token agreement — int8-CLASS, far below the declared config's
+    # 99.57%. fp16 ≈ bf16 here because the loss is NOT the rounding
+    # magnitude: any reduced dtype upstream of an int8 activation
+    # quantize flips rint() by ±1 LSB on a few % of entries, and six
+    # cascaded encoder layers amplify that into near-tie argmax flips
+    # on adversarial random weights. Hence a labeled SPEED OPT-IN
+    # (like kv int8), NOT part of the declared serving config. None =
+    # exact f32 encoder (bit-identical reference numerics).
+    encoder_dtype: "str | None" = None
 
 
 @dataclasses.dataclass

@@ -257,17 +257,27 @@ def translate_batch(
     argmax_method: str = "exact",
     loop_unroll: Optional[int] = None,
     attn_kernel: bool = False,
+    encoder_dtype: Optional[str] = None,
 ) -> GreedyResult:
     """Full forward: embed → encoder → greedy decode
     (slimt/Model.cc:187-204). `indices`/`mask`: [B, T] padded batch in
-    the reference Input layout (slimt/Input.cc:20-47)."""
-    word_embedding = tfm.embed(params, indices)
+    the reference Input layout (slimt/Input.cc:20-47).
+
+    `encoder_dtype` ("float16"/"bfloat16") runs the encoder's residual
+    stream and SDPA operands in that dtype — the encoder is activation-
+    HBM-traffic-bound at serving batch (scripts/ubench_encoder.py), so
+    halving the bytes is a large encoder win; the int8 affine inputs
+    round through it before quantization. None = exact f32. The
+    decode loop's own numerics (kv_dtype, argmax) are independent."""
+    act = jnp.dtype(encoder_dtype) if encoder_dtype else None
+    word_embedding = tfm.embed(params, indices, dtype=act)
     word_embedding = tfm.transform_embedding(word_embedding)
     mask_add = tfm.make_additive_mask(mask)
     encoder_out = tfm.encoder_forward(
         params, word_embedding, mask_add, num_heads,
         None if provider == "fused_step" else provider,
         flash=flash_attention,
+        act_dtype=act,
     )
     return greedy_decode(
         params,
@@ -355,6 +365,7 @@ def unpack_compact(packed, max_steps: int):
         "argmax_method",
         "compact_output",
         "attn_kernel",
+        "encoder_dtype",
     ),
 )
 def translate_batch_jit(
@@ -376,6 +387,7 @@ def translate_batch_jit(
     argmax_method: str = "exact",
     compact_output: bool = False,
     attn_kernel: bool = False,
+    encoder_dtype: Optional[str] = None,
 ):
     """Jitted entry; compile cache keyed on (B, T, S) bucket shapes.
     `steps_cap` is a traced scalar (no recompile across values).
@@ -398,5 +410,6 @@ def translate_batch_jit(
         with_alignment,
         argmax_method,
         attn_kernel=attn_kernel,
+        encoder_dtype=encoder_dtype,
     )
     return compact_result(result) if compact_output else result

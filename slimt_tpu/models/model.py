@@ -360,6 +360,7 @@ class Model:
             argmax_method=self.config.argmax_method,
             compact_output=compact,
             attn_kernel=attn_kernel,
+            encoder_dtype=getattr(self.config, "encoder_dtype", None),
         )
         def finish() -> List[Hypothesis]:
             if self._multiprocess:

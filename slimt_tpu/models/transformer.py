@@ -40,23 +40,31 @@ MASK_MIN = -99999999.0  # slimt/Input.cc:57-58
 
 def layer_norm(x: jax.Array, ln: dict) -> jax.Array:
     """y = (x - mean) / sqrt(var + eps) * scale + bias
-    (slimt/TensorOps.cc:542-580; variance is the biased /N form)."""
-    mean = jnp.mean(x, axis=-1, keepdims=True)
-    centered = x - mean
+    (slimt/TensorOps.cc:542-580; variance is the biased /N form).
+
+    Statistics always accumulate in f32; the output carries the input
+    dtype (the reduced-precision encoder mode keeps its residual
+    stream in fp16/bf16 — see encoder `act_dtype`)."""
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    centered = xf - mean
     var = jnp.mean(centered * centered, axis=-1, keepdims=True)
     inv = jax.lax.rsqrt(var + LN_EPS)
-    return centered * inv * ln["scale"] + ln["bias"]
+    return (centered * inv * ln["scale"] + ln["bias"]).astype(x.dtype)
 
 
-def embed(params: dict, indices: jax.Array) -> jax.Array:
-    """Token ids → f32 embeddings [.., E].
+def embed(
+    params: dict, indices: jax.Array, dtype: Optional[jnp.dtype] = None
+) -> jax.Array:
+    """Token ids → float embeddings [.., E] (f32 unless `dtype`).
 
     The embedding matrix is kept int8 in HBM (it doubles as the output
     projection); rows are gathered then dequantized, matching the
     reference's load-time unquantize of Wemb (slimt/Io.cc:182-224).
     """
+    dt = dtype or jnp.float32
     rows = jnp.take(params["emb"]["q"], indices, axis=0)
-    return rows.astype(jnp.float32) * (1.0 / params["emb"]["scale"])
+    return rows.astype(dt) * (1.0 / params["emb"]["scale"]).astype(dt)
 
 
 def sinusoidal_signal(
@@ -83,14 +91,26 @@ def sinusoidal_signal(
 def transform_embedding(
     x: jax.Array, start: int = 0, positions: Optional[jax.Array] = None
 ) -> jax.Array:
-    """x*sqrt(E) + positional signal (slimt/Transformer.cc:24-49)."""
+    """x*sqrt(E) + positional signal (slimt/Transformer.cc:24-49).
+
+    Dtype-preserving: the signal is rounded to x's dtype so the
+    reduced-precision encoder mode doesn't silently promote back to
+    f32 (f32 paths are bit-identical — the cast is a no-op there)."""
     emb_dim = x.shape[-1]
     signal = sinusoidal_signal(start, x.shape[-2], emb_dim, positions)
-    return x * math.sqrt(emb_dim) + signal
+    return x * math.sqrt(emb_dim) + signal.astype(x.dtype)
 
 
-def _affine(p: dict, x: jax.Array, provider: Optional[str]) -> jax.Array:
-    return qmm.affine(x, p["q"], p["b"], p["aq"], p["bq"], provider=provider)
+def _affine(
+    p: dict,
+    x: jax.Array,
+    provider: Optional[str],
+    out_dtype: jnp.dtype = jnp.float32,
+) -> jax.Array:
+    return qmm.affine(
+        x, p["q"], p["b"], p["aq"], p["bq"], provider=provider,
+        out_dtype=out_dtype,
+    )
 
 
 def _split_heads(x: jax.Array, num_heads: int) -> jax.Array:
@@ -150,7 +170,9 @@ def scaled_dot_product_attention(
         v,
         preferred_element_type=jnp.float32,
     )
-    return out.astype(jnp.float32), attn
+    # Dtype-preserving on q: the reduced-precision encoder keeps its
+    # residual stream in fp16/bf16 (f32 paths unchanged).
+    return out.astype(q.dtype), attn
 
 
 def _head_selector(emb_dim: int, num_heads: int, dtype) -> jax.Array:
@@ -361,6 +383,7 @@ def attention_forward(
     kv_cache: Optional[Tuple[jax.Array, jax.Array]] = None,
     flash: bool = False,
     attn_kernel: bool = False,
+    act_dtype: Optional[jnp.dtype] = None,
 ) -> Tuple[jax.Array, jax.Array]:
     """Full attention block incl. residual + post-LN
     (slimt/Modules.cc:287-319). Returns (out, attn_weights).
@@ -373,8 +396,13 @@ def attention_forward(
     blockwise Pallas kernel (O(T·block) memory; attn weights not
     materialized — returns None for them). `attn_kernel=True` routes
     the int16 joined cache through the Pallas decode-attention kernel
-    (alignment-free path; weights come back as zeros).
+    (alignment-free path; weights come back as zeros). `act_dtype`
+    (encoder reduced-precision mode) carries the residual stream and
+    SDPA operands in fp16/bf16 — the encoder is HBM-traffic-bound at
+    serving batch, so halving the activation bytes is ~a 1.4x encoder
+    win; None keeps the exact f32 path bit-identical.
     """
+    act = act_dtype or jnp.float32
     if isinstance(kv_cache, dict):
         yq = _affine(att["q"], q_in, provider)  # [B, 1, E]
         attn_out, attn = _decode_attention_joined(
@@ -382,25 +410,41 @@ def attention_forward(
         )
         out = _affine(att["o"], attn_out, provider)
         return layer_norm(q_in + out, att["ln"]), attn
-    yq = _split_heads(_affine(att["q"], q_in, provider), num_heads)
+    yq = _split_heads(
+        _affine(att["q"], q_in, provider, out_dtype=act), num_heads
+    )
     if kv_cache is None:
-        yk = _split_heads(_affine(att["k"], k_in, provider), num_heads)
-        yv = _split_heads(_affine(att["v"], v_in, provider), num_heads)
+        yk = _split_heads(
+            _affine(att["k"], k_in, provider, out_dtype=act), num_heads
+        )
+        yv = _split_heads(
+            _affine(att["v"], v_in, provider, out_dtype=act), num_heads
+        )
     else:
         yk, yv = kv_cache
     if flash:
         from slimt_tpu.ops.attention import blockwise_attention
 
-        attn_out = blockwise_attention(yq, yk, yv, mask_add)
+        attn_out = blockwise_attention(
+            yq.astype(jnp.float32),
+            yk.astype(jnp.float32),
+            yv.astype(jnp.float32),
+            mask_add,
+        )
         attn = None
     else:
         attn_out, attn = scaled_dot_product_attention(yq, yk, yv, mask_add)
-    out = _affine(att["o"], _join_heads(attn_out), provider)
-    return layer_norm(q_in + out, att["ln"]), attn
+    out = _affine(
+        att["o"], _join_heads(attn_out).astype(act), provider, out_dtype=act
+    )
+    return layer_norm(q_in.astype(act) + out, att["ln"]), attn
 
 
 def _ffn_block(
-    layer: dict, x: jax.Array, provider: Optional[str]
+    layer: dict,
+    x: jax.Array,
+    provider: Optional[str],
+    act_dtype: Optional[jnp.dtype] = None,
 ) -> jax.Array:
     """FFN1 → relu → FFN2 → residual → post-LN
     (slimt/Modules.cc:321-334). provider "fused" runs the whole block
@@ -409,9 +453,10 @@ def _ffn_block(
         from slimt_tpu.ops import fused_blocks
 
         return fused_blocks.ffn_block(x, layer["ffn"], layer["ffn"]["ln"])
-    h = jax.nn.relu(_affine(layer["ffn"]["w1"], x, provider))
-    y = _affine(layer["ffn"]["w2"], h, provider)
-    return layer_norm(y + x, layer["ffn"]["ln"])
+    act = act_dtype or jnp.float32
+    h = jax.nn.relu(_affine(layer["ffn"]["w1"], x, provider, out_dtype=act))
+    y = _affine(layer["ffn"]["w2"], h, provider, out_dtype=act)
+    return layer_norm(y + x.astype(act), layer["ffn"]["ln"])
 
 
 def encoder_layer_forward(
@@ -421,11 +466,13 @@ def encoder_layer_forward(
     num_heads: int,
     provider: Optional[str] = None,
     flash: bool = False,
+    act_dtype: Optional[jnp.dtype] = None,
 ) -> jax.Array:
     out, _ = attention_forward(
-        layer["att"], x, x, x, mask_add, num_heads, provider, flash=flash
+        layer["att"], x, x, x, mask_add, num_heads, provider, flash=flash,
+        act_dtype=act_dtype,
     )
-    return _ffn_block(layer, out, provider)
+    return _ffn_block(layer, out, provider, act_dtype=act_dtype)
 
 
 def encoder_forward(
@@ -435,6 +482,7 @@ def encoder_forward(
     num_heads: int,
     provider: Optional[str] = None,
     flash: bool = False,
+    act_dtype: Optional[jnp.dtype] = None,
 ) -> jax.Array:
     """[B,T,E] → [B,T,E] through all encoder layers
     (slimt/Transformer.cc:57-69).
@@ -442,20 +490,24 @@ def encoder_forward(
     Layers come either as a Python list (unrolled under jit) or as a
     stacked pytree with a leading layer axis (loader.stack_layers),
     which runs as one `lax.scan` — identical numerics, much smaller
-    compiled program."""
+    compiled program. `act_dtype` is the reduced-precision encoder
+    mode (ModelConfig.encoder_dtype): the residual stream between
+    blocks rides fp16/bf16; None = exact f32."""
     layers = params["encoder"]
     if isinstance(layers, list):
         x = word_embedding
         for layer in layers:
             x = encoder_layer_forward(
-                layer, x, mask_add, num_heads, provider, flash=flash
+                layer, x, mask_add, num_heads, provider, flash=flash,
+                act_dtype=act_dtype,
             )
         return x
 
     def step(x, layer):
         return (
             encoder_layer_forward(
-                layer, x, mask_add, num_heads, provider, flash=flash
+                layer, x, mask_add, num_heads, provider, flash=flash,
+                act_dtype=act_dtype,
             ),
             None,
         )
