@@ -941,6 +941,147 @@ def bench_corpus(path=None, workers=8):
     )
 
 
+def bench_continuous():
+    """Step-level continuous batching (models/continuous.py) vs the
+    strongest batch-at-a-time baseline (offline shortest-first packing
+    into full batches), same length-skewed workload, declared serving
+    numerics.
+
+    Fairness: "useful work" = Σ min-cap tokens per segment (1.5 x its
+    OWN length), identical for both paths. The batch path decodes
+    every row to its BATCH's cap (1.5 x batch-max source length,
+    reference slimt/Model.cc:160) — tokens past a row's own cap are
+    the straggler waste continuous batching exists to remove, so they
+    count against its time, not its tokens. EOS is disabled (eos_id=1
+    over 32k random-weight logits) so the comparison is deterministic;
+    real workloads add EOS-time variance, which only helps the
+    continuous side. BENCH_SLOTS / BENCH_CHUNK / BENCH_SEGMENTS
+    override the defaults (2048 / 16 / 4x slots)."""
+    import jax
+    import jax.numpy as jnp
+
+    from slimt_tpu.config import ModelConfig
+    from slimt_tpu.io import load_items
+    from slimt_tpu.io.loader import load_weights
+    from slimt_tpu.io.synthetic import synthetic_model_bytes
+    from slimt_tpu.models.continuous import ContinuousEngine
+    from slimt_tpu.models.decode import translate_batch_jit
+
+    slots = int(os.environ.get("BENCH_SLOTS", 2048))
+    chunk = int(os.environ.get("BENCH_CHUNK", 16))
+    nseg = int(os.environ.get("BENCH_SEGMENTS", 4 * slots))
+    t_slot = 64
+    vocab, emb, ffn = 32000, 256, 1536
+    config = ModelConfig(encoder_layers=6, decoder_layers=2)
+    params = jax.device_put(
+        load_weights(
+            load_items(
+                synthetic_model_bytes(
+                    config=config, vocab_size=vocab, emb_dim=emb,
+                    ffn_dim=ffn, seed=0,
+                )
+            ),
+            config,
+        )
+    )
+    rng = np.random.default_rng(0)
+    # Length-skewed mix (the continuous win case): lognormal over
+    # [4, t_slot], shuffled arrival order.
+    lengths = np.clip(
+        np.rint(np.exp(rng.normal(3.0, 0.7, nseg))), 4, t_slot
+    ).astype(int)
+    segments = [
+        rng.integers(3, vocab, n).astype(int).tolist() for n in lengths
+    ]
+    useful = int(sum(max(1, int(1.5 * n)) for n in lengths))
+    eos_id = 1
+
+    # --- batch-at-a-time baseline: offline shortest-first, full
+    # batches of `slots` rows, T padded to a 16-multiple bucket.
+    order = np.argsort(lengths, kind="stable")
+
+    def run_batches():
+        total = 0
+        outs = []
+        for start in range(0, nseg, slots):
+            idxs = order[start : start + slots]
+            t_max = int(lengths[idxs].max())
+            t_pad = -(-t_max // 16) * 16
+            b_pad = slots  # full batches by construction (nseg % slots == 0)
+            indices = np.zeros((b_pad, t_pad), np.int32)
+            mask = np.zeros((b_pad, t_pad), np.float32)
+            for r, seg_i in enumerate(idxs):
+                toks = segments[seg_i]
+                indices[r, : len(toks)] = toks
+                mask[r, : len(toks)] = 1.0
+            cap = np.int32(max(1, int(1.5 * t_max)))
+            out = translate_batch_jit(
+                params,
+                jnp.asarray(indices),
+                jnp.asarray(mask),
+                jnp.zeros((1024,), jnp.int32),
+                cap,
+                eos_id=eos_id,
+                max_steps=int(1.5 * t_pad),
+                num_heads=config.num_heads,
+                with_shortlist=False,
+                kv_dtype="int16",
+                with_alignment=False,
+                argmax_method="packed_fp16",
+                compact_output=True,
+            )
+            outs.append(out)
+            total += b_pad
+        for out in outs:
+            np.asarray(out.packed)
+        return total
+
+    run_batches()  # warm/compile every bucket
+    t0 = time.perf_counter()
+    run_batches()
+    batch_wall = time.perf_counter() - t0
+    batch_tps = useful / batch_wall
+
+    # --- continuous engine (fresh pool; warm pass compiles its jits).
+    def make_engine():
+        return ContinuousEngine(
+            params,
+            eos_id=eos_id,
+            num_heads=config.num_heads,
+            slots=slots,
+            chunk=chunk,
+            t_slot=t_slot,
+            admit_bucket=min(slots, 1024),
+        )
+
+    engine = make_engine()
+    engine.translate(segments[: slots // 2])  # warm/compile
+    engine = make_engine()
+    t0 = time.perf_counter()
+    engine.translate(segments)
+    cont_wall = time.perf_counter() - t0
+    cont_tps = useful / cont_wall
+
+    print(
+        json.dumps(
+            {
+                "metric": "continuous_batching_tokens_per_sec",
+                "value": round(cont_tps, 1),
+                "unit": "useful tokens/s",
+                "vs_baseline": round(cont_tps / TARGET, 3),
+                "batch_at_a_time": round(batch_tps, 1),
+                "ratio_vs_batch": round(cont_tps / batch_tps, 3),
+                "occupancy": round(engine.occupancy(), 3),
+                "slots": slots,
+                "chunk": chunk,
+                "segments": nseg,
+                "chunks": engine.stats["chunks"],
+                "encode_calls": engine.stats["encode_calls"],
+            }
+        )
+    )
+
+
 def bench_longctx():
     """Long-context encoder (SURVEY §5 "long context"): the reference
     hard-wraps every input at 128 tokens because its SDPA materializes
@@ -1099,6 +1240,7 @@ def main():
         "devstep": bench_devstep,
         "providers": bench_providers,
         "longctx": bench_longctx,
+        "continuous": bench_continuous,
     }[mode]()
     timer.cancel()
 

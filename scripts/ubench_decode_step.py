@@ -69,14 +69,14 @@ def patched(name):
     if "no_attn" in names:
         def fake_attn(att, q_in, k_in, v_in, mask_add, num_heads,
                       provider=None, kv_cache=None, flash=False,
-                      attn_kernel=False):
+                      attn_kernel=False, **kw):
             if kv_cache is not None:  # decode cross-attention only
                 b = q_in.shape[0]
                 tk = mask_add.shape[-1]
                 attn = jnp.zeros((b, num_heads, 1, tk), jnp.float32)
                 return q_in, attn
             return orig_attn(att, q_in, k_in, v_in, mask_add, num_heads,
-                             provider, kv_cache, flash, attn_kernel)
+                             provider, kv_cache, flash, attn_kernel, **kw)
         tfm.attention_forward = fake_attn
     if "no_logits" in names:
         def fake_logits(params, x, provider=None, shortlist=None,
@@ -88,7 +88,7 @@ def patched(name):
                               params["emb"]["scale"], provider=provider)
         tfm.output_logits = fake_logits
     if "no_ffn" in names:
-        tfm._ffn_block = lambda layer, x, provider: x
+        tfm._ffn_block = lambda layer, x, provider, **kw: x
     orig_ssru = tfm.ssru_forward
     if "no_ssru" in names:
         tfm.ssru_forward = (
@@ -98,8 +98,8 @@ def patched(name):
     if "no_embed" in names:
         # zeros_like(gather) lets XLA dead-code-eliminate the gather —
         # isolates the per-step [B,1,E] embedding-table lookup cost.
-        def fake_embed(params, idx):
-            return jnp.zeros_like(orig_embed(params, idx))
+        def fake_embed(params, idx, dtype=None):
+            return jnp.zeros_like(orig_embed(params, idx, dtype))
 
         tfm.embed = fake_embed
     orig_dus = jax.lax.dynamic_update_slice

@@ -74,12 +74,12 @@ def patched(name):
     elif name == "no_attn":
         def fake_attn(att, q_in, k_in, v_in, mask_add, num_heads,
                       provider=None, kv_cache=None, flash=False,
-                      attn_kernel=False):
+                      attn_kernel=False, **kw):
             return q_in, None
 
         tfm.attention_forward = fake_attn
     elif name == "no_ffn":
-        def fake_ffn(layer, x, provider):
+        def fake_ffn(layer, x, provider, **kw):
             return x
 
         tfm._ffn_block = fake_ffn

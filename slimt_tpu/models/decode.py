@@ -95,12 +95,15 @@ def greedy_decode(
                 for l in range(n_layers)
             ],
         )
-    if provider == "fused_step" and kv_dtype not in ("bfloat16", "float32"):
-        # The whole-step Pallas kernel reads a float joined cache;
-        # coerce the service default (int16) / other reduced dtypes to
-        # bf16 rather than erroring — fused_step is an explicit
-        # latency-regime opt-in with its own numerics note.
-        kv_dtype = "bfloat16"
+    if provider == "fused_step" and kv_dtype not in (
+        "bfloat16", "float32", "int16"
+    ):
+        # The whole-step Pallas kernel reads bf16/f32 float joined
+        # caches or the int16 per-row cache (the declared serving
+        # numerics — kqi/vqi fold in-kernel like the XLA int16
+        # branch). Other reduced dtypes coerce to int16 rather than
+        # erroring — fused_step is an explicit latency-regime opt-in.
+        kv_dtype = "int16"
     if kv_dtype == "float32" and provider != "fused_step":
         # "float32" means THE exact path (split [B,H,T,D] f32 caches —
         # the same mapping models/model.py applies to

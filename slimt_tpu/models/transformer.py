@@ -737,11 +737,12 @@ def decoder_step(
             sample
             and isinstance(layers, list)
             and isinstance(kv_caches[0], dict)
-            and kv_caches[0]["k"].dtype in (jnp.bfloat16, jnp.float32)
+            and kv_caches[0]["k"].dtype
+            in (jnp.bfloat16, jnp.float32, jnp.int16)
         ):
             raise ValueError(
                 "provider 'fused_step' needs sample=True, unstacked "
-                "layers and a bfloat16/float32 joined KV cache"
+                "layers and a bfloat16/float32/int16 joined KV cache"
             )
         if projection is None:
             projection = prepare_output_projection(params, shortlist)

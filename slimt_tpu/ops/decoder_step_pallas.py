@@ -268,8 +268,10 @@ def _kernel_bte(
     *, num_heads,
 ):
     scales = [scales_ref[i] for i in range(12)]
+    ones = jnp.ones_like(mask_ref[:])  # float-cache kqi/vqi (exact)
     y, c_t, attn0 = _layer_math_bte(
-        x_ref[:], c_ref[:], k_ref[:], v_ref[:], mask_ref[:], sel_ref[:],
+        x_ref[:], c_ref[:], k_ref[:], v_ref[:], ones, ones,
+        mask_ref[:], sel_ref[:],
         scales,
         wf_ref, bf_ref, w_ref, ln_rnn_s, ln_rnn_b,
         wq_ref, bq_ref, wo_ref, bo_ref, ln_att_s, ln_att_b,
@@ -408,7 +410,7 @@ TILE_S = 2048
 
 
 def _layer_math_bte(
-    x, c, k, v, mask, sel, scales,
+    x, c, k, v, kqi, vqi, mask, sel, scales,
     wf_ref, bf_ref, w_ref, ln_rnn_s, ln_rnn_b,
     wq_ref, bq_ref, wo_ref, bo_ref, ln_att_s, ln_att_b,
     w1_ref, b1_ref, w2_ref, b2_ref, ln_ffn_s, ln_ffn_b,
@@ -416,7 +418,11 @@ def _layer_math_bte(
 ):
     """SSRU + joined-layout cross-attention + FFN on VMEM-resident
     values (the body of _kernel_bte, shared with the whole-step
-    kernel). Returns (y, c_t, attn_head0)."""
+    kernel). Returns (y, c_t, attn_head0).
+
+    kqi/vqi: per-row (b, t) inverse K/V dequant scales ([TB, T]) — the
+    int16 per-row cache's scales, all-ones for float caches (x * 1.0
+    is bit-exact, so the float path is unchanged)."""
     (aqf, invf, aqw, invw, aq_q, inv_q, aq_o, inv_o,
      aq1, inv1, aq2, inv2) = scales
     tb, e = x.shape
@@ -436,20 +442,27 @@ def _layer_math_bte(
     )  # [TB, E]
     t = k.shape[1]
 
-    # Round q and attn through the cache dtype, exactly like the XLA
-    # joined path (transformer._decode_attention_joined rounds its
-    # bf16 operands) — keeps the two paths' argmax near-ties aligned.
-    q_r = q.astype(k.dtype).astype(jnp.float32)
+    # Float caches: round q and attn through the cache dtype, exactly
+    # like the XLA joined path (transformer._decode_attention_joined
+    # rounds its bf16 operands) — keeps the two paths' argmax
+    # near-ties aligned. int16 per-row caches (the declared serving
+    # numerics) keep q/attn in f32 like the XLA int16 branch; the
+    # per-row dequants fold elementwise below.
+    float_cache = jnp.issubdtype(k.dtype, jnp.floating)
+    q_r = q.astype(k.dtype).astype(jnp.float32) if float_cache else q
     prod = k.astype(jnp.float32) * q_r[:, None, :]  # [TB, T, E]
     scores = jax.lax.dot_general(
         prod.reshape(tb * t, e), sel,
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     ).reshape(tb, t, num_heads) * scale
+    scores = scores * kqi[:, :, None]  # per-row K dequant (ones: float)
     scores = scores + mask[:, :, None]
     p = jax.nn.softmax(scores, axis=1)  # over T
     attn0 = p[:, :, 0]
-    p_r = p.astype(k.dtype).astype(jnp.float32)
+    p_r = (
+        p.astype(k.dtype).astype(jnp.float32) if float_cache else p
+    ) * vqi[:, :, None]  # per-row V dequant (ones: float)
     p_full = jax.lax.dot_general(
         p_r.reshape(tb * t, num_heads), sel,
         dimension_numbers=(((1,), (1,)), ((), ())),
@@ -478,7 +491,7 @@ def _layer_math_bte(
     )
 
 
-_LAYER_REFS = 20  # c, k, v + 17 weight/LN refs per layer
+_LAYER_REFS = 22  # c, k, v, kqi, vqi + 17 weight/LN refs per layer
 
 
 def _whole_kernel(
@@ -501,11 +514,12 @@ def _whole_kernel(
         attn0 = None
         for l in range(num_layers):
             r = layer_refs[l * _LAYER_REFS : (l + 1) * _LAYER_REFS]
-            c_ref, k_ref, v_ref = r[0], r[1], r[2]
+            c_ref, k_ref, v_ref, kqi_ref, vqi_ref = r[:5]
             scales = [scales_ref[l * 12 + i] for i in range(12)]
             x, c_t, attn0 = _layer_math_bte(
-                x, c_ref[:], k_ref[:], v_ref[:], mask, sel, scales,
-                *r[3:], num_heads=num_heads,
+                x, c_ref[:], k_ref[:], v_ref[:], kqi_ref[:], vqi_ref[:],
+                mask, sel, scales,
+                *r[5:], num_heads=num_heads,
             )
             c_out_refs[l][:] = c_t
         attn0_ref[:] = attn0
@@ -616,6 +630,8 @@ def whole_decode_step(
             per_b(e),        # c
             per_b(t, e),     # k
             per_b(t, e),     # v
+            per_b(t),        # kqi (per-row K dequant; ones for float)
+            per_b(t),        # vqi
             whole(e, e), vec(e),             # wf, bf
             whole(e, e),                      # w
             vec(e), vec(e),                   # ln_rnn
@@ -629,6 +645,12 @@ def whole_decode_step(
         inputs += [
             state[:, 0, :].astype(jnp.float32),
             kv["k"], kv["v"],
+            jnp.broadcast_to(
+                jnp.asarray(kv.get("kqi", 1.0), jnp.float32), (b, t)
+            ),
+            jnp.broadcast_to(
+                jnp.asarray(kv.get("vqi", 1.0), jnp.float32), (b, t)
+            ),
             wf["q"], wf["b"].reshape(1, e),
             w["q"],
             rnn["ln"]["scale"].reshape(1, e), rnn["ln"]["bias"].reshape(1, e),

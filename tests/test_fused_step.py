@@ -58,7 +58,7 @@ def test_fused_step_matches_xla_bf16_full_vocab(params):
     final tile (mask semantics of the running argmax)."""
     indices, mask = _batch(seed=1)
     want = _run(params, indices, mask, "xla_int8", kv_dtype="bfloat16")
-    got = _run(params, indices, mask, "fused_step")
+    got = _run(params, indices, mask, "fused_step", kv_dtype="bfloat16")
     agree = (np.asarray(got.tokens) == np.asarray(want.tokens)).mean()
     assert agree >= 0.95, f"token agreement {agree}"
     assert np.asarray(got.valid).any()
@@ -76,7 +76,8 @@ def test_fused_step_matches_xla_bf16_shortlist(params):
         params, indices, mask, "xla_int8",
         shortlist=shortlist, kv_dtype="bfloat16",
     )
-    got = _run(params, indices, mask, "fused_step", shortlist=shortlist)
+    got = _run(params, indices, mask, "fused_step", shortlist=shortlist,
+               kv_dtype="bfloat16")
     agree = (np.asarray(got.tokens) == np.asarray(want.tokens)).mean()
     assert agree >= 0.95, f"token agreement {agree}"
 
@@ -87,20 +88,31 @@ def test_fused_step_batch_sizes(params, b):
     latency shape decode without NaNs leaking from padding rows."""
     indices, mask = _batch(seed=4, b=b)
     want = _run(params, indices, mask, "xla_int8", kv_dtype="bfloat16")
-    got = _run(params, indices, mask, "fused_step")
+    got = _run(params, indices, mask, "fused_step", kv_dtype="bfloat16")
     agree = (np.asarray(got.tokens) == np.asarray(want.tokens)).mean()
     assert agree >= 0.9, f"token agreement {agree} at b={b}"
     assert np.isfinite(np.asarray(got.alignment)).all()
 
 
-def test_fused_step_coerces_reduced_kv(params):
-    """The whole-step kernel reads a float joined cache; requesting a
-    quantized cache (int8/int16, e.g. inherited from the service
-    default) coerces to bf16 instead of erroring — bit-identical to
-    asking for bf16 directly."""
+def test_fused_step_int16_matches_xla(params):
+    """The whole-step kernel reads the int16 PER-ROW cache natively
+    (the declared serving numerics): same quantization contract as the
+    XLA int16 branch (kqi/vqi fold into score/value dequants), so
+    tokens match up to f32 dot-order near-ties."""
     indices, mask = _batch(seed=6)
-    want = _run(params, indices, mask, "fused_step", kv_dtype="bfloat16")
-    for kv in ("int8", "int16"):
+    want = _run(params, indices, mask, "xla_int8", kv_dtype="int16")
+    got = _run(params, indices, mask, "fused_step", kv_dtype="int16")
+    agree = (np.asarray(got.tokens) == np.asarray(want.tokens)).mean()
+    assert agree >= 0.95, f"token agreement {agree}"
+
+
+def test_fused_step_coerces_reduced_kv(params):
+    """Unsupported quantized caches (int8/k8v16) coerce to the int16
+    per-row cache instead of erroring — bit-identical to asking for
+    int16 directly."""
+    indices, mask = _batch(seed=6)
+    want = _run(params, indices, mask, "fused_step", kv_dtype="int16")
+    for kv in ("int8", "k8v16"):
         got = _run(params, indices, mask, "fused_step", kv_dtype=kv)
         np.testing.assert_array_equal(
             np.asarray(got.tokens), np.asarray(want.tokens)
@@ -147,6 +159,8 @@ def test_fused_step_base_like_shapes():
     want = dec.translate_batch(
         p, indices, mask, provider="xla_int8", kv_dtype="bfloat16", **kw
     )
-    got = dec.translate_batch(p, indices, mask, provider="fused_step", **kw)
+    got = dec.translate_batch(
+        p, indices, mask, provider="fused_step", kv_dtype="bfloat16", **kw
+    )
     agree = (np.asarray(got.tokens) == np.asarray(want.tokens)).mean()
     assert agree >= 0.9, f"token agreement {agree}"
