@@ -996,11 +996,18 @@ def bench_continuous():
     useful = int(sum(max(1, int(1.5 * n)) for n in lengths))
     eos_id = 1
 
-    # --- batch-at-a-time baseline: offline shortest-first, full
-    # batches of `slots` rows, T padded to a 16-multiple bucket.
-    order = np.argsort(lengths, kind="stable")
-
-    def run_batches():
+    # --- batch-at-a-time baseline: full batches of `slots` rows, T
+    # padded to a 16-multiple bucket. `sort=True` = OFFLINE (global
+    # shortest-first — the strongest batch baseline); False = ONLINE
+    # arrival order (the serving regime: the reference Batcher can
+    # only sort what is queued, slimt/Batcher.cc:95-120, so a steady
+    # stream packs mixed lengths and every row decodes to the batch
+    # max cap).
+    def run_batches(sort):
+        order = (
+            np.argsort(lengths, kind="stable")
+            if sort else np.arange(nseg)
+        )
         total = 0
         outs = []
         for start in range(0, nseg, slots):
@@ -1036,14 +1043,16 @@ def bench_continuous():
             np.asarray(out.packed)
         return total
 
-    run_batches()  # warm/compile every bucket
-    t0 = time.perf_counter()
-    run_batches()
-    batch_wall = time.perf_counter() - t0
-    batch_tps = useful / batch_wall
+    run_batches(sort=True)  # warm/compile every bucket
+    batch = {}
+    for label, sort in (("offline_sorted", True), ("online_stream", False)):
+        run_batches(sort=sort)  # warm the mode's buckets
+        t0 = time.perf_counter()
+        run_batches(sort=sort)
+        batch[label] = useful / (time.perf_counter() - t0)
 
     # --- continuous engine (fresh pool; warm pass compiles its jits).
-    def make_engine():
+    def make_engine(order):
         return ContinuousEngine(
             params,
             eos_id=eos_id,
@@ -1052,31 +1061,51 @@ def bench_continuous():
             chunk=chunk,
             t_slot=t_slot,
             admit_bucket=min(slots, 1024),
+            admit_order=order,
         )
 
-    engine = make_engine()
-    engine.translate(segments[: slots // 2])  # warm/compile
-    engine = make_engine()
-    t0 = time.perf_counter()
-    engine.translate(segments)
-    cont_wall = time.perf_counter() - t0
-    cont_tps = useful / cont_wall
+    make_engine("shortest").translate(segments[: slots // 2])  # compile
+    cont = {}
+    engines = {}
+    for label, order in (
+        ("offline_sorted", "shortest"), ("online_stream", "fifo")
+    ):
+        engine = make_engine(order)
+        t0 = time.perf_counter()
+        engine.translate(segments)
+        cont[label] = useful / (time.perf_counter() - t0)
+        engines[label] = engine
 
+    stream = engines["online_stream"]
     print(
         json.dumps(
             {
                 "metric": "continuous_batching_tokens_per_sec",
-                "value": round(cont_tps, 1),
+                "value": round(cont["online_stream"], 1),
                 "unit": "useful tokens/s",
-                "vs_baseline": round(cont_tps / TARGET, 3),
-                "batch_at_a_time": round(batch_tps, 1),
-                "ratio_vs_batch": round(cont_tps / batch_tps, 3),
-                "occupancy": round(engine.occupancy(), 3),
+                "vs_baseline": round(cont["online_stream"] / TARGET, 3),
+                "online_stream": {
+                    "continuous": round(cont["online_stream"], 1),
+                    "batch_at_a_time": round(batch["online_stream"], 1),
+                    "ratio": round(
+                        cont["online_stream"] / batch["online_stream"], 3
+                    ),
+                    "occupancy": round(stream.occupancy(), 3),
+                    "chunks": stream.stats["chunks"],
+                },
+                "offline_sorted": {
+                    "continuous": round(cont["offline_sorted"], 1),
+                    "batch_at_a_time": round(batch["offline_sorted"], 1),
+                    "ratio": round(
+                        cont["offline_sorted"] / batch["offline_sorted"], 3
+                    ),
+                    "occupancy": round(
+                        engines["offline_sorted"].occupancy(), 3
+                    ),
+                },
                 "slots": slots,
                 "chunk": chunk,
                 "segments": nseg,
-                "chunks": engine.stats["chunks"],
-                "encode_calls": engine.stats["encode_calls"],
             }
         )
     )

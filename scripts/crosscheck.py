@@ -88,6 +88,17 @@ CELLS = [
     ("narrow 2/2/2", 2, 2, 2, 32, 64, 2),
     ("deep-dec 2/4/4", 2, 4, 4, 64, 128, 4),
 ]
+# The serving sweep adds a PEAKED-logits cell: random weights produce
+# near-TIED logits (max of V Gaussians — the adversarial worst case,
+# where one rounding flip cascades); trained translation models are
+# peaked (confident argmaxes with top-2 gaps of whole units). A wider
+# logit-bias spread emulates that regime — the reduced-precision
+# perturbations enter only through the hidden state, while the top-2
+# gap grows with the bias spread — bounding the adversarial numbers
+# from the realistic side (VERDICT r3 task 7). Both sides (reference
+# binary and slimt_tpu) consume the same transformed .bin.
+PEAKED_CELL = ("PEAKED tiny-ratio 3/2/4", 3, 2, 4, 64, 128, 9)
+PEAKED_BIAS_SCALE = 40.0  # bias std 0.05 -> 2.0 (top-2 gaps ~ units)
 VOCAB = 512
 
 
@@ -99,8 +110,12 @@ def build_harness() -> None:
     )
 
 
-def write_package(tmp, enc, dec, heads, emb, ffn, seed):
-    """Synthetic .bin/.spm/.shortlist package readable by both sides."""
+def write_package(tmp, enc, dec, heads, emb, ffn, seed, bias_scale=None):
+    """Synthetic .bin/.spm/.shortlist package readable by both sides.
+
+    `bias_scale` multiplies decoder_ff_logit_out_b (the PEAKED cell:
+    wider bias spread -> larger top-2 logit gaps, emulating a trained
+    model's confident argmaxes)."""
     from slimt_tpu.config import ModelConfig
     from slimt_tpu.io.shortlist import build_synthetic_shortlist
     from slimt_tpu.io.synthetic import synthetic_model_bytes
@@ -113,6 +128,14 @@ def write_package(tmp, enc, dec, heads, emb, ffn, seed):
     model_bytes = synthetic_model_bytes(
         config=config, vocab_size=VOCAB, emb_dim=emb, ffn_dim=ffn, seed=seed
     )
+    if bias_scale is not None:
+        from slimt_tpu.io import marian
+
+        items = marian.load_items(model_bytes)
+        for item in items:
+            if item.name == "decoder_ff_logit_out_b":
+                item.array = (item.array * bias_scale).astype(np.float32)
+        model_bytes = marian.save_items(items)
     # Exactly VOCAB pieces: the reference's greedy_sample strides its
     # logits buffer by Vocabulary::size() (Transformer.cc:282), so the
     # SPM piece count must equal the model's output vocab exactly.
@@ -533,11 +556,13 @@ def mode_serving(args):
     per_cell = {label: [] for label, _ in configs}
     batch = 8
     with tempfile.TemporaryDirectory() as tmp:
-        for label, enc, dec, heads, emb, ffn, seed in CELLS:
+        for label, enc, dec, heads, emb, ffn, seed in CELLS + [PEAKED_CELL]:
             from slimt_tpu.io.shortlist import ShortlistGenerator
 
+            peaked = label.startswith("PEAKED")
             config, model_bytes, spm, paths = write_package(
-                tmp, enc, dec, heads, emb, ffn, seed
+                tmp, enc, dec, heads, emb, ffn, seed,
+                bias_scale=PEAKED_BIAS_SCALE if peaked else None,
             )
             eos = spm.eos_id
             pad = max(0, spm.pad_id)
@@ -550,7 +575,11 @@ def mode_serving(args):
             nobias_path = paths["model.bin"] + ".nobias"
             with open(nobias_path, "wb") as f:
                 f.write(nobias_bytes)
-            for with_shortlist in (False, True):
+            # The PEAKED cell runs full-vocab only: its point IS the
+            # wide logit-bias spread, and shortlist legs zero the bias
+            # (reference Ruy unselected-bias bug — module docstring).
+            legs = (False,) if peaked else (False, True)
+            for with_shortlist in legs:
                 # Shortlist cells: zeroed logit bias (reference Ruy
                 # provider's unselected-bias bug — module docstring).
                 cell_paths = (
@@ -573,11 +602,15 @@ def mode_serving(args):
                         n = max(len(r), len(g))
                         tt += n
                         ta += sum(1 for a, b in zip(r, g) if a == b)
-                    agg = totals[conf_label]
-                    agg[0] += se
-                    agg[1] += st
-                    agg[2] += ta
-                    agg[3] += tt
+                    if not peaked:
+                        # The published aggregate stays ADVERSARIAL
+                        # (worst-case); the peaked cell reports
+                        # separately as the realistic-side bound.
+                        agg = totals[conf_label]
+                        agg[0] += se
+                        agg[1] += st
+                        agg[2] += ta
+                        agg[3] += tt
                     per_cell[conf_label].append(
                         {
                             "cell": label,
@@ -608,21 +641,40 @@ def mode_serving(args):
     report = {}
     for conf_label, _ in configs:
         se, st, ta, tt = totals[conf_label]
+        adversarial = [
+            c for c in per_cell[conf_label]
+            if not c["cell"].startswith("PEAKED")
+        ]
+        peaked_cells = [
+            c for c in per_cell[conf_label]
+            if c["cell"].startswith("PEAKED")
+        ]
         worst = min(
             100.0 * c["tok_agree"] / max(1, c["tok_total"])
-            for c in per_cell[conf_label]
+            for c in adversarial
         )
-        print(
-            f"{conf_label:24s} {se:>7d}/{st} ({100.0 * se / max(1, st):5.1f}%)"
-            f" {100.0 * ta / max(1, tt):7.2f}% {worst:15.2f}%"
-        )
-        report[conf_label] = {
+        row = {
             "sentence_exact_pct": round(100.0 * se / max(1, st), 2),
             "token_agreement_pct": round(100.0 * ta / max(1, tt), 2),
             "worst_cell_token_pct": round(worst, 2),
             "sentences": st,
             "cells": per_cell[conf_label],
         }
+        peaked_str = ""
+        if peaked_cells:
+            pc = peaked_cells[0]
+            row["peaked_token_pct"] = round(
+                100.0 * pc["tok_agree"] / max(1, pc["tok_total"]), 2
+            )
+            row["peaked_sentence_pct"] = round(
+                100.0 * pc["sent_exact"] / max(1, pc["sent_total"]), 2
+            )
+            peaked_str = f"  peaked {row['peaked_token_pct']:.2f}%"
+        print(
+            f"{conf_label:24s} {se:>7d}/{st} ({100.0 * se / max(1, st):5.1f}%)"
+            f" {100.0 * ta / max(1, tt):7.2f}% {worst:15.2f}%{peaked_str}"
+        )
+        report[conf_label] = row
     out_path = os.path.join(ROOT, "crosscheck", "serving_agreement.json")
     if partial:
         print("(filtered run: serving_agreement.json NOT updated)")

@@ -42,7 +42,9 @@ run "ABLATION headline int8 KV (faster, looser agreement)" env BENCH_KV=int8 pyt
 run "ABLATION headline bf16 KV" env BENCH_KV=bfloat16 python bench.py
 run "ABLATION headline fp16 KV" env BENCH_KV=float16 python bench.py
 run "ABLATION headline exact argmax" env BENCH_ARGMAX=exact python bench.py
-run "ABLATION batch1 fused_step (bf16 KV by design)" env BENCH_PROVIDER=fused_step BENCH_KV=bfloat16 python bench.py batch1
+run "batch1 fused_step (declared int16 numerics, latency regime)" env BENCH_PROVIDER=fused_step python bench.py batch1
+run "ABLATION batch1 fused_step bf16 KV" env BENCH_PROVIDER=fused_step BENCH_KV=bfloat16 python bench.py batch1
+run "continuous batching vs batch-at-a-time" python bench.py continuous
 run "ABLATION providers"      python bench.py providers
 run "long-context encoder (flash vs einsum)" python bench.py longctx
 echo "LEDGER DONE $(date +%H:%M:%S)" >> "$OUT"

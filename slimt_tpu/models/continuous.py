@@ -343,6 +343,7 @@ class ContinuousEngine:
         provider: Optional[str] = None,
         argmax_method: str = "packed_fp16",
         encoder_dtype: Optional[str] = None,
+        admit_order: str = "shortest",  # "shortest" | "fifo" (online)
     ):
         self.params = params
         self.eos_id = eos_id
@@ -355,6 +356,7 @@ class ContinuousEngine:
         self.provider = provider
         self.argmax_method = argmax_method
         self.encoder_dtype = encoder_dtype
+        self.admit_order = admit_order
         self.pool = make_pool(params, slots, t_slot, kv_dtype=kv_dtype)
         # Host mirror of slot occupancy: segment id per slot (-1 free).
         self.slot_seg = np.full(slots, -1, np.int64)
@@ -386,10 +388,17 @@ class ContinuousEngine:
     def translate(self, segments: List[List[int]]) -> List[List[int]]:
         """Decode every segment (token id lists WITHOUT trailing EOS
         semantics changes — same input contract as translate_batch's
-        rows). Shortest-first admission, like the reference Batcher's
-        shortest-first packing (slimt/Batcher.cc:95-120)."""
-        order = sorted(range(len(segments)), key=lambda i: len(segments[i]))
-        pending = list(reversed(order))  # pop() = shortest first
+        rows). Admission order: "shortest" mirrors the reference
+        Batcher's shortest-first packing (slimt/Batcher.cc:95-120);
+        "fifo" admits in arrival order (the ONLINE serving regime
+        where global sorting is impossible)."""
+        if self.admit_order == "shortest":
+            order = sorted(
+                range(len(segments)), key=lambda i: len(segments[i])
+            )
+        else:
+            order = list(range(len(segments)))
+        pending = list(reversed(order))  # pop() = admission order
         results: List[Optional[List[int]]] = [None] * len(segments)
         grown: Dict[int, List[int]] = {}
         pool = self.pool
