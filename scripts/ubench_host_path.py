@@ -50,7 +50,16 @@ def stub_forward(model):
     """Replace the device forward with an instant echo: hypothesis
     tokens = source tokens (realistic detokenize cost downstream)."""
 
-    def forward_async(segments, need_alignment=True):
+    def forward_async(segments, need_alignment=True, raw=False):
+        if raw:
+            # Columnar completion contract (Batch.complete_raw):
+            # padded token matrix + per-row step counts.
+            steps = np.asarray([len(s) for s in segments], np.int32)
+            t = max(1, int(steps.max()))
+            toks = np.zeros((len(segments), t), np.int32)
+            for i, s in enumerate(segments):
+                toks[i, : len(s)] = s
+            return lambda: (toks, steps, None)
         hyps = [
             Hypothesis(target=list(s), alignment=[])
             for s in segments

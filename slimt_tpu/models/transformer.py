@@ -902,8 +902,12 @@ def output_argmax(
         from slimt_tpu.ops import logits_argmax
 
         if logits_argmax.supported(w.shape[1]) and logits_argmax._on_tpu():
+            # The kernel folds the requested argmax method into the
+            # projection epilogue (packed_* = bit-identical keys to
+            # packed_argmax_16; exact = bit-identical to jnp.argmax).
             return logits_argmax.argmax_affine(
-                x, w, b, params["out"]["aq"], params["emb"]["scale"]
+                x, w, b, params["out"]["aq"], params["emb"]["scale"],
+                method=method if w.shape[1] <= 65536 else "exact",
             )
     logits = output_logits(params, x, provider, None, projection)
     if w.shape[1] <= 65536 and method in ("packed_bf16", "packed_fp16"):

@@ -67,7 +67,8 @@ def _tile_m(m: int) -> int:
     return max(8, -(-m // 8) * 8)
 
 
-def _kernel(scale_ref, x_ref, w_ref, b_ref, val_ref, idx_ref, *, n):
+def _kernel(scale_ref, x_ref, w_ref, b_ref, val_ref, idx_ref, *, n,
+            packed_dtype=None):
     j = pl.program_id(1)
     aq = scale_ref[0]
     inv = scale_ref[1]  # 1 / (aq * bq)
@@ -84,6 +85,34 @@ def _kernel(scale_ref, x_ref, w_ref, b_ref, val_ref, idx_ref, *, n):
     cols = j * TILE_N + jax.lax.broadcasted_iota(
         jnp.int32, logits.shape, 1
     )
+    if packed_dtype is not None:
+        # Packed-key epilogue (the serving argmax, VERDICT r3 task 6a):
+        # the sortable-int transform of the 16-bit-rounded logit in
+        # the high bits, the reversed GLOBAL column in the low 16 —
+        # the running cross-tile reduce is ONE s32 max over one carry
+        # ref (no value/index pair), matching
+        # transformer.packed_argmax_16 bit-for-bit.
+        lb = logits.astype(packed_dtype)
+        bits = jax.lax.bitcast_convert_type(
+            lb, jnp.uint16
+        ).astype(jnp.int32)
+        sortable = jnp.where(
+            bits >= 0x8000, 0xFFFF - bits, bits | 0x8000
+        )
+        key = ((sortable - 0x8000) << 16) | (0xFFFF - cols)
+        key = jnp.where(cols < n, key, jnp.iinfo(jnp.int32).min)
+        tile_best = jnp.max(key, axis=1)  # [TILE_M]
+
+        @pl.when(j == 0)
+        def _init_p():
+            idx_ref[:, 0] = tile_best
+
+        @pl.when(j > 0)
+        def _update_p():
+            idx_ref[:, 0] = jnp.maximum(idx_ref[:, 0], tile_best)
+
+        val_ref[:, 0] = jnp.zeros_like(tile_best, jnp.float32)
+        return
     logits = jnp.where(cols < n, logits, -jnp.inf)
     tile_max = jnp.max(logits, axis=1)  # [TILE_M]
     tile_arg = jnp.argmax(logits, axis=1).astype(jnp.int32)
@@ -102,14 +131,17 @@ def _kernel(scale_ref, x_ref, w_ref, b_ref, val_ref, idx_ref, *, n):
         idx_ref[:, 0] = jnp.where(better, cand, idx_ref[:, 0])
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def _argmax_2d(x, w_q, b, scales, interpret):
+@functools.partial(jax.jit, static_argnames=("interpret", "method"))
+def _argmax_2d(x, w_q, b, scales, interpret, method="exact"):
     m, k = x.shape
     _, n = w_q.shape
     tile_m = _tile_m(m)
     grid = (pl.cdiv(m, tile_m), pl.cdiv(n, TILE_N))
+    packed_dtype = {
+        "packed_fp16": jnp.float16, "packed_bf16": jnp.bfloat16,
+    }.get(method)
     val, idx = pl.pallas_call(
-        functools.partial(_kernel, n=n),
+        functools.partial(_kernel, n=n, packed_dtype=packed_dtype),
         out_shape=(
             jax.ShapeDtypeStruct((m, 1), jnp.float32),
             jax.ShapeDtypeStruct((m, 1), jnp.int32),
@@ -149,14 +181,22 @@ def _argmax_2d(x, w_q, b, scales, interpret):
         ),
         interpret=interpret,
     )(scales, x, w_q, b.reshape(1, n))
+    if packed_dtype is not None:
+        # The carry ref holds the winning packed key; unpack the
+        # reversed column (identical to packed_argmax_16's epilogue).
+        return 0xFFFF - (idx[:, 0] & 0xFFFF)
     return idx[:, 0]
 
 
-def argmax_affine(x, w_q, b, aq, bq, interpret=None):
+def argmax_affine(x, w_q, b, aq, bq, interpret=None, method="exact"):
     """argmax over dequant(quant(x) @ w_q) + b, rows of x.
 
     x: [B, K] f32; w_q: [K, N] int8; b: [N] f32. Returns [B] int32.
-    Bit-identical index to jnp.argmax(qmm.affine(...), axis=-1)."""
+    method="exact": bit-identical index to
+    jnp.argmax(qmm.affine(...), axis=-1). method="packed_fp16"/
+    "packed_bf16": bit-identical to transformer.packed_argmax_16 over
+    the same logits (the serving argmax) with the key fold fused into
+    the projection epilogue."""
     if interpret is None:
         interpret = not _on_tpu()
     scales = jnp.stack(
@@ -168,5 +208,5 @@ def argmax_affine(x, w_q, b, aq, bq, interpret=None):
         else jnp.zeros((w_q.shape[1],), jnp.float32)
     )
     return _argmax_2d(
-        x.astype(jnp.float32), w_q, bias, scales, interpret
+        x.astype(jnp.float32), w_q, bias, scales, interpret, method
     )

@@ -474,34 +474,49 @@ class Async:
                 htmls[i] = html
                 texts[i] = html.source
 
-        processed = model.processor.process_batch(
-            texts, self.config.wrap_length
-        )
         handles = []
-        pending = []
-        for html, (annotated, segments) in zip(htmls, processed):
-            future: Future = Future()
-
-            def continuation(response: Response, html=html, future=future):
-                try:
-                    if html is not None:
-                        html.restore(response)
-                    future.set_result(response)
-                except Exception as e:  # noqa: BLE001
-                    future.set_exception(e)
-                return None
-
-            request = _make_request(
-                self._ids, model, self.cache, annotated, segments,
-                continuation,
-                needs_alignment=options.alignment or options.html,
+        # CHUNKED ingest (1024 lines): each chunk is one batched
+        # native tokenize + one enqueue_many, so workers start on the
+        # first chunk while the caller thread ingests the rest — on a
+        # 10k-line corpus the serial whole-corpus ingest left every
+        # worker idle for the first ~40% of the wall
+        # (scripts/ubench_host_path.py profile, 2026-08-20 round 4).
+        # The native ingest/decode calls release the GIL, so the
+        # overlap is real parallelism, not time-slicing.
+        chunk_lines = 1024
+        for start in range(0, len(texts), chunk_lines):
+            chunk = texts[start : start + chunk_lines]
+            processed = model.processor.process_batch(
+                chunk, self.config.wrap_length
             )
-            request.on_error = future.set_exception
-            pending.append((model, request))
-            handles.append(Handle(request, parts=1, future=future))
-        # One lock/notify for the whole batch: workers wake to a full
-        # queue instead of being poked once per request.
-        self.batcher.enqueue_many(pending)
+            pending = []
+            for html, (annotated, segments) in zip(
+                htmls[start : start + chunk_lines], processed
+            ):
+                future: Future = Future()
+
+                def continuation(
+                    response: Response, html=html, future=future
+                ):
+                    try:
+                        if html is not None:
+                            html.restore(response)
+                        future.set_result(response)
+                    except Exception as e:  # noqa: BLE001
+                        future.set_exception(e)
+                    return None
+
+                request = _make_request(
+                    self._ids, model, self.cache, annotated, segments,
+                    continuation,
+                    needs_alignment=options.alignment or options.html,
+                )
+                request.on_error = future.set_exception
+                pending.append((model, request))
+                handles.append(Handle(request, parts=1, future=future))
+            # One lock/notify per chunk: workers wake to a full queue
+            # instead of being poked once per request.
+            self.batcher.enqueue_many(pending)
         return handles
 
     def pivot(

@@ -75,3 +75,31 @@ def test_supported_widths():
     assert logits_argmax.supported(1024)
     assert not logits_argmax.supported(96)
     assert not logits_argmax.supported(250)
+
+
+def test_packed_key_modes_match_packed_argmax_16():
+    """The kernel's packed-key epilogue (VERDICT r3 task 6a) is
+    bit-identical to transformer.packed_argmax_16 over the same
+    logits, for both 16-bit key dtypes."""
+    import jax.numpy as jnp
+
+    from slimt_tpu.models.transformer import packed_argmax_16
+    from slimt_tpu.ops import qmm
+
+    rng = np.random.default_rng(7)
+    b_, k, n = 16, 64, 1536
+    x = jnp.asarray(rng.standard_normal((b_, k)).astype(np.float32))
+    w = jnp.asarray(rng.integers(-127, 128, (k, n)).astype(np.int8))
+    bias = jnp.asarray(rng.standard_normal(n).astype(np.float32) * 0.1)
+    aq, bq = jnp.float32(20.0), jnp.float32(15.0)
+    logits = qmm.affine(x, w, bias, aq, bq)
+    for meth, dt in (
+        ("packed_fp16", jnp.float16), ("packed_bf16", jnp.bfloat16)
+    ):
+        want = np.asarray(packed_argmax_16(logits, dt))
+        got = np.asarray(
+            logits_argmax.argmax_affine(
+                x, w, bias, aq, bq, interpret=True, method=meth
+            )
+        )
+        np.testing.assert_array_equal(want, got)
