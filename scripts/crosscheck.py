@@ -88,17 +88,23 @@ CELLS = [
     ("narrow 2/2/2", 2, 2, 2, 32, 64, 2),
     ("deep-dec 2/4/4", 2, 4, 4, 64, 128, 4),
 ]
-# The serving sweep adds a PEAKED-logits cell: random weights produce
-# near-TIED logits (max of V Gaussians — the adversarial worst case,
-# where one rounding flip cascades); trained translation models are
-# peaked (confident argmaxes with top-2 gaps of whole units). A wider
-# logit-bias spread emulates that regime — the reduced-precision
-# perturbations enter only through the hidden state, while the top-2
-# gap grows with the bias spread — bounding the adversarial numbers
-# from the realistic side (VERDICT r3 task 7). Both sides (reference
-# binary and slimt_tpu) consume the same transformed .bin.
-PEAKED_CELL = ("PEAKED tiny-ratio 3/2/4", 3, 2, 4, 64, 128, 9)
-PEAKED_BIAS_SCALE = 40.0  # bias std 0.05 -> 2.0 (top-2 gaps ~ units)
+# The serving sweep adds a REPEATED-NEAR-TIE stress cell (VERDICT r3
+# task 7 outcome): a wide logit-bias spread was built hoping to
+# emulate a trained model's peaked logits, but MEASURED HARDER than
+# the adversarial cells — with the bias dominating, the SAME top-2
+# contest (fixed bias gap ~0.6 at V=512 order statistics) repeats
+# every decode step, re-rolling the f32-accumulation-order dice each
+# time: even the EXACT path drops to ~99.0% tokens here (vs its
+# 99.6% adversarial worst cell). Kept and reported separately because
+# it bounds something the adversarial aggregate cannot: on the
+# hardest cell, the DECLARED config's excess divergence over the
+# exact path's own ceiling is ~0.5pp — reduced precision degrades
+# gracefully exactly where f32-order noise is already flipping
+# argmaxes. Genuinely peaked (trained-weight) agreement remains
+# blocked on real checkpoints (fold into the BLEU harness when a
+# model tarball lands). Both sides consume the same transformed .bin.
+PEAKED_CELL = ("STRESS repeated-near-tie 3/2/4", 3, 2, 4, 64, 128, 9)
+PEAKED_BIAS_SCALE = 40.0  # bias std 0.05 -> 2.0: bias-dominated contests
 VOCAB = 512
 
 
@@ -113,9 +119,8 @@ def build_harness() -> None:
 def write_package(tmp, enc, dec, heads, emb, ffn, seed, bias_scale=None):
     """Synthetic .bin/.spm/.shortlist package readable by both sides.
 
-    `bias_scale` multiplies decoder_ff_logit_out_b (the PEAKED cell:
-    wider bias spread -> larger top-2 logit gaps, emulating a trained
-    model's confident argmaxes)."""
+    `bias_scale` multiplies decoder_ff_logit_out_b (the STRESS cell:
+    a bias-dominated repeated top-2 contest — see PEAKED_CELL note)."""
     from slimt_tpu.config import ModelConfig
     from slimt_tpu.io.shortlist import build_synthetic_shortlist
     from slimt_tpu.io.synthetic import synthetic_model_bytes
@@ -559,7 +564,7 @@ def mode_serving(args):
         for label, enc, dec, heads, emb, ffn, seed in CELLS + [PEAKED_CELL]:
             from slimt_tpu.io.shortlist import ShortlistGenerator
 
-            peaked = label.startswith("PEAKED")
+            peaked = label.startswith("STRESS")
             config, model_bytes, spm, paths = write_package(
                 tmp, enc, dec, heads, emb, ffn, seed,
                 bias_scale=PEAKED_BIAS_SCALE if peaked else None,
@@ -643,11 +648,11 @@ def mode_serving(args):
         se, st, ta, tt = totals[conf_label]
         adversarial = [
             c for c in per_cell[conf_label]
-            if not c["cell"].startswith("PEAKED")
+            if not c["cell"].startswith("STRESS")
         ]
         peaked_cells = [
             c for c in per_cell[conf_label]
-            if c["cell"].startswith("PEAKED")
+            if c["cell"].startswith("STRESS")
         ]
         worst = min(
             100.0 * c["tok_agree"] / max(1, c["tok_total"])
@@ -663,13 +668,13 @@ def mode_serving(args):
         peaked_str = ""
         if peaked_cells:
             pc = peaked_cells[0]
-            row["peaked_token_pct"] = round(
+            row["stress_cell_token_pct"] = round(
                 100.0 * pc["tok_agree"] / max(1, pc["tok_total"]), 2
             )
-            row["peaked_sentence_pct"] = round(
+            row["stress_cell_sentence_pct"] = round(
                 100.0 * pc["sent_exact"] / max(1, pc["sent_total"]), 2
             )
-            peaked_str = f"  peaked {row['peaked_token_pct']:.2f}%"
+            peaked_str = f"  stress {row['stress_cell_token_pct']:.2f}%"
         print(
             f"{conf_label:24s} {se:>7d}/{st} ({100.0 * se / max(1, st):5.1f}%)"
             f" {100.0 * ta / max(1, tt):7.2f}% {worst:15.2f}%{peaked_str}"
