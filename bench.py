@@ -881,7 +881,8 @@ def bench_pivot(lines=2048):
     )
 
 
-def bench_corpus(path=None, workers=8):
+def bench_corpus(path=None, workers=None):
+    workers = workers or int(os.environ.get("BENCH_WORKERS", 8))
     """WNGT20-style corpus throughput: pipe a real file through the
     Async service (the reference's scripts/run.sh workload — 10k
     shuffled sources, N workers). Falls back to a synthetic corpus
@@ -902,7 +903,9 @@ def bench_corpus(path=None, workers=8):
         with Async(
             Config(
                 cache_size=2048, max_words=8192, workers=workers,
-                batch_latency=0.02,
+                batch_latency=float(
+                    os.environ.get("BENCH_LATENCY", 0.02)
+                ),
             )
         ) as svc:
             handles = svc.translate_many(model, corpus)

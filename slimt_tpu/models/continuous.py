@@ -357,6 +357,15 @@ class ContinuousEngine:
         self.argmax_method = argmax_method
         self.encoder_dtype = encoder_dtype
         self.admit_order = admit_order
+        # Chunk transport packs tokens as uint16 (like the compact
+        # transport): marian vocabs are 32k; larger vocabs need a
+        # wider token column.
+        vocab = params["emb"]["q"].shape[0]
+        if vocab > 65535:
+            raise ValueError(
+                f"continuous decode's uint16 chunk transport supports "
+                f"vocab <= 65535, model has {vocab}"
+            )
         self.pool = make_pool(params, slots, t_slot, kv_dtype=kv_dtype)
         # Host mirror of slot occupancy: segment id per slot (-1 free).
         self.slot_seg = np.full(slots, -1, np.int64)
@@ -370,8 +379,15 @@ class ContinuousEngine:
         indices = np.zeros((a, self.t_slot), np.int32)
         mask = np.zeros((a, self.t_slot), np.float32)
         for i, toks in enumerate(seg_tokens):
-            n = min(len(toks), self.t_slot)
-            indices[i, :n] = toks[:n]
+            if len(toks) > self.t_slot:
+                # Never truncate silently: the caller owns wrapping
+                # (TextProcessor wraps at wrap_length ≤ t_slot).
+                raise ValueError(
+                    f"segment of {len(toks)} tokens exceeds the pool's "
+                    f"t_slot={self.t_slot}; wrap it first"
+                )
+            n = len(toks)
+            indices[i, :n] = toks
             mask[i, :n] = 1.0
         kv, mask_add, cap = encode_segments(
             self.params,

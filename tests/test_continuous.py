@@ -150,3 +150,27 @@ def test_chunk_transport_roundtrip(params):
     caps = np.asarray(cap)
     for b in range(4):
         assert valid[b].sum() == min(7, caps[b])
+
+
+def test_overlength_segment_raises(params):
+    engine = ContinuousEngine(
+        params, eos_id=1, num_heads=CONFIG.num_heads,
+        slots=2, chunk=4, t_slot=8, admit_bucket=2,
+    )
+    with pytest.raises(ValueError, match="exceeds the pool"):
+        engine.translate([[5] * 9])
+
+
+def test_vocab_bound_guard():
+    from slimt_tpu.models.continuous import ContinuousEngine as CE
+
+    big = ModelConfig(encoder_layers=1, decoder_layers=1)
+    items = load_items(
+        synthetic_model_bytes(
+            config=big, vocab_size=70000, emb_dim=32, ffn_dim=64, seed=1
+        )
+    )
+    p = load_weights(items, big)
+    with pytest.raises(ValueError, match="65535"):
+        CE(p, eos_id=1, num_heads=big.num_heads, slots=2, chunk=2,
+           t_slot=8)
