@@ -15,6 +15,8 @@ Modes (BASELINE.json configs):
     python bench.py devstep    # per-step device time, per-component
                                # ablation vs per-component rooflines
     python bench.py providers  # xla_int8 vs pallas vs f32
+    python bench.py continuous # step-level continuous batching vs
+                               # batch-at-a-time (online + offline)
 
 ONE declared numerics config across all modes (= ModelConfig defaults
 = the parity table in crosscheck/serving_agreement.json): int16
@@ -779,7 +781,11 @@ def bench_multipair(lines_per_model=2048):
     model_b = _model()
 
     def run(corpus, per_line):
-        with Async(Config(cache_size=0, max_words=8192, workers=2, batch_latency=0.05)) as svc:
+        with Async(Config(
+            cache_size=0, max_words=8192,
+            workers=int(os.environ.get("BENCH_WORKERS", 8)),
+            batch_latency=float(os.environ.get("BENCH_LATENCY", 0.05)),
+        )) as svc:
             if per_line:
                 handles = []
                 for line in corpus:
