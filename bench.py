@@ -159,6 +159,9 @@ def _decode_bench(
     # XLA formulation in-loop (see ModelConfig.attn_kernel); off by
     # default, BENCH_ATTN_KERNEL=1 measures it.
     attn_kernel = os.environ.get("BENCH_ATTN_KERNEL", "0") == "1"
+    # Fused wrap-regime encoder SDPA (ops/attention.fused_sdpa_joined;
+    # ModelConfig.encoder_sdpa); BENCH_ENC_SDPA=1 measures it.
+    fused_sdpa = os.environ.get("BENCH_ENC_SDPA", "0") == "1"
     from slimt_tpu.models.decode import compact_result, unpack_compact
 
     def _run(p, i, m):
@@ -174,6 +177,7 @@ def _decode_bench(
             argmax_method=argmax_method,
             attn_kernel=attn_kernel,
             encoder_dtype=enc_dtype,
+            fused_sdpa=fused_sdpa,
         )
         return compact_result(res) if compact else res
 

@@ -98,7 +98,7 @@ def main():
     rng = np.random.default_rng(0)
     mask = jnp.asarray(np.ones((B, T), np.float32))
 
-    def make_fn(embed_only=False, flash=False, act=None):
+    def make_fn(embed_only=False, flash=False, act=None, fused=False):
         adt = jnp.dtype(act) if act else None
 
         def run(p, i, m):
@@ -107,7 +107,7 @@ def main():
                 return jnp.sum(x)
             out = tfm.encoder_forward(
                 p, x, tfm.make_additive_mask(m), config.num_heads, None,
-                flash=flash, act_dtype=adt,
+                flash=flash, act_dtype=adt, fused_sdpa=fused,
             )
             return jnp.sum(out.astype(jnp.float32))
 
@@ -135,7 +135,8 @@ def main():
     cases = tuple(
         os.environ.get(
             "UB_CASES",
-            "no_scores,no_attn,no_ffn,embed_only,unrolled,flash,f16,bf16",
+            "no_scores,no_attn,no_ffn,embed_only,unrolled,flash,f16,bf16,"
+            "fused_sdpa",
         ).split(",")
     )
     fulls = []
@@ -149,6 +150,8 @@ def main():
                 abl = slope(make_fn(), unstacked)
             elif case == "flash":
                 abl = slope(make_fn(flash=True), stacked)
+            elif case == "fused_sdpa":
+                abl = slope(make_fn(fused=True), stacked)
             elif case == "f16":
                 abl = slope(make_fn(act="float16"), stacked)
             elif case == "bf16":
@@ -170,7 +173,7 @@ def main():
           f"({B*T/med(fulls)/1e6:.2f}M enc tok/s)")
     for case in cases:
         d = med(diffs[case]) * 1e3
-        if case in ("unrolled", "flash", "f16", "bf16"):
+        if case in ("unrolled", "flash", "f16", "bf16", "fused_sdpa"):
             print(f"  {case:10s} delta {d:+7.1f} ms (negative = variant "
                   "slower)")
         elif case == "embed_only":

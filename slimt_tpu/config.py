@@ -76,6 +76,20 @@ class ModelConfig:
     # lifts the reference's hard 128-token wrap constraint for long
     # inputs. Default off (einsum SDPA is fine at wrap_length).
     flash_attention: bool = False
+    # Fused encoder SDPA for the WRAP-LENGTH regime (T <= 256;
+    # ops/attention.fused_sdpa_joined): one Pallas program per batch
+    # block computes all heads' attention on joined [B,T,E] operands —
+    # scores never touch HBM and there is no [*,H,T,D] lane-padded
+    # split. Targets the measured 16 ms scores-path share of the
+    # ~45 ms encoder at B=2048xT=64 (scripts/ubench_encoder.py).
+    # Numerics: identical math to the einsum path (per-head selection
+    # by exact-zero lane masking adds no error terms; f32 throughout)
+    # — deviates only in dot-accumulation order (ulp-level;
+    # tests/test_fused_sdpa.py pins the class). "off" =
+    # einsum SDPA; "on" = force (errors under mesh sharding); "auto"
+    # = on for TPU backends on an unsharded single-process model at
+    # supported shapes.
+    encoder_sdpa: str = "off"
     # Pallas decode-attention kernel for the int16 joined KV cache
     # (ops/decode_attn_pallas): keeps everything but the K/V streams
     # in VMEM, to remove the [B,E,H] selector-operand buffer the XLA

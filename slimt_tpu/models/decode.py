@@ -261,6 +261,7 @@ def translate_batch(
     loop_unroll: Optional[int] = None,
     attn_kernel: bool = False,
     encoder_dtype: Optional[str] = None,
+    fused_sdpa: bool = False,
 ) -> GreedyResult:
     """Full forward: embed → encoder → greedy decode
     (slimt/Model.cc:187-204). `indices`/`mask`: [B, T] padded batch in
@@ -281,6 +282,7 @@ def translate_batch(
         None if provider == "fused_step" else provider,
         flash=flash_attention,
         act_dtype=act,
+        fused_sdpa=fused_sdpa,
     )
     return greedy_decode(
         params,
@@ -369,6 +371,7 @@ def unpack_compact(packed, max_steps: int):
         "compact_output",
         "attn_kernel",
         "encoder_dtype",
+        "fused_sdpa",
     ),
 )
 def translate_batch_jit(
@@ -391,6 +394,7 @@ def translate_batch_jit(
     compact_output: bool = False,
     attn_kernel: bool = False,
     encoder_dtype: Optional[str] = None,
+    fused_sdpa: bool = False,
 ):
     """Jitted entry; compile cache keyed on (B, T, S) bucket shapes.
     `steps_cap` is a traced scalar (no recompile across values).
@@ -414,5 +418,6 @@ def translate_batch_jit(
         argmax_method,
         attn_kernel=attn_kernel,
         encoder_dtype=encoder_dtype,
+        fused_sdpa=fused_sdpa,
     )
     return compact_result(result) if compact_output else result

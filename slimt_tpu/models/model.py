@@ -331,6 +331,24 @@ class Model:
             and self._batch_sharding is None
             and not self._multiprocess
         )
+        # Fused wrap-regime encoder SDPA (ops/attention.
+        # fused_sdpa_joined) — same gating contract as attn_kernel:
+        # the Pallas kernel has no partitioning rules.
+        sdpa_mode = getattr(self.config, "encoder_sdpa", "off")
+        if sdpa_mode == "on" and (
+            self._batch_sharding is not None or self._multiprocess
+        ):
+            raise ValueError(
+                "encoder_sdpa='on' is incompatible with a sharded model "
+                "(mesh/multiprocess) — use encoder_sdpa='auto'"
+            )
+        fused_sdpa = sdpa_mode == "on" or (
+            sdpa_mode == "auto"
+            and jax.default_backend() in ("tpu", "axon")
+            and self._batch_sharding is None
+            and not self._multiprocess
+            and t_pad <= 256
+        )
         result = translate_batch_jit(
             self.params,
             indices_j,
@@ -361,6 +379,7 @@ class Model:
             compact_output=compact,
             attn_kernel=attn_kernel,
             encoder_dtype=getattr(self.config, "encoder_dtype", None),
+            fused_sdpa=fused_sdpa,
         )
         def finish() -> List[Hypothesis]:
             if self._multiprocess:

@@ -384,6 +384,7 @@ def attention_forward(
     flash: bool = False,
     attn_kernel: bool = False,
     act_dtype: Optional[jnp.dtype] = None,
+    fused_sdpa: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
     """Full attention block incl. residual + post-LN
     (slimt/Modules.cc:287-319). Returns (out, attn_weights).
@@ -410,6 +411,26 @@ def attention_forward(
         )
         out = _affine(att["o"], attn_out, provider)
         return layer_norm(q_in + out, att["ln"]), attn
+    if (
+        fused_sdpa
+        and kv_cache is None
+        and q_in.shape[-2] > 1
+        and act == jnp.float32
+        and q_in.shape[-1] % 128 == 0
+        and q_in.shape[-1] % num_heads == 0
+    ):
+        # Wrap-regime fused SDPA on JOINED operands: no split/join
+        # transposes, scores stay in VMEM (ops/attention.
+        # fused_sdpa_joined). Encoder self-attention only — weights
+        # are not materialized (encoder callers discard them).
+        from slimt_tpu.ops.attention import fused_sdpa_joined
+
+        yq_j = _affine(att["q"], q_in, provider)
+        yk_j = _affine(att["k"], k_in, provider)
+        yv_j = _affine(att["v"], v_in, provider)
+        attn_out_j = fused_sdpa_joined(yq_j, yk_j, yv_j, mask_add, num_heads)
+        out = _affine(att["o"], attn_out_j, provider)
+        return layer_norm(q_in + out, att["ln"]), None
     yq = _split_heads(
         _affine(att["q"], q_in, provider, out_dtype=act), num_heads
     )
@@ -467,10 +488,11 @@ def encoder_layer_forward(
     provider: Optional[str] = None,
     flash: bool = False,
     act_dtype: Optional[jnp.dtype] = None,
+    fused_sdpa: bool = False,
 ) -> jax.Array:
     out, _ = attention_forward(
         layer["att"], x, x, x, mask_add, num_heads, provider, flash=flash,
-        act_dtype=act_dtype,
+        act_dtype=act_dtype, fused_sdpa=fused_sdpa,
     )
     return _ffn_block(layer, out, provider, act_dtype=act_dtype)
 
@@ -483,6 +505,7 @@ def encoder_forward(
     provider: Optional[str] = None,
     flash: bool = False,
     act_dtype: Optional[jnp.dtype] = None,
+    fused_sdpa: bool = False,
 ) -> jax.Array:
     """[B,T,E] → [B,T,E] through all encoder layers
     (slimt/Transformer.cc:57-69).
@@ -499,7 +522,7 @@ def encoder_forward(
         for layer in layers:
             x = encoder_layer_forward(
                 layer, x, mask_add, num_heads, provider, flash=flash,
-                act_dtype=act_dtype,
+                act_dtype=act_dtype, fused_sdpa=fused_sdpa,
             )
         return x
 
@@ -507,7 +530,7 @@ def encoder_forward(
         return (
             encoder_layer_forward(
                 layer, x, mask_add, num_heads, provider, flash=flash,
-                act_dtype=act_dtype,
+                act_dtype=act_dtype, fused_sdpa=fused_sdpa,
             ),
             None,
         )

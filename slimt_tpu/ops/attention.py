@@ -28,6 +28,112 @@ from jax.experimental.pallas import tpu as pltpu
 BLOCK_Q = 128
 
 
+def _fused_sdpa_kernel(
+    q_ref, k_ref, v_ref, mask_ref, o_ref, *, scale, num_heads
+):
+    """Whole-sequence multi-head SDPA on joined [G, T, E] operands.
+
+    One program handles G batch rows × ALL heads; scores live only in
+    VMEM. Per-head Q/V are selected by masking lanes (head h owns
+    lanes [h·D, (h+1)·D)) so every dot contracts/produces the full
+    E=H·D lane dimension — MXU-perfect tiles at E=256, no [*, D=32]
+    lane padding and no [B,H,T,T] HBM materialization. The extra
+    zero-lane multiply-adds are exact +0.0 terms (f32 identity), so
+    the math matches the per-head einsum up to dot accumulation
+    order."""
+    g_rows, t, e = q_ref.shape
+    head_dim = e // num_heads
+    lane_head = jax.lax.broadcasted_iota(jnp.int32, (t, e), 1) // head_dim
+    for g in range(g_rows):
+        q = q_ref[g]
+        k = k_ref[g]
+        v = v_ref[g]
+        m = mask_ref[g]  # [T] additive over key positions
+        acc = jnp.zeros((t, e), jnp.float32)
+        for h in range(num_heads):
+            sel = lane_head == h
+            qm = jnp.where(sel, q, 0.0)
+            scores = (
+                jax.lax.dot_general(
+                    qm, k,
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                * scale
+                + m[None, :]
+            )  # [T, T]
+            attn = jax.nn.softmax(scores, axis=-1)
+            vm = jnp.where(sel, v, 0.0)
+            acc = acc + jax.lax.dot_general(
+                attn, vm,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        o_ref[g] = acc
+
+
+def fused_sdpa_joined(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    mask_add: jax.Array,
+    num_heads: int,
+    interpret: Optional[bool] = None,
+    block_b: int = 8,
+) -> jax.Array:
+    """Fused encoder SDPA for the wrap-length regime (T ≤ ~256).
+
+    q/k/v: JOINED [B, T, E] affine outputs (no split_heads transpose);
+    mask_add: [B, 1, 1, T] additive → out [B, T, E] f32.
+
+    Motivation (scripts/ubench_encoder.py): at the headline shape
+    (B=2048 × T=64) the XLA scores path — materialized [B,H,T,T] f32
+    scores through HBM, batched [T,32]-contraction dots — costs
+    ~16 ms of the ~45 ms encoder. `blockwise_attention` above loses
+    here too (one tiny program per (b,h): 16k program launches for
+    64×32 dots). This kernel instead gives each program G whole batch
+    rows × all heads with E as the lane dimension throughout.
+    """
+    if interpret is None:
+        try:
+            interpret = jax.devices()[0].platform != "tpu"
+        except Exception:
+            interpret = True
+    b, t, e = q.shape
+    scale = 1.0 / math.sqrt(e // num_heads)
+    g = block_b
+    while b % g:
+        g //= 2
+    mask2 = jnp.broadcast_to(mask_add[:, 0, 0, :], (b, t))
+
+    return pl.pallas_call(
+        functools.partial(
+            _fused_sdpa_kernel, scale=scale, num_heads=num_heads
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, t, e), jnp.float32),
+        grid=(b // g,),
+        in_specs=[
+            pl.BlockSpec((g, t, e), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((g, t, e), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((g, t, e), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((g, t), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((g, t, e), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * num_heads * t * t * e,
+            bytes_accessed=4 * 4 * b * t * e,
+            transcendentals=b * num_heads * t * t,
+        ),
+        interpret=interpret,
+    )(q.astype(jnp.float32), k.astype(jnp.float32),
+      v.astype(jnp.float32), mask2.astype(jnp.float32))
+
+
 def _attention_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *, scale):
     # q [1, BQ, D]; k/v [1, T, D]; mask [1, 1, T] additive; o [1, BQ, D]
     q = q_ref[0]
