@@ -162,6 +162,9 @@ def _decode_bench(
     # Fused wrap-regime encoder SDPA (ops/attention.fused_sdpa_joined;
     # ModelConfig.encoder_sdpa); BENCH_ENC_SDPA=1 measures it.
     fused_sdpa = os.environ.get("BENCH_ENC_SDPA", "0") == "1"
+    # Whole-encoder-layer kernel (ops/encoder_layer_pallas;
+    # ModelConfig.encoder_layer_kernel); BENCH_ENC_LAYER=1 measures it.
+    fused_layer = os.environ.get("BENCH_ENC_LAYER", "0") == "1"
     from slimt_tpu.models.decode import compact_result, unpack_compact
 
     def _run(p, i, m):
@@ -178,6 +181,7 @@ def _decode_bench(
             attn_kernel=attn_kernel,
             encoder_dtype=enc_dtype,
             fused_sdpa=fused_sdpa,
+            fused_layer=fused_layer,
         )
         return compact_result(res) if compact else res
 

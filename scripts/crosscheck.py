@@ -218,7 +218,8 @@ def run_reference(paths, config, sentences, batch, with_shortlist,
 
 def run_slimt_tpu(model_bytes, config, sentences, batch, eos, pad,
                   shortlist_gen, kv_dtype="float32", argmax_method="exact",
-                  with_alignment=True, encoder_dtype=None):
+                  with_alignment=True, encoder_dtype=None,
+                  fused_sdpa=False):
     """Decode through slimt_tpu. Defaults are the EXACT numerics
     (f32 KV cache, f32 variadic argmax — reference
     Transformer.cc:279-339 semantics); the serving mode overrides
@@ -252,6 +253,7 @@ def run_slimt_tpu(model_bytes, config, sentences, batch, eos, pad,
             argmax_method=argmax_method,
             with_alignment=with_alignment,
             encoder_dtype=encoder_dtype,
+            fused_sdpa=fused_sdpa,
         ),
         static_argnames=("max_steps",),
     )
@@ -526,6 +528,17 @@ SERVING_CONFIGS = [
     # error re-enters every decode step.
     ("enc=float16", {"encoder_dtype": "float16"}),
     ("enc=bfloat16", {"encoder_dtype": "bfloat16"}),
+    # Fused wrap-regime encoder SDPA kernel (ops/attention.
+    # fused_sdpa_joined): f32 throughout, deviates from the einsum
+    # path only in dot-accumulation order (exact-zero lane masking
+    # adds no error terms) — expected exact-class agreement; this row
+    # measures it rather than asserting it.
+    ("enc_sdpa=fused", {"fused_sdpa": True}),
+    ("fusedsdpa+int16+packedfp16+noalign", {
+        "fused_sdpa": True,
+        "kv_dtype": "int16", "argmax_method": "packed_fp16",
+        "with_alignment": False,
+    }),
     # Candidate full stack: fp16 encoder on top of the declared
     # serving config.
     ("encfp16+int16+packedfp16+noalign", {
@@ -681,6 +694,34 @@ def mode_serving(args):
         )
         report[conf_label] = row
     out_path = os.path.join(ROOT, "crosscheck", "serving_agreement.json")
+    if partial and getattr(args, "serving_merge", False):
+        # MERGE mode: append/refresh just the filtered rows in the
+        # published json. Sound only if the measurement is the same
+        # experiment: batch and lines_per_cell must match, and the
+        # re-run exact CONTROL row must reproduce the stored one
+        # bit-for-bit (CPU runs are deterministic — any drift means
+        # the environment changed and a full regeneration is needed).
+        with open(out_path) as f:
+            existing = json.load(f)
+        if existing.get("batch") != batch or (
+            existing.get("lines_per_cell") != args.serving_lines
+        ):
+            raise SystemExit(
+                "--serving-merge: batch/lines_per_cell mismatch with "
+                f"{out_path} — run the full sweep instead"
+            )
+        if existing["configs"].get("exact") != report["exact"]:
+            raise SystemExit(
+                "--serving-merge: the exact control row does not "
+                "reproduce the stored one — environment changed; run "
+                "the full sweep instead"
+            )
+        existing["configs"].update(report)
+        with open(out_path, "w") as f:
+            json.dump(existing, f, indent=1)
+        print(f"merged {len(report) - 1} row(s) into {out_path}")
+        exact = totals["exact"]
+        return 100.0 * exact[0] / max(1, exact[1])
     if partial:
         print("(filtered run: serving_agreement.json NOT updated)")
         exact = totals["exact"]
@@ -1173,6 +1214,13 @@ def main():
         "labels ('exact' always included as the control); a filtered "
         "run prints the table but does NOT overwrite "
         "serving_agreement.json",
+    )
+    parser.add_argument(
+        "--serving-merge", action="store_true",
+        help="with --serving-configs: merge the filtered rows into "
+        "serving_agreement.json, gated on the exact control row "
+        "reproducing the stored one bit-for-bit (same batch and "
+        "lines_per_cell required)",
     )
     parser.add_argument("--verbose", action="store_true")
     parser.add_argument(

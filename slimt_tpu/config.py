@@ -90,6 +90,19 @@ class ModelConfig:
     # = on for TPU backends on an unsharded single-process model at
     # supported shapes.
     encoder_sdpa: str = "off"
+    # WHOLE-encoder-layer Pallas kernel (ops/encoder_layer_pallas):
+    # QKVO int8 affines + multi-head SDPA + residual/post-LN + FFN
+    # pair in ONE program per batch block — the only HBM activation
+    # traffic for a layer is x in/out, and the weights' block index
+    # never changes so Pallas loads them once for the whole grid.
+    # Supersedes encoder_sdpa when active. Numerics: int8 affines are
+    # BIT-exact (i32 accumulation is associative); LN/softmax are the
+    # same f32 formulas as the XLA path, differing only in
+    # accumulation order — the same measured exact-class as
+    # enc_sdpa=fused (crosscheck serving sweep). "off" (default
+    # pending TPU A/B) | "on" (force; errors under mesh sharding) |
+    # "auto" (TPU + unsharded single-process + wrap-regime shapes).
+    encoder_layer_kernel: str = "off"
     # Pallas decode-attention kernel for the int16 joined KV cache
     # (ops/decode_attn_pallas): keeps everything but the K/V streams
     # in VMEM, to remove the [B,E,H] selector-operand buffer the XLA

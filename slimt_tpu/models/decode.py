@@ -262,6 +262,7 @@ def translate_batch(
     attn_kernel: bool = False,
     encoder_dtype: Optional[str] = None,
     fused_sdpa: bool = False,
+    fused_layer: bool = False,
 ) -> GreedyResult:
     """Full forward: embed → encoder → greedy decode
     (slimt/Model.cc:187-204). `indices`/`mask`: [B, T] padded batch in
@@ -283,6 +284,7 @@ def translate_batch(
         flash=flash_attention,
         act_dtype=act,
         fused_sdpa=fused_sdpa,
+        fused_layer=fused_layer,
     )
     return greedy_decode(
         params,
@@ -372,6 +374,7 @@ def unpack_compact(packed, max_steps: int):
         "attn_kernel",
         "encoder_dtype",
         "fused_sdpa",
+        "fused_layer",
     ),
 )
 def translate_batch_jit(
@@ -395,6 +398,7 @@ def translate_batch_jit(
     attn_kernel: bool = False,
     encoder_dtype: Optional[str] = None,
     fused_sdpa: bool = False,
+    fused_layer: bool = False,
 ):
     """Jitted entry; compile cache keyed on (B, T, S) bucket shapes.
     `steps_cap` is a traced scalar (no recompile across values).
@@ -419,5 +423,6 @@ def translate_batch_jit(
         attn_kernel=attn_kernel,
         encoder_dtype=encoder_dtype,
         fused_sdpa=fused_sdpa,
+        fused_layer=fused_layer,
     )
     return compact_result(result) if compact_output else result

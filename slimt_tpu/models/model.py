@@ -349,6 +349,22 @@ class Model:
             and not self._multiprocess
             and t_pad <= 256
         )
+        # Whole-encoder-layer Pallas kernel — same gating contract.
+        layer_mode = getattr(self.config, "encoder_layer_kernel", "off")
+        if layer_mode == "on" and (
+            self._batch_sharding is not None or self._multiprocess
+        ):
+            raise ValueError(
+                "encoder_layer_kernel='on' is incompatible with a "
+                "sharded model (mesh/multiprocess) — use 'auto'"
+            )
+        fused_layer = layer_mode == "on" or (
+            layer_mode == "auto"
+            and jax.default_backend() in ("tpu", "axon")
+            and self._batch_sharding is None
+            and not self._multiprocess
+            and t_pad <= 256
+        )
         result = translate_batch_jit(
             self.params,
             indices_j,
@@ -380,6 +396,7 @@ class Model:
             attn_kernel=attn_kernel,
             encoder_dtype=getattr(self.config, "encoder_dtype", None),
             fused_sdpa=fused_sdpa,
+            fused_layer=fused_layer,
         )
         def finish() -> List[Hypothesis]:
             if self._multiprocess:

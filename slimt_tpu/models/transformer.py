@@ -489,7 +489,23 @@ def encoder_layer_forward(
     flash: bool = False,
     act_dtype: Optional[jnp.dtype] = None,
     fused_sdpa: bool = False,
+    fused_layer: bool = False,
 ) -> jax.Array:
+    if (
+        fused_layer
+        and act_dtype is None
+        and x.shape[-2] > 1
+        and x.shape[-1] % 128 == 0
+        and x.shape[-1] % num_heads == 0
+    ):
+        # Whole-layer Pallas kernel: QKVO affines + SDPA + residual/LN
+        # + FFN in one program, activations resident in VMEM
+        # (ops/encoder_layer_pallas; exact-class numerics — the int8
+        # affines are bit-exact, LN/softmax differ only in f32
+        # accumulation order).
+        from slimt_tpu.ops.encoder_layer_pallas import encoder_layer_fused
+
+        return encoder_layer_fused(x, layer, mask_add, num_heads)
     out, _ = attention_forward(
         layer["att"], x, x, x, mask_add, num_heads, provider, flash=flash,
         act_dtype=act_dtype, fused_sdpa=fused_sdpa,
@@ -506,6 +522,7 @@ def encoder_forward(
     flash: bool = False,
     act_dtype: Optional[jnp.dtype] = None,
     fused_sdpa: bool = False,
+    fused_layer: bool = False,
 ) -> jax.Array:
     """[B,T,E] → [B,T,E] through all encoder layers
     (slimt/Transformer.cc:57-69).
@@ -523,6 +540,7 @@ def encoder_forward(
             x = encoder_layer_forward(
                 layer, x, mask_add, num_heads, provider, flash=flash,
                 act_dtype=act_dtype, fused_sdpa=fused_sdpa,
+                fused_layer=fused_layer,
             )
         return x
 
@@ -531,6 +549,7 @@ def encoder_forward(
             encoder_layer_forward(
                 layer, x, mask_add, num_heads, provider, flash=flash,
                 act_dtype=act_dtype, fused_sdpa=fused_sdpa,
+                fused_layer=fused_layer,
             ),
             None,
         )

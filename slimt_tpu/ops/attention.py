@@ -48,7 +48,7 @@ def _fused_sdpa_kernel(
         q = q_ref[g]
         k = k_ref[g]
         v = v_ref[g]
-        m = mask_ref[g]  # [T] additive over key positions
+        m = mask_ref[g, 0]  # [T] additive over key positions
         acc = jnp.zeros((t, e), jnp.float32)
         for h in range(num_heads):
             sel = lane_head == h
@@ -69,6 +69,52 @@ def _fused_sdpa_kernel(
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
+        o_ref[g] = acc
+
+
+def _fused_sdpa_kernel_stack(
+    q_ref, k_ref, v_ref, mask_ref, o_ref, *, scale, num_heads
+):
+    """Stacked-heads variant: every head's scores ride ONE big dot.
+
+    QM = the H head-masked copies of q stacked along SUBLANES
+    [H·T, E]; scores for every head = ONE [H·T,E]·[E,T] dot and one
+    softmax over the key lanes. The output accumulation stays per-head
+    ([T,T]·[T,E] dots over cheap sublane slices of attn) — merging it
+    into one dot needs a [H,T,T]→[T,H·T] lane-merge relayout Mosaic
+    does not legalize (infer-vector-layout: unsupported shape cast)."""
+    g_rows, t, e = q_ref.shape
+    head_dim = e // num_heads
+    # [H, 1, E] 0/1 masks: head h owns lanes [h·D, (h+1)·D).
+    lane = jax.lax.broadcasted_iota(jnp.int32, (num_heads, 1, e), 2)
+    head = jax.lax.broadcasted_iota(jnp.int32, (num_heads, 1, e), 0)
+    hmask = (lane // head_dim == head).astype(jnp.float32)
+    lane_head = jax.lax.broadcasted_iota(jnp.int32, (t, e), 1) // head_dim
+    for g in range(g_rows):
+        q = q_ref[g]
+        k = k_ref[g]
+        v = v_ref[g]
+        m = mask_ref[g, 0]  # [T]
+        qm = (q[None, :, :] * hmask).reshape(num_heads * t, e)
+        scores = (
+            jax.lax.dot_general(
+                qm, k,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            * scale
+            + m[None, :]
+        )  # [H·T, T]
+        attn = jax.nn.softmax(scores, axis=-1)
+        acc = jnp.zeros((t, e), jnp.float32)
+        for h in range(num_heads):
+            a_h = attn[h * t:(h + 1) * t, :]  # sublane slice
+            o_h = jax.lax.dot_general(
+                a_h, v,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            acc = acc + jnp.where(lane_head == h, o_h, 0.0)
         o_ref[g] = acc
 
 
@@ -101,15 +147,20 @@ def fused_sdpa_joined(
             interpret = True
     b, t, e = q.shape
     scale = 1.0 / math.sqrt(e // num_heads)
-    g = block_b
+    import os as _os
+
+    g = int(_os.environ.get("SLIMT_TPU_SDPA_BLOCK", block_b))
     while b % g:
         g //= 2
-    mask2 = jnp.broadcast_to(mask_add[:, 0, 0, :], (b, t))
+    mask2 = jnp.broadcast_to(mask_add[:, 0, :, :], (b, 1, t))
 
+    kernel = (
+        _fused_sdpa_kernel
+        if _os.environ.get("SLIMT_TPU_SDPA_IMPL", "stack") == "loop"
+        else _fused_sdpa_kernel_stack
+    )
     return pl.pallas_call(
-        functools.partial(
-            _fused_sdpa_kernel, scale=scale, num_heads=num_heads
-        ),
+        functools.partial(kernel, scale=scale, num_heads=num_heads),
         out_shape=jax.ShapeDtypeStruct((b, t, e), jnp.float32),
         grid=(b // g,),
         in_specs=[
@@ -119,7 +170,7 @@ def fused_sdpa_joined(
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((g, t, e), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((g, t), lambda i: (i, 0),
+            pl.BlockSpec((g, 1, t), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((g, t, e), lambda i: (i, 0, 0),
