@@ -162,9 +162,11 @@ def _decode_bench(
     # Fused wrap-regime encoder SDPA (ops/attention.fused_sdpa_joined;
     # ModelConfig.encoder_sdpa); BENCH_ENC_SDPA=1 measures it.
     fused_sdpa = os.environ.get("BENCH_ENC_SDPA", "0") == "1"
-    # Whole-encoder-layer kernel (ops/encoder_layer_pallas;
-    # ModelConfig.encoder_layer_kernel); BENCH_ENC_LAYER=1 measures it.
-    fused_layer = os.environ.get("BENCH_ENC_LAYER", "0") == "1"
+    # Whole-encoder-layer kernel (ops/encoder_layer_pallas) — the
+    # service default (ModelConfig.encoder_layer_kernel="auto"; same
+    # numerics class as the XLA encoder, headline +20%).
+    # BENCH_ENC_LAYER=0 ablates back to the XLA encoder.
+    fused_layer = os.environ.get("BENCH_ENC_LAYER", "1") == "1"
     from slimt_tpu.models.decode import compact_result, unpack_compact
 
     def _run(p, i, m):

@@ -219,7 +219,7 @@ def run_reference(paths, config, sentences, batch, with_shortlist,
 def run_slimt_tpu(model_bytes, config, sentences, batch, eos, pad,
                   shortlist_gen, kv_dtype="float32", argmax_method="exact",
                   with_alignment=True, encoder_dtype=None,
-                  fused_sdpa=False):
+                  fused_sdpa=False, fused_layer=False):
     """Decode through slimt_tpu. Defaults are the EXACT numerics
     (f32 KV cache, f32 variadic argmax — reference
     Transformer.cc:279-339 semantics); the serving mode overrides
@@ -254,6 +254,7 @@ def run_slimt_tpu(model_bytes, config, sentences, batch, eos, pad,
             with_alignment=with_alignment,
             encoder_dtype=encoder_dtype,
             fused_sdpa=fused_sdpa,
+            fused_layer=fused_layer,
         ),
         static_argnames=("max_steps",),
     )
@@ -534,6 +535,15 @@ SERVING_CONFIGS = [
     # adds no error terms) — expected exact-class agreement; this row
     # measures it rather than asserting it.
     ("enc_sdpa=fused", {"fused_sdpa": True}),
+    # Whole-encoder-layer kernel (ops/encoder_layer_pallas) — the
+    # shipped encoder default on TPU (encoder_layer_kernel="auto"):
+    # int8 affines bit-exact, LN/softmax f32-order-only deviations.
+    ("enc_layer=fused", {"fused_layer": True}),
+    ("fusedlayer+int16+packedfp16+noalign", {
+        "fused_layer": True,
+        "kv_dtype": "int16", "argmax_method": "packed_fp16",
+        "with_alignment": False,
+    }),
     ("fusedsdpa+int16+packedfp16+noalign", {
         "fused_sdpa": True,
         "kv_dtype": "int16", "argmax_method": "packed_fp16",

@@ -99,10 +99,18 @@ class ModelConfig:
     # BIT-exact (i32 accumulation is associative); LN/softmax are the
     # same f32 formulas as the XLA path, differing only in
     # accumulation order — the same measured exact-class as
-    # enc_sdpa=fused (crosscheck serving sweep). "off" (default
-    # pending TPU A/B) | "on" (force; errors under mesh sharding) |
-    # "auto" (TPU + unsharded single-process + wrap-regime shapes).
-    encoder_layer_kernel: str = "off"
+    # enc_sdpa=fused (crosscheck serving sweep). MEASURED (2026-08-21,
+    # B=2048xT=64, same-process slope A/B, scripts/
+    # ubench_encoder_fused.py): whole layer 2.7-2.9 ms vs 5.9 XLA
+    # (2.2x), full 6-layer encoder 20.4 vs 37.5-39.6 ms (1.85x),
+    # headline decode 1.88M -> 2.25M tok/s (+20%) — the first
+    # Pallas-vs-XLA WIN outside the B=1 latency regime (the encoder
+    # is a once-per-batch call, so the per-step pallas boundary that
+    # sank the six in-loop kernels does not apply). "auto" (DEFAULT:
+    # on for TPU backends on an unsharded single-process model at
+    # wrap-regime shapes, exact-f32 encoder, int8 providers) | "on"
+    # (force; errors under mesh sharding) | "off" (XLA encoder).
+    encoder_layer_kernel: str = "auto"
     # Pallas decode-attention kernel for the int16 joined KV cache
     # (ops/decode_attn_pallas): keeps everything but the K/V streams
     # in VMEM, to remove the [B,E,H] selector-operand buffer the XLA

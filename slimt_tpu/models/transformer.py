@@ -494,6 +494,7 @@ def encoder_layer_forward(
     if (
         fused_layer
         and act_dtype is None
+        and provider in (None, "xla_int8", "pallas", "fused")
         and x.shape[-2] > 1
         and x.shape[-1] % 128 == 0
         and x.shape[-1] % num_heads == 0

@@ -151,6 +151,12 @@ def encoder_layer_fused(
     att, ffn = layer["att"], layer["ffn"]
     f = ffn["w1"]["q"].shape[-1]
     g = int(os.environ.get("SLIMT_TPU_ENC_LAYER_BLOCK", block_b))
+    # VMEM budget: the batched-affine form carries [g·t, F] f32 hidden
+    # activations (plus Q/K/V and the double-buffered x blocks); keep
+    # g·t at the measured sweet spot (512 rows at tiny11's F=1536,
+    # scaled down for wider FFNs).
+    while g > 1 and g * t * max(f, 4 * e) > 512 * 1536:
+        g //= 2
     while b % g:
         g //= 2
     mask2 = jnp.broadcast_to(mask_add[:, 0, :, :], (b, 1, t)).astype(
