@@ -17,6 +17,9 @@ Modes (BASELINE.json configs):
     python bench.py providers  # xla_int8 vs pallas vs f32
     python bench.py continuous # step-level continuous batching vs
                                # batch-at-a-time (online + offline)
+    python bench.py latency    # open-loop Poisson serving latency
+                               # (p50/p95/p99 vs offered load,
+                               # batch_latency 0 vs 50 ms)
 
 ONE declared numerics config across all modes (= ModelConfig defaults
 = the parity table in crosscheck/serving_agreement.json): int16
@@ -1219,6 +1222,26 @@ def bench_longctx():
             rows[f"T={t} " + ("flash" if flash else "einsum")] = round(tps, 1)
             if flash and t == 1024:
                 flash_1024 = tps
+    # flash_attention="auto" (the shipped default) must pick the
+    # measured per-T winner — einsum through the crossover, blockwise
+    # beyond it, and blockwise wherever einsum is infeasible.
+    from slimt_tpu.models.model import resolve_flash
+
+    auto_checks = {}
+    for t in lengths:
+        ein = rows.get(f"T={t} einsum")
+        fla = rows.get(f"T={t} flash")
+        auto = resolve_flash("auto", t)
+        if not isinstance(ein, (int, float)):
+            ok = auto  # einsum skipped/unresolved → auto must say flash
+        elif not isinstance(fla, (int, float)):
+            ok = not auto
+        else:
+            ok = auto == (fla > ein)
+        auto_checks[f"T={t}"] = {
+            "auto_picks": "flash" if auto else "einsum",
+            "matches_winner": bool(ok),
+        }
     print(
         json.dumps(
             {
@@ -1227,6 +1250,131 @@ def bench_longctx():
                 "unit": "tokens/s",
                 "vs_baseline": round((flash_1024 or 0.0) / TARGET, 3),
                 "total_tokens_per_config": total,
+                "rows": rows,
+                "flash_auto": auto_checks,
+            }
+        )
+    )
+
+
+def bench_latency():
+    """Open-loop serving latency: Poisson arrivals into the Async
+    service at several offered loads, per-request end-to-end latency
+    (tokenize → queue/batch → decode → detokenize) percentiles at each
+    load, for batch_latency ∈ {0, 50 ms} — the latency side of the
+    occupancy trade Config.batch_latency makes (reference
+    slimt/Frontend.hh:21-39 exposes the same knobs; Response.cc:196-219
+    is its live per-request wps metric).
+
+    Latency is measured from the request's SCHEDULED arrival time
+    (open-loop convention): if the engine falls behind, queueing shows
+    up in the tail instead of silently stretching the arrival process.
+    A closed-loop B=1 row (single-sentence Blocking round trip, the
+    interactive floor) anchors the table."""
+    import threading
+
+    from slimt_tpu.config import Config
+    from slimt_tpu.runtime.service import Async, Blocking
+
+    model = _model()
+    loads = [
+        int(x)
+        for x in os.environ.get(
+            "BENCH_LOADS", "100,500,2000,8000,20000"
+        ).split(",")
+    ]
+    duration = float(os.environ.get("BENCH_LAT_SECONDS", 6.0))
+    windows = [0.0, 0.05]
+    rows = {}
+    knee = (0.0, None)  # (tok/s, row key) at the knee
+
+    def run_load(service, load, seed, timed):
+        n = min(int(load * duration), 30000)
+        corpus = _service_corpus(seed, n)
+        rng = np.random.default_rng(seed)
+        gaps = rng.exponential(1.0 / load, n)
+        sched = np.cumsum(gaps)
+        done = np.zeros(n)
+        pending = threading.Semaphore(0)
+
+        t0 = time.perf_counter()
+        for i, line in enumerate(corpus):
+            now = time.perf_counter() - t0
+            if sched[i] > now:
+                time.sleep(sched[i] - now)
+            handle = service.translate(model, line)
+
+            def cb(fut, i=i):
+                done[i] = time.perf_counter() - t0
+                pending.release()
+
+            handle.future.add_done_callback(cb)
+        for _ in range(n):
+            pending.acquire()
+        wall = time.perf_counter() - t0
+        if not timed:
+            return None
+        lat_ms = (done - sched) * 1e3
+        tokens = sum(len(line.split()) for line in corpus)  # source words
+        return {
+            "offered_lps": load,
+            "achieved_lps": round(n / wall, 1),
+            "source_wps": round(tokens / wall, 1),
+            "p50_ms": round(float(np.percentile(lat_ms, 50)), 2),
+            "p95_ms": round(float(np.percentile(lat_ms, 95)), 2),
+            "p99_ms": round(float(np.percentile(lat_ms, 99)), 2),
+            "n": n,
+        }
+
+    for window in windows:
+        service = Async(
+            Config(
+                cache_size=0, max_words=8192, workers=4,
+                batch_latency=window,
+            )
+        )
+        # Warm every shape bucket the arrival process will touch (the
+        # low-load regime decodes B=1..8 buckets the corpus modes never
+        # compile) by running the same Poisson process once untimed.
+        run_load(service, loads[0], seed=99, timed=False)
+        run_load(service, max(loads), seed=98, timed=False)
+        for load in loads:
+            row = run_load(service, load, seed=load, timed=True)
+            key = f"window={int(window * 1000)}ms load={load}/s"
+            rows[key] = row
+            # The knee: highest load this window sustains (≥95% of
+            # offered admitted AND p99 under 250 ms).
+            if (
+                row["achieved_lps"] >= 0.95 * load
+                and row["p99_ms"] <= 250.0
+                and row["source_wps"] > knee[0]
+            ):
+                knee = (row["source_wps"], key)
+
+    # Interactive floor: closed-loop single-sentence Blocking round
+    # trip (per-request path, B=1 bucket) — median of 50.
+    floor = Blocking(Config(cache_size=0, prefer_bulk=False))
+    floor_corpus = _service_corpus(7, 64, low=8, high=16)
+    floor.translate(model, floor_corpus[:8])  # warm B∈{1..8}, T buckets
+    samples = []
+    for line in floor_corpus[8:]:
+        t0 = time.perf_counter()
+        floor.translate(model, [line])
+        samples.append((time.perf_counter() - t0) * 1e3)
+    rows["closed-loop B=1 Blocking"] = {
+        "p50_ms": round(float(np.percentile(samples, 50)), 2),
+        "p95_ms": round(float(np.percentile(samples, 95)), 2),
+        "n": len(samples),
+    }
+
+    print(
+        json.dumps(
+            {
+                "metric": "serving_knee_source_words_per_sec",
+                "value": round(knee[0], 1),
+                "unit": "source words/s",
+                "vs_baseline": round(knee[0] / TARGET, 3),
+                "knee": knee[1],
                 "rows": rows,
             }
         )
@@ -1289,6 +1437,7 @@ def main():
         "providers": bench_providers,
         "longctx": bench_longctx,
         "continuous": bench_continuous,
+        "latency": bench_latency,
     }[mode]()
     timer.cancel()
 

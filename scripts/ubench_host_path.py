@@ -47,44 +47,12 @@ def build_model():
 
 
 def stub_forward(model):
-    """Replace the device forward with an instant echo: hypothesis
-    tokens = source tokens (realistic detokenize cost downstream)."""
+    """Replace the device forward with an instant echo (tokens =
+    source tokens) — now shared library code; see
+    slimt_tpu.utils.stub_device_forward."""
+    from slimt_tpu.utils import stub_device_forward
 
-    def forward_async(segments, need_alignment=True, raw=False):
-        if raw:
-            # Columnar completion contract (Batch.complete_raw):
-            # padded token matrix + per-row step counts.
-            steps = np.asarray([len(s) for s in segments], np.int32)
-            t = max(1, int(steps.max()))
-            toks = np.zeros((len(segments), t), np.int32)
-            for i, s in enumerate(segments):
-                toks[i, : len(s)] = s
-            return lambda: (toks, steps, None)
-        hyps = [
-            Hypothesis(target=list(s), alignment=[])
-            for s in segments
-        ]
-        return lambda: hyps
-
-    def forward_async_arrays(
-        indices, mask, lengths, batch, need_alignment=False,
-        shortlist_words=None, raw=False,
-    ):
-        steps = np.asarray(lengths, np.int32)
-        if raw:
-            return lambda: (indices, steps, None)
-        return lambda: [
-            Hypothesis(
-                target=indices[i, : steps[i]].tolist(), alignment=[]
-            )
-            for i in range(batch)
-        ]
-
-    model.forward_async = forward_async
-    model.forward_async_arrays = forward_async_arrays
-    model.forward = lambda segments, need_alignment=True: forward_async(
-        segments, need_alignment
-    )()
+    stub_device_forward(model)
 
 
 def corpus(lines):

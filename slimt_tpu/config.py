@@ -74,8 +74,13 @@ class ModelConfig:
     argmax_method: str = "packed_fp16"
     # Blockwise Pallas encoder self-attention: O(T·block) memory,
     # lifts the reference's hard 128-token wrap constraint for long
-    # inputs. Default off (einsum SDPA is fine at wrap_length).
-    flash_attention: bool = False
+    # inputs. "auto" (DEFAULT) picks per T bucket from the measured
+    # crossover (bench.py longctx / PERFORMANCE.md): einsum SDPA up to
+    # T=768 (blockwise is up to ~52% slower in the wrap regime),
+    # blockwise beyond (einsum is slower at T≥1024 and OOM-class
+    # infeasible at T≥2048 — [B,H,T,T] f32 scores). True/False force
+    # one path regardless of T.
+    flash_attention: "str | bool" = "auto"
     # Fused encoder SDPA for the WRAP-LENGTH regime (T <= 256;
     # ops/attention.fused_sdpa_joined): one Pallas program per batch
     # block computes all heads' attention on joined [B,T,E] operands —

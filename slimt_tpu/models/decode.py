@@ -263,6 +263,7 @@ def translate_batch(
     encoder_dtype: Optional[str] = None,
     fused_sdpa: bool = False,
     fused_layer: bool = False,
+    fused_layer_mesh=None,
 ) -> GreedyResult:
     """Full forward: embed → encoder → greedy decode
     (slimt/Model.cc:187-204). `indices`/`mask`: [B, T] padded batch in
@@ -285,6 +286,7 @@ def translate_batch(
         act_dtype=act,
         fused_sdpa=fused_sdpa,
         fused_layer=fused_layer,
+        fused_layer_mesh=fused_layer_mesh,
     )
     return greedy_decode(
         params,
@@ -375,6 +377,7 @@ def unpack_compact(packed, max_steps: int):
         "encoder_dtype",
         "fused_sdpa",
         "fused_layer",
+        "fused_layer_mesh",  # jax.sharding.Mesh — hashable
     ),
 )
 def translate_batch_jit(
@@ -399,6 +402,7 @@ def translate_batch_jit(
     encoder_dtype: Optional[str] = None,
     fused_sdpa: bool = False,
     fused_layer: bool = False,
+    fused_layer_mesh=None,
 ):
     """Jitted entry; compile cache keyed on (B, T, S) bucket shapes.
     `steps_cap` is a traced scalar (no recompile across values).
@@ -424,5 +428,6 @@ def translate_batch_jit(
         encoder_dtype=encoder_dtype,
         fused_sdpa=fused_sdpa,
         fused_layer=fused_layer,
+        fused_layer_mesh=fused_layer_mesh,
     )
     return compact_result(result) if compact_output else result

@@ -38,6 +38,21 @@ _model_ids = itertools.count()
 SHORTLIST_BUCKET = 1024
 SEQ_BUCKET = 16
 
+# Measured einsum-vs-blockwise encoder SDPA crossover (bench.py
+# longctx, PERFORMANCE.md "Long context"): einsum wins through T=768,
+# blockwise wins at T≥1024 and is the only feasible path at T≥2048
+# ([B,H,T,T] f32 scores are OOM-class). flash_attention="auto" picks
+# per T bucket against this constant.
+FLASH_AUTO_CROSSOVER_T = 768
+
+
+def resolve_flash(flash, t_pad: int) -> bool:
+    """Resolve ModelConfig.flash_attention ("auto"/True/False) for a
+    T bucket: "auto" = blockwise only past the measured crossover."""
+    if flash == "auto":
+        return t_pad > FLASH_AUTO_CROSSOVER_T
+    return bool(flash)
+
 
 def _bucket_seq(t: int) -> int:
     return max(SEQ_BUCKET, -(-t // SEQ_BUCKET) * SEQ_BUCKET)
@@ -150,11 +165,15 @@ class Model:
                 mesh, shd.batch_pspec(seq=shard_seq)
             )
             self._data_size = mesh.shape.get("data", 1)
+            self._tp_sharded = sharding != "replicate"
+            self._shard_seq = shard_seq
         else:
             self.params = jax.device_put(host_params)
             self._batch_sharding = None
             self._data_size = 1
             self._multiprocess = False
+            self._tp_sharded = False
+            self._shard_seq = False
 
         self.vocabulary = Vocabulary(Package._bytes(package.vocabulary))
         ssplit = Package._bytes(package.ssplit)
@@ -349,21 +368,41 @@ class Model:
             and not self._multiprocess
             and t_pad <= 256
         )
-        # Whole-encoder-layer Pallas kernel — same gating contract.
+        # Whole-encoder-layer Pallas kernel. Unlike the two kernels
+        # above it DOES run on data-parallel meshes: the grid is batch
+        # blocks, so DP is shard_map over the "data" axis with
+        # replicated weights (bit-identical to the unsharded kernel
+        # row for row; encoder_layer_forward). TP-sharded weights,
+        # seq-sharded batches, and multiprocess stay excluded — the
+        # kernel has no partitioning rules for a sharded operand.
         layer_mode = getattr(self.config, "encoder_layer_kernel", "off")
+        mesh_dp_ok = (
+            self._batch_sharding is not None
+            and not self._multiprocess
+            and not self._tp_sharded
+            and not self._shard_seq
+            and b_pad % self._data_size == 0
+        )
         if layer_mode == "on" and (
-            self._batch_sharding is not None or self._multiprocess
+            (self._batch_sharding is not None and not mesh_dp_ok)
+            or self._multiprocess
         ):
             raise ValueError(
-                "encoder_layer_kernel='on' is incompatible with a "
-                "sharded model (mesh/multiprocess) — use 'auto'"
+                "encoder_layer_kernel='on' needs an unsharded model or "
+                "a data-parallel mesh with replicated weights "
+                "(sharding='replicate', no seq axis, single process) — "
+                "use 'auto' to fall back silently"
             )
         fused_layer = layer_mode == "on" or (
             layer_mode == "auto"
             and jax.default_backend() in ("tpu", "axon")
-            and self._batch_sharding is None
+            and (self._batch_sharding is None or mesh_dp_ok)
             and not self._multiprocess
             and t_pad <= 256
+        )
+        fused_layer_mesh = (
+            self.mesh if fused_layer and self._batch_sharding is not None
+            else None
         )
         result = translate_batch_jit(
             self.params,
@@ -379,7 +418,9 @@ class Model:
             provider=self.config.qmm_provider,
             decoder_position_zero=self.config.decoder_position_zero,
             with_shortlist=shortlist is not None,
-            flash_attention=self.config.flash_attention,
+            flash_attention=resolve_flash(
+                self.config.flash_attention, t_pad
+            ),
             kv_dtype=(
                 None
                 if self.config.kv_cache_dtype == "float32"
@@ -397,6 +438,7 @@ class Model:
             encoder_dtype=getattr(self.config, "encoder_dtype", None),
             fused_sdpa=fused_sdpa,
             fused_layer=fused_layer,
+            fused_layer_mesh=fused_layer_mesh,
         )
         def finish() -> List[Hypothesis]:
             if self._multiprocess:

@@ -414,7 +414,8 @@ def attention_forward(
     if (
         fused_sdpa
         and kv_cache is None
-        and q_in.shape[-2] > 1
+        and 1 < q_in.shape[-2] <= 256  # wrap regime: [H·T, T] scores
+        # per row must fit VMEM even before the block_b budget shrinks
         and act == jnp.float32
         and q_in.shape[-1] % 128 == 0
         and q_in.shape[-1] % num_heads == 0
@@ -490,12 +491,19 @@ def encoder_layer_forward(
     act_dtype: Optional[jnp.dtype] = None,
     fused_sdpa: bool = False,
     fused_layer: bool = False,
+    fused_layer_mesh=None,
 ) -> jax.Array:
+    # Resolve provider=None to the process default BEFORE gating: a
+    # caller who set_default_provider("f32") asked for f32 numerics and
+    # the fused kernel's int8 affines must not silently substitute.
+    resolved = provider if provider is not None else qmm.default_provider()
     if (
         fused_layer
+        and not flash  # flash was enabled FOR long T; never override it
         and act_dtype is None
-        and provider in (None, "xla_int8", "pallas", "fused")
-        and x.shape[-2] > 1
+        and resolved in ("xla_int8", "pallas", "fused")
+        and 1 < x.shape[-2] <= 256  # wrap regime: scores + [G·T, F]
+        # hidden activations must fit VMEM even at the g=1 floor
         and x.shape[-1] % 128 == 0
         and x.shape[-1] % num_heads == 0
     ):
@@ -506,6 +514,29 @@ def encoder_layer_forward(
         # accumulation order).
         from slimt_tpu.ops.encoder_layer_pallas import encoder_layer_fused
 
+        if fused_layer_mesh is not None:
+            # Data-parallel meshes: the kernel's grid already is batch
+            # blocks, so DP is shard_map over the "data" axis — each
+            # device runs the identical program on its batch shard
+            # (weights replicated → bit-identical to the unsharded
+            # kernel row for row). TP-sharded weights and seq-sharded
+            # batches are excluded by the Model gate (models/model.py).
+            import functools as _ft
+
+            try:
+                from jax import shard_map
+            except ImportError:  # pre-0.8 JAX
+                from jax.experimental.shard_map import shard_map
+            from jax.sharding import PartitionSpec as P
+
+            fn = shard_map(
+                _ft.partial(encoder_layer_fused, num_heads=num_heads),
+                mesh=fused_layer_mesh,
+                in_specs=(P("data"), P(), P("data")),
+                out_specs=P("data"),
+                check_vma=False,  # weights replicated; no psum inside
+            )
+            return fn(x, layer, mask_add)
         return encoder_layer_fused(x, layer, mask_add, num_heads)
     out, _ = attention_forward(
         layer["att"], x, x, x, mask_add, num_heads, provider, flash=flash,
@@ -524,6 +555,7 @@ def encoder_forward(
     act_dtype: Optional[jnp.dtype] = None,
     fused_sdpa: bool = False,
     fused_layer: bool = False,
+    fused_layer_mesh=None,
 ) -> jax.Array:
     """[B,T,E] → [B,T,E] through all encoder layers
     (slimt/Transformer.cc:57-69).
@@ -541,7 +573,7 @@ def encoder_forward(
             x = encoder_layer_forward(
                 layer, x, mask_add, num_heads, provider, flash=flash,
                 act_dtype=act_dtype, fused_sdpa=fused_sdpa,
-                fused_layer=fused_layer,
+                fused_layer=fused_layer, fused_layer_mesh=fused_layer_mesh,
             )
         return x
 
@@ -550,7 +582,7 @@ def encoder_forward(
             encoder_layer_forward(
                 layer, x, mask_add, num_heads, provider, flash=flash,
                 act_dtype=act_dtype, fused_sdpa=fused_sdpa,
-                fused_layer=fused_layer,
+                fused_layer=fused_layer, fused_layer_mesh=fused_layer_mesh,
             ),
             None,
         )
@@ -916,6 +948,48 @@ def packed_argmax_bf16(logits: jax.Array) -> jax.Array:
     return packed_argmax_16(logits, jnp.bfloat16)
 
 
+def packed_int_argmax(
+    acc: jax.Array, b_i32: jax.Array, width_bits: int, shift: int
+) -> jax.Array:
+    """argmax over floor((acc + b_i32) / 2**shift) with first-index
+    tie-break, as ONE plain int32 max-reduce over integer packed keys.
+
+    The INT32-ACCUMULATOR-DOMAIN argmax: the logit projection's
+    per-tensor scale s = 1/(aq·bq) is a positive scalar, so
+    argmax(acc·s + b) = argmax(acc + b/s) — fold the bias into integer
+    accumulator units once (b_i32 = rint(b·aq·bq), loop-invariant) and
+    the whole float epilogue (i32→f32 convert, scale multiply, bias
+    add, fp16 convert, bitcast, sortable transform) collapses to one
+    integer add + shift before the same single s32 max-reduce
+    packed_argmax_16 uses. `shift` drops low bits so the compared
+    value and the reversed column index share an int32 key.
+
+    Numerics vs the exact f32 argmax: only (a) the half-unit bias
+    rounding and (b) the 2^shift truncation of compared values can
+    flip a near-tie. At shortlist widths (width_bits ≤ 11 → shift ≈ 3
+    for E=256) the comparison is ~32x FINER than packed_fp16's
+    half-precision rounding near a full-scale max."""
+    v = (acc + b_i32) >> shift  # arithmetic shift on int32
+    col = jax.lax.broadcasted_iota(jnp.int32, acc.shape, acc.ndim - 1)
+    mask_col = (1 << width_bits) - 1
+    key = (v << width_bits) | (mask_col - col)
+    best = jnp.max(key, axis=-1)
+    return (mask_col - (best & mask_col)).astype(jnp.int32)
+
+
+def packed_int_params(width: int, emb_dim: int) -> Tuple[int, int]:
+    """(width_bits, shift) for packed_int_argmax: the reversed column
+    index needs width_bits; the compared value gets the remaining
+    int32 budget, so low bits are shifted off the conservative
+    accumulator bound 2·E·127² (|int8 dot| ≤ E·127²; + the clipped
+    bias)."""
+    width_bits = max(1, (width - 1).bit_length())
+    bound = 2 * emb_dim * 127 * 127 + 1
+    value_bits = 31 - width_bits  # signed int32 key budget
+    shift = max(0, bound.bit_length() - (value_bits - 1))
+    return width_bits, shift
+
+
 def output_argmax(
     params: dict,
     x: jax.Array,
@@ -952,6 +1026,22 @@ def output_argmax(
                 x, w, b, params["out"]["aq"], params["emb"]["scale"],
                 method=method if w.shape[1] <= 65536 else "exact",
             )
+    if method == "packed_int" and provider in (None, "xla_int8", "pallas"):
+        # Integer-domain packed argmax: compare shifted int32
+        # accumulators directly — no float epilogue at all (see
+        # packed_int_argmax). Labeled ablation, not the declared
+        # config; agreement measured by the crosscheck serving sweep.
+        aq = params["out"]["aq"]
+        bq = params["emb"]["scale"]
+        x_q = qmm.quantize_activations(x, aq)
+        acc = qmm._int8_matmul(x_q, w)
+        e_dim, width = w.shape
+        width_bits, shift = packed_int_params(width, e_dim)
+        cap = e_dim * 127 * 127
+        b_i32 = jnp.clip(
+            jnp.rint(b.astype(jnp.float32) * (aq * bq)), -cap, cap
+        ).astype(jnp.int32)
+        return packed_int_argmax(acc, b_i32, width_bits, shift)
     logits = output_logits(params, x, provider, None, projection)
     if w.shape[1] <= 65536 and method in ("packed_bf16", "packed_fp16"):
         return packed_argmax_16(

@@ -149,7 +149,16 @@ def fused_sdpa_joined(
     scale = 1.0 / math.sqrt(e // num_heads)
     import os as _os
 
-    g = int(_os.environ.get("SLIMT_TPU_SDPA_BLOCK", block_b))
+    # SLIMT_TPU_SDPA_{BLOCK,IMPL} are TRACE-TIME bench overrides only:
+    # they are read when the enclosing jit traces, so a mid-process env
+    # change is ignored by already-compiled (B,T,S) buckets.
+    g = max(1, int(_os.environ.get("SLIMT_TPU_SDPA_BLOCK", block_b)))
+    # VMEM budget: each row's stacked scores are [H·T, T] f32; shrink
+    # the batch block so g·H·T² stays ≤ ~8 MB (the encoder-layer
+    # kernel budgets the same way). At the wrap-regime default
+    # (T=64, H=8) this leaves g at block_b.
+    while g > 1 and g * num_heads * t * t > 2 * 1024 * 1024:
+        g //= 2
     while b % g:
         g //= 2
     mask2 = jnp.broadcast_to(mask_add[:, 0, :, :], (b, 1, t))

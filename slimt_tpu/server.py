@@ -442,6 +442,15 @@ def main(argv=None) -> int:
             shortlist=join(args.shortlist),
         ),
     )
+    if os.environ.get("SLIMT_TPU_STUB_DEVICE") == "1":
+        # Measurement knob (scripts/fleet_budget.py): serve with the
+        # device forward stubbed to an instant echo so N-process fleet
+        # scaling measures host cores + transport, not the one shared
+        # test chip. Never a serving mode.
+        from slimt_tpu.utils import stub_device_forward
+
+        stub_device_forward(model)
+        print("device forward STUBBED (SLIMT_TPU_STUB_DEVICE=1)")
     if args.warmup:
         compiled = model.warmup()
         print(f"warmed {compiled} shape buckets")

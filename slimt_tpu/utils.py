@@ -167,3 +167,54 @@ class ServiceMeters:
             self.wps.record(words / elapsed)
         if capacity > 0:
             self.occupancy.record(used / capacity)
+
+
+def stub_device_forward(model) -> None:
+    """Replace a Model's device forward with an instant echo
+    (hypothesis tokens = source tokens), keeping every HOST stage real
+    (ingest, packing, completion, detokenize, response assembly).
+
+    Measurement tool, not a serving mode: isolates the host-side
+    budget of the service path from device time — used by
+    scripts/ubench_host_budget.py and, via SLIMT_TPU_STUB_DEVICE=1 in
+    slimt_tpu.server, by the router fleet-scaling measurement
+    (scripts/fleet_budget.py) where N backend processes must be bounded
+    by host cores and transport, never by the one shared test chip."""
+    import numpy as np
+
+    from slimt_tpu.runtime.request import Hypothesis
+
+    def forward_async(segments, need_alignment=True, raw=False):
+        if raw:
+            # Columnar completion contract (Batch.complete_raw):
+            # padded token matrix + per-row step counts.
+            steps = np.asarray([len(s) for s in segments], np.int32)
+            t = max(1, int(steps.max()))
+            toks = np.zeros((len(segments), t), np.int32)
+            for i, s in enumerate(segments):
+                toks[i, : len(s)] = s
+            return lambda: (toks, steps, None)
+        hyps = [
+            Hypothesis(target=list(s), alignment=[]) for s in segments
+        ]
+        return lambda: hyps
+
+    def forward_async_arrays(
+        indices, mask, lengths, batch, need_alignment=False,
+        shortlist_words=None, raw=False,
+    ):
+        steps = np.asarray(lengths, np.int32)
+        if raw:
+            return lambda: (indices, steps, None)
+        return lambda: [
+            Hypothesis(
+                target=indices[i, : steps[i]].tolist(), alignment=[]
+            )
+            for i in range(batch)
+        ]
+
+    model.forward_async = forward_async
+    model.forward_async_arrays = forward_async_arrays
+    model.forward = lambda segments, need_alignment=True: forward_async(
+        segments, need_alignment
+    )()

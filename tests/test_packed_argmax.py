@@ -104,3 +104,101 @@ def test_inside_jit_and_vmap():
     x = jnp.asarray(rng.standard_normal((8, 257)).astype(np.float32))
     got = jax.jit(packed_argmax_bf16)(x)
     np.testing.assert_array_equal(np.asarray(got), np.asarray(_want(x)))
+
+
+# ---- packed_int: the integer-accumulator-domain argmax ----------------
+
+from slimt_tpu.models.transformer import (  # noqa: E402
+    packed_int_argmax,
+    packed_int_params,
+)
+
+
+def _want_int(acc, b_i32, shift):
+    # ground truth: argmax over the shifted integer sums, first index
+    v = (np.asarray(acc).astype(np.int64) + np.asarray(b_i32)) >> shift
+    return np.argmax(v, axis=-1).astype(np.int32)
+
+
+@pytest.mark.parametrize("width", [7, 96, 1024, 4096, 32000])
+def test_packed_int_matches_shifted_argmax(width):
+    emb = 256
+    width_bits, shift = packed_int_params(width, emb)
+    rng = np.random.default_rng(width)
+    cap = emb * 127 * 127
+    acc = rng.integers(-cap, cap, (4, width)).astype(np.int32)
+    b = rng.integers(-cap, cap, (width,)).astype(np.int32)
+    # Force exact ties after the shift in some rows
+    acc[1, :] = acc[1, 0]
+    acc[2, width // 2] = acc[2, 3] = acc[2].max() + 1
+    got = packed_int_argmax(
+        jnp.asarray(acc), jnp.asarray(b), width_bits, shift
+    )
+    np.testing.assert_array_equal(np.asarray(got), _want_int(acc, b, shift))
+
+
+def test_packed_int_key_budget():
+    """The packed key must fit int32 at the extreme accumulator bound
+    for every (width, emb) the engine ships."""
+    for emb in (256, 512):
+        for width in (1024, 2048, 32000, 65536):
+            width_bits, shift = packed_int_params(width, emb)
+            bound = 2 * emb * 127 * 127 + 1
+            vmax = bound >> shift
+            assert (vmax << width_bits) + (1 << width_bits) - 1 < 2**31
+            assert width - 1 <= (1 << width_bits) - 1
+
+
+def test_output_argmax_packed_int_plumbing():
+    """output_argmax(method='packed_int') equals the shifted-integer
+    oracle computed from the same quantized operands."""
+    from slimt_tpu.ops import qmm
+    from slimt_tpu.models.transformer import output_argmax
+
+    rng = np.random.default_rng(3)
+    e, v, b_sz = 64, 500, 5
+    w = rng.integers(-127, 128, (e, v)).astype(np.int8)
+    bias = rng.standard_normal(v).astype(np.float32)
+    params = {
+        "emb": {"q": jnp.asarray(w.T), "scale": jnp.float32(12.0)},
+        "out": {"aq": jnp.float32(9.0), "b": jnp.asarray(bias)},
+    }
+    x = jnp.asarray(rng.standard_normal((b_sz, e)).astype(np.float32))
+    got = output_argmax(params, x, method="packed_int")
+
+    x_q = np.asarray(qmm.quantize_activations(x, params["out"]["aq"]))
+    acc = x_q.astype(np.int64) @ w.astype(np.int64)
+    cap = e * 127 * 127
+    b_i32 = np.clip(np.rint(bias * 9.0 * 12.0), -cap, cap).astype(np.int64)
+    _, shift = packed_int_params(v, e)
+    np.testing.assert_array_equal(
+        np.asarray(got), _want_int(acc, b_i32, shift)
+    )
+
+
+def test_translate_batch_packed_int_runs():
+    """argmax_method='packed_int' decodes through translate_batch on
+    the declared int16 KV numerics (shape/validity sanity; agreement
+    is quantified by the crosscheck serving sweep)."""
+    from slimt_tpu.config import ModelConfig
+    from slimt_tpu.io import load_items
+    from slimt_tpu.io.loader import load_weights, stack_layers
+    from slimt_tpu.io.synthetic import synthetic_model_bytes
+    from slimt_tpu.models.decode import translate_batch
+
+    config = ModelConfig(encoder_layers=2, decoder_layers=2)
+    items = load_items(
+        synthetic_model_bytes(
+            config=config, vocab_size=500, emb_dim=256, ffn_dim=512, seed=2
+        )
+    )
+    params = stack_layers(load_weights(items, config))
+    rng = np.random.default_rng(2)
+    idx = jnp.asarray(rng.integers(3, 500, (4, 16)).astype(np.int32))
+    mask = jnp.asarray(np.ones((4, 16), np.float32))
+    out = translate_batch(
+        params, idx, mask, eos_id=0, max_steps=12, num_heads=8,
+        kv_dtype="int16", argmax_method="packed_int", with_alignment=False,
+    )
+    assert out.tokens.shape == (4, 12)
+    assert np.asarray(out.tokens).max() < 500
