@@ -490,6 +490,16 @@ SERVING_CONFIGS = [
     ("kv=int8", {"kv_dtype": "int8"}),
     ("argmax=packed_fp16", {"argmax_method": "packed_fp16"}),
     ("argmax=packed_bf16", {"argmax_method": "packed_bf16"}),
+    # Integer-accumulator-domain packed argmax (models/transformer.
+    # packed_int_argmax): the bias folds to i32 accumulator units
+    # (half-unit rounding) and low accumulator bits are shifted off to
+    # share the key with the column index — finest at shortlist
+    # widths, coarser than fp16 near small full-vocab maxima.
+    ("argmax=packed_int", {"argmax_method": "packed_int"}),
+    ("packedint+int16+noalign", {
+        "kv_dtype": "int16", "argmax_method": "packed_int",
+        "with_alignment": False,
+    }),
     # The declared serving config (= ModelConfig defaults = the bench
     # headline): int16 per-row-scaled KV (2 bytes/elem, 16x finer than
     # fp16) + packed-fp16 argmax + alignment-free.
