@@ -23,7 +23,7 @@ Modes (BASELINE.json configs):
 
 ONE declared numerics config across all modes (= ModelConfig defaults
 = the parity table in crosscheck/serving_agreement.json): int16
-per-row-scaled KV cache + packed_fp16 argmax + alignment-free.
+per-row-scaled KV cache + packed_int argmax + alignment-free.
 BENCH_KV / BENCH_ARGMAX / BENCH_ALIGN / BENCH_SHORTLIST override for
 ablations.
 """
@@ -112,15 +112,15 @@ def _decode_bench(
     )
     # ONE declared numerics config across every mode (BENCH headline =
     # service default = parity table): int16 per-row-scaled KV cache +
-    # packed_fp16 argmax + alignment-free — see
+    # packed_int argmax + alignment-free — see
     # crosscheck/serving_agreement.json (config
-    # "int16+packedfp16+noalign") for the measured token agreement vs
+    # "packedint+int16+noalign") for the measured token agreement vs
     # the compiled reference binary. BENCH_KV / BENCH_ARGMAX /
     # BENCH_ALIGN override for ablations (e.g. BENCH_KV=int8: ~15%
     # faster at B=2048 with looser agreement).
     kv = kv or os.environ.get("BENCH_KV", "int16")
     with_alignment = os.environ.get("BENCH_ALIGN") == "1"
-    argmax_method = os.environ.get("BENCH_ARGMAX", "packed_fp16")
+    argmax_method = os.environ.get("BENCH_ARGMAX", "packed_int")
     # Reduced-precision encoder activations (ModelConfig.encoder_dtype
     # default); BENCH_ENC_DTYPE=float32 ablates the exact f32 encoder.
     enc_dtype = os.environ.get("BENCH_ENC_DTYPE", _default_enc_dtype())
@@ -260,7 +260,7 @@ def bench_headline():
     # Peak-throughput serving batch (bulk-translation shape); per-call
     # host round-trip included. Smaller-batch and full-service numbers
     # are in PERFORMANCE.md / other modes. The numerics are THE
-    # declared serving config (int16 KV + packed_fp16 argmax +
+    # declared serving config (int16 KV + packed_int argmax +
     # noalign — same as ModelConfig defaults and the parity table in
     # crosscheck/serving_agreement.json); BENCH_BATCH / BENCH_KV
     # override for ablations (int8 KV: ~15% faster, looser agreement).
@@ -303,7 +303,7 @@ def _step_slope_us(batch=1, seq=24, vocab=32000, emb=256, ffn=1536,
     ))
     provider = provider or os.environ.get("BENCH_PROVIDER") or config.qmm_provider
     with_alignment = os.environ.get("BENCH_ALIGN") == "1"
-    argmax_method = os.environ.get("BENCH_ARGMAX", "packed_fp16")
+    argmax_method = os.environ.get("BENCH_ARGMAX", "packed_int")
     rng = np.random.default_rng(0)
     mask_j = jnp.asarray(np.ones((batch, seq), np.float32))
     shortlist_width = shortlist_width or int(
@@ -1056,7 +1056,7 @@ def bench_continuous():
                 with_shortlist=False,
                 kv_dtype="int16",
                 with_alignment=False,
-                argmax_method="packed_fp16",
+                argmax_method="packed_int",
                 compact_output=True,
             )
             outs.append(out)

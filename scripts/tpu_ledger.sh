@@ -5,7 +5,7 @@
 # a JSON error line instead of hanging if the tunnel wedges.
 #
 # ONE declared numerics column: every unlabeled row runs the shipped
-# serving config (int16 per-row KV + packed_fp16 argmax +
+# serving config (int16 per-row KV + packed_int argmax +
 # alignment-free — bench.py defaults, = ModelConfig defaults, = the
 # parity table in crosscheck/serving_agreement.json). Rows that pin a
 # DIFFERENT numerics config say so in their label; they are ablations,
@@ -37,11 +37,13 @@ run "bulk corpus"             python bench.py bulk
 run "async corpus"            python bench.py corpus
 run "multipair"               python bench.py multipair
 run "pivot"                   python bench.py pivot
+run "serving latency (open-loop Poisson)" python bench.py latency
 # --- ablations (explicitly non-default numerics) ---
 run "ABLATION headline int8 KV (faster, looser agreement)" env BENCH_KV=int8 python bench.py
 run "ABLATION headline bf16 KV" env BENCH_KV=bfloat16 python bench.py
 run "ABLATION headline fp16 KV" env BENCH_KV=float16 python bench.py
 run "ABLATION headline exact argmax" env BENCH_ARGMAX=exact python bench.py
+run "ABLATION headline packed_fp16 argmax (r3/r4 default)" env BENCH_ARGMAX=packed_fp16 python bench.py
 run "batch1 fused_step (declared int16 numerics, latency regime)" env BENCH_PROVIDER=fused_step python bench.py batch1
 run "ABLATION batch1 fused_step bf16 KV" env BENCH_PROVIDER=fused_step BENCH_KV=bfloat16 python bench.py batch1
 run "continuous batching vs batch-at-a-time" python bench.py continuous

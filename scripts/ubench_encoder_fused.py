@@ -43,7 +43,9 @@ from slimt_tpu.ops.encoder_layer_pallas import encoder_layer_fused
 
 B = int(os.environ.get("UB_B", 2048))
 T = int(os.environ.get("UB_T", 64))
-E, H = 256, 8
+E = int(os.environ.get("UB_E", 256))  # 512 = base model
+H = 8
+FFN = int(os.environ.get("UB_FFN", 1536))  # 2048 = base model
 ITERS = int(os.environ.get("UB_ITERS", 8))
 ROUNDS = int(os.environ.get("UB_ROUNDS", 3))
 VOCAB = 32000
@@ -53,7 +55,7 @@ def build():
     config = ModelConfig(encoder_layers=6, decoder_layers=2)
     items = load_items(
         synthetic_model_bytes(
-            config=config, vocab_size=VOCAB, emb_dim=E, ffn_dim=1536, seed=0
+            config=config, vocab_size=VOCAB, emb_dim=E, ffn_dim=FFN, seed=0
         )
     )
     host = load_weights(items, config)

@@ -37,7 +37,24 @@ CASES = [
         {"BENCH_ARGMAX": "packed_bf16", "SLIMT_TPU_FUSED_ARGMAX": "1"},
     ),
     ("fused_blocks", {}, {"BENCH_PROVIDER": "fused"}),
+    # Integer-accumulator-domain argmax (VERDICT r4 task 4): the float
+    # epilogue (i32→f32, scale, bias, fp16 round, bitcast, sortable
+    # map) collapses to one integer add+shift before the same single
+    # s32 reduce. Full-vocab and the serving shortlist width.
+    (
+        "packed_int",
+        {"BENCH_ARGMAX": "packed_fp16"},
+        {"BENCH_ARGMAX": "packed_int"},
+    ),
+    (
+        "packed_int_sl",
+        {"BENCH_ARGMAX": "packed_fp16", "BENCH_SHORTLIST": "1024"},
+        {"BENCH_ARGMAX": "packed_int", "BENCH_SHORTLIST": "1024"},
+    ),
 ]
+if len(sys.argv) > 1:
+    wanted = sys.argv[1].split(",")
+    CASES = [c for c in CASES if any(w in c[0] for w in wanted)]
 
 
 def med(v):

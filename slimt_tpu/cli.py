@@ -452,7 +452,7 @@ def main(argv=None) -> int:
     )
     t.add_argument(
         "--argmax-method", default=None,
-        choices=["exact", "packed_fp16", "packed_bf16"],
+        choices=["exact", "packed_int", "packed_fp16", "packed_bf16"],
     )
     t.add_argument(
         "--url", default=None,

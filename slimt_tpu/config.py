@@ -58,20 +58,31 @@ class ModelConfig:
     # faster at B=2048 where its agreement suffices). "float32"
     # restores exact reference numerics (and the split-layout cache).
     kv_cache_dtype: str = "int16"
-    # Greedy-sampling argmax implementation. "packed_fp16" (default) =
-    # one plain int32 max-reduce over (sortable-fp16 logit || reversed
-    # column) packed keys — ~10% faster decode steps at serving batch
-    # (the variadic reduce is the slow part of the fused projection;
-    # scripts/ubench_logits.py). Equals argmax over fp16-ROUNDED
-    # logits exactly (first-index tie-break, matching jnp.argmax;
-    # per-step invariant certified in tests/test_stacked.py) — fp16's
-    # 10 mantissa bits give 8x fewer rounding ties than the
-    # "packed_bf16" variant (99.8% vs 98.6% token agreement vs the
-    # reference binary; crosscheck/serving_agreement.json). The FULL
-    # default stack (int16 KV + packed_fp16 + alignment-free) measures
-    # 99.57% tokens / 99.1% sentence-exact there. "exact" restores
-    # the f32 variadic argmax (reference numerics).
-    argmax_method: str = "packed_fp16"
+    # Greedy-sampling argmax implementation. "packed_int" (DEFAULT
+    # since round 5) = one plain int32 max-reduce over INTEGER packed
+    # keys in the accumulator domain: the projection's per-tensor
+    # scale is a positive scalar, so the bias folds to i32 accumulator
+    # units once (loop-invariant) and the whole float epilogue
+    # (i32->f32 convert, scale, bias add, fp16 round, bitcast,
+    # sortable map) collapses to an integer add + shift
+    # (models/transformer.packed_int_argmax; first-index tie-break,
+    # invariant-certified in tests/test_packed_argmax.py). MEASURED
+    # (round 5): +10-19% full-vocab headline over packed_fp16
+    # (2.48-2.49M vs 2.10-2.27M tok/s, 3 interleaved same-process
+    # rounds; parity at shortlist widths where logits are small), AND
+    # higher agreement vs the reference binary — packed_int alone
+    # matches the exact path (99.92% tokens); the full default stack
+    # (int16 KV + packed_int + alignment-free) measures 99.69% tokens
+    # / 99.1% sentence-exact (= the int16 KV's own ceiling; the
+    # previous packed_fp16 stack was 99.57%). The compared-value
+    # truncation (2^shift accumulator units) and half-unit bias
+    # rounding are the only numerics deltas; on the repeated-near-tie
+    # STRESS cell it scores 98.42% vs the exact path's own 98.95%
+    # (same as packed_fp16 there). "packed_fp16"/"packed_bf16" = the
+    # 16-bit-float packed keys (99.79%/98.56% alone); "exact" = f32
+    # variadic argmax (reference numerics; also the fallback when the
+    # provider is f32, which has no integer accumulator).
+    argmax_method: str = "packed_int"
     # Blockwise Pallas encoder self-attention: O(T·block) memory,
     # lifts the reference's hard 128-token wrap constraint for long
     # inputs. "auto" (DEFAULT) picks per T bucket from the measured
@@ -104,17 +115,22 @@ class ModelConfig:
     # BIT-exact (i32 accumulation is associative); LN/softmax are the
     # same f32 formulas as the XLA path, differing only in
     # accumulation order — the same measured exact-class as
-    # enc_sdpa=fused (crosscheck serving sweep). MEASURED (2026-08-21,
-    # B=2048xT=64, same-process slope A/B, scripts/
-    # ubench_encoder_fused.py): whole layer 2.7-2.9 ms vs 5.9 XLA
-    # (2.2x), full 6-layer encoder 20.4 vs 37.5-39.6 ms (1.85x),
-    # headline decode 1.88M -> 2.25M tok/s (+20%) — the first
+    # enc_sdpa=fused (crosscheck serving sweep). MEASURED (round-5
+    # session 2026-08-21, same-process slope A/B,
+    # scripts/ubench_encoder_fused.py): tiny11 B=2048xT=64 full
+    # 6-layer encoder 20.3-20.6 ms vs 37.2-37.5 XLA (1.8x); BASE
+    # shapes E=512/ffn=2048 B=1024xT=64: layer 2.5 vs 6.2 ms, full
+    # encoder 16.1-17.5 vs 38.8-39.8 (2.3x), and T=128 wrap-regime at
+    # base shapes compiles within VMEM and wins (2.3-3.3 vs 3.7-4.6).
+    # Headline decode 1.88M -> 2.25M tok/s (+20%) — the first
     # Pallas-vs-XLA WIN outside the B=1 latency regime (the encoder
     # is a once-per-batch call, so the per-step pallas boundary that
     # sank the six in-loop kernels does not apply). "auto" (DEFAULT:
-    # on for TPU backends on an unsharded single-process model at
-    # wrap-regime shapes, exact-f32 encoder, int8 providers) | "on"
-    # (force; errors under mesh sharding) | "off" (XLA encoder).
+    # on for TPU backends at wrap-regime shapes, exact-f32 encoder,
+    # int8 providers — incl. pure-DP meshes, where it runs under
+    # shard_map on the "data" axis with replicated weights,
+    # bit-identical per row) | "on" (force; errors on TP/seq-sharded
+    # or multiprocess models) | "off" (XLA encoder).
     encoder_layer_kernel: str = "auto"
     # Pallas decode-attention kernel for the int16 joined KV cache
     # (ops/decode_attn_pallas): keeps everything but the K/V streams

@@ -202,7 +202,7 @@ def chunk_decode(
     eos_id: int,
     num_heads: int,
     provider: Optional[str] = None,
-    argmax_method: str = "packed_fp16",
+    argmax_method: str = "packed_int",
 ) -> Tuple[SlotPool, jax.Array]:
     """Up to `chunk` greedy decode steps from the pool's carried state.
 
@@ -341,7 +341,7 @@ class ContinuousEngine:
         admit_bucket: Optional[int] = None,
         kv_dtype: str = "int16",
         provider: Optional[str] = None,
-        argmax_method: str = "packed_fp16",
+        argmax_method: str = "packed_int",
         encoder_dtype: Optional[str] = None,
         admit_order: str = "shortest",  # "shortest" | "fifo" (online)
     ):

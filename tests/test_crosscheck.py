@@ -138,18 +138,19 @@ def test_text_pipeline_identical(crosscheck):
 def test_serving_config_agreement_vs_reference(cell):
     """CI slice of the serving-numerics differential
     (scripts/crosscheck.py serving): the SHIPPED config (int16 KV +
-    packed_fp16 argmax + alignment-free — ModelConfig defaults) vs the
-    reference binary on one cell. The full published measurement
-    (4 architectures x 2048 sentences/config = 99.57% tokens) lives in
-    crosscheck/serving_agreement.json; this guards against a numerics
-    regression sneaking into the default path between sweep runs."""
+    packed_int argmax + alignment-free — ModelConfig defaults since
+    round 5) vs the reference binary on one cell. The full published
+    measurement (4 architectures x 2048 sentences/config = 99.69%
+    tokens) lives in crosscheck/serving_agreement.json; this guards
+    against a numerics regression sneaking into the default path
+    between sweep runs."""
     cc, config, model_bytes, spm, paths = cell
     sentences = cc.serving_corpus(32, spm.eos_id, 17)
     ref = cc.run_reference(paths, config, sentences, 8, False)
     got = cc.run_slimt_tpu(
         model_bytes, config, sentences, 8, spm.eos_id,
         max(0, spm.pad_id), None,
-        kv_dtype="int16", argmax_method="packed_fp16",
+        kv_dtype="int16", argmax_method="packed_int",
         with_alignment=False,
     )
     tok_total = tok_agree = 0

@@ -154,8 +154,9 @@ def test_encoder_only_stacking(params):
 def test_packed_argmax_decode_divergence_only_on_ties(
     params, method, rdtype
 ):
-    """The packed argmax methods (packed_fp16 is the service/headline
-    default) equal argmax over ROUNDED logits exactly (exhaustive
+    """The 16-bit-float packed argmax methods (the r3/r4 service
+    default; packed_int superseded them as the default in round 5)
+    equal argmax over ROUNDED logits exactly (exhaustive
     kernel tests in test_packed_argmax.py). Certify that property ON
     REAL DECODE TRAJECTORIES through the fused projection+argmax path:
     walk the decode step by step, continuing with the packed choices,
