@@ -78,6 +78,7 @@ def patched(name):
             return orig_attn(att, q_in, k_in, v_in, mask_add, num_heads,
                              provider, kv_cache, flash, attn_kernel, **kw)
         tfm.attention_forward = fake_attn
+    orig_out_argmax = tfm.output_argmax
     if "no_logits" in names:
         def fake_logits(params, x, provider=None, shortlist=None,
                         projection=None):
@@ -87,6 +88,19 @@ def patched(name):
             return qmm.affine(x, w[:, :32], b[:32], params["out"]["aq"],
                               params["emb"]["scale"], provider=provider)
         tfm.output_logits = fake_logits
+
+        # packed_int computes the i32 accumulator directly (never via
+        # output_logits) — narrow its projection the same way, or the
+        # ablation removes nothing under the round-5 default.
+        def narrow_argmax(params, x, provider=None, projection=None,
+                          method="exact"):
+            if projection is not None:
+                w, b = projection
+                projection = (w[:, :32], b[:32])
+            return orig_out_argmax(
+                params, x, provider, projection, method=method
+            )
+        tfm.output_argmax = narrow_argmax
     if "no_ffn" in names:
         tfm._ffn_block = lambda layer, x, provider, **kw: x
     orig_ssru = tfm.ssru_forward
@@ -105,7 +119,6 @@ def patched(name):
     orig_dus = jax.lax.dynamic_update_slice
     if "no_align" in names:
         jax.lax.dynamic_update_slice = lambda op, upd, idx: op
-    orig_argmax = tfm.output_argmax
     if "bf16_argmax" in names:
         def bf16_argmax(params, x, provider=None, projection=None):
             logits = orig_logits(params, x, provider, None, projection)
@@ -117,7 +130,7 @@ def patched(name):
         setattr(tfm, "attention_forward", orig_attn),
         setattr(tfm, "output_logits", orig_logits),
         setattr(tfm, "_ffn_block", orig_ffn),
-        setattr(tfm, "output_argmax", orig_argmax),
+        setattr(tfm, "output_argmax", orig_out_argmax),
         setattr(tfm, "ssru_forward", orig_ssru),
         setattr(tfm, "embed", orig_embed),
         setattr(jax.lax, "dynamic_update_slice", orig_dus),

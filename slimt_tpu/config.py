@@ -159,20 +159,19 @@ class ModelConfig:
     # the residual stream and SDPA operands between encoder blocks
     # ride this dtype (LN statistics and matmul accumulation stay
     # f32; the int8 affine inputs round through it before
-    # quantization). The encoder is activation-HBM-traffic-bound at
-    # serving batch (scripts/ubench_encoder.py: 42-48 ms/batch at
-    # B=2048xT=64, 47% of the headline wall), so halving the bytes is
-    # a ~25% encoder win (fp16 -10.5 ms, bf16 -13.5 ms, same-process
-    # slope A/B). MEASURED AGREEMENT (adversarial crosscheck serving
-    # sweep vs the reference binary): float16 92.8% / bfloat16 92.5%
-    # token agreement — int8-CLASS, far below the declared config's
-    # 99.57%. fp16 ≈ bf16 here because the loss is NOT the rounding
-    # magnitude: any reduced dtype upstream of an int8 activation
-    # quantize flips rint() by ±1 LSB on a few % of entries, and six
-    # cascaded encoder layers amplify that into near-tie argmax flips
-    # on adversarial random weights. Hence a labeled SPEED OPT-IN
-    # (like kv int8), NOT part of the declared serving config. None =
-    # exact f32 encoder (bit-identical reference numerics).
+    # quantization). STRICTLY DOMINATED on TPU since the whole-layer
+    # kernel became the default (round-5 same-process A/B at B=2048:
+    # kernel-f32 2.488-2.501M vs fp16-XLA 2.293-2.306M vs f32-XLA
+    # 2.032-2.035M tok/s — the two levers are mutually exclusive
+    # because the kernel requires exact-f32 activations, and the
+    # kernel is ~8% FASTER than fp16 at exact numerics). MEASURED
+    # AGREEMENT (adversarial crosscheck serving sweep): float16 92.8%
+    # / bfloat16 92.5% token agreement — int8-CLASS (any reduced
+    # dtype upstream of an int8 activation quantize flips rint() by
+    # ±1 LSB on a few % of entries; six cascaded layers amplify it).
+    # Only meaningful where the kernel is unavailable (TP/seq-sharded
+    # meshes, multiprocess, non-TPU backends). None = exact f32
+    # encoder (bit-identical reference numerics).
     encoder_dtype: "str | None" = None
 
 
