@@ -249,6 +249,86 @@ def test_packed_argmax_decode_divergence_only_on_ties(
             # random-weight near-tied logits.
 
 
+def test_packed_int_decode_divergence_bounded_by_quantum(params):
+    """packed_int (the round-5 service default) on REAL DECODE
+    TRAJECTORIES: walk the decode continuing with the packed_int
+    choices; wherever the pick diverges from the exact f32 argmax,
+    the two logits must lie within the method's comparison quantum —
+    (2^shift truncation + 0.5-unit bias rounding + 0.5-unit argmax-
+    path quantization skew) × the per-tensor scale — i.e. a genuine
+    near-tie, never a plumbing bug. (The exact key-level invariant is
+    exhaustively certified in test_packed_argmax.py; agreement vs the
+    reference binary in crosscheck/serving_agreement.json.)"""
+    import math
+
+    from slimt_tpu.models import transformer as tfm
+
+    indices, mask = _batch(seed=21)
+    shortlist = np.arange(0, VOCAB, 3, dtype=np.int32)
+    emb_dim = EMB
+    sqrt_e = math.sqrt(emb_dim)
+    signal0 = tfm.sinusoidal_signal(0, 1, emb_dim)
+    p = stack_layers(params)
+    aq = float(np.asarray(p["out"]["aq"]))
+    bq = float(np.asarray(p["emb"]["scale"]))
+    scale = 1.0 / (aq * bq)  # one accumulator unit in logit units
+    for sl in (None, shortlist):
+        sl_j = jnp.asarray(sl) if sl is not None else None
+        width = len(sl) if sl is not None else VOCAB
+        _, shift = tfm.packed_int_params(width, emb_dim)
+        quantum = ((1 << shift) + 1.0) * scale
+        word_embedding = tfm.transform_embedding(
+            tfm.embed(p, jnp.asarray(indices))
+        )
+        mask_add = tfm.make_additive_mask(jnp.asarray(mask))
+        encoder_out = tfm.encoder_forward(
+            p, word_embedding, mask_add, CONFIG.num_heads, "xla_int8"
+        )
+        kv = tfm.precompute_cross_kv(
+            p, encoder_out, CONFIG.num_heads, "xla_int8"
+        )
+        projection = tfm.prepare_output_projection(p, sl_j)
+        n_layers = p["decoder"]["rnn"]["ln"]["scale"].shape[0]
+        states = jnp.zeros(
+            (n_layers, indices.shape[0], 1, emb_dim), jnp.float32
+        )
+        prev = jnp.zeros((indices.shape[0],), jnp.int32)
+        for step in range(8):
+            prev_embed = tfm.embed(p, prev[:, None])
+            if step == 0:
+                prev_embed = jnp.zeros_like(prev_embed)
+            x = prev_embed * sqrt_e + signal0
+            common = dict(
+                mask_add=mask_add, kv_caches=kv,
+                num_heads=CONFIG.num_heads, provider="xla_int8",
+                shortlist=sl_j, projection=projection,
+            )
+            logits, _, _ = tfm.decoder_step(
+                p, states, x, sample=False, **common
+            )
+            choice, states, _ = tfm.decoder_step(
+                p, states, x, sample=True,
+                argmax_method="packed_int", **common
+            )
+            logits_np = np.asarray(logits, np.float32)
+            choice_np = np.asarray(choice)
+            exact = logits_np.argmax(axis=-1)
+            for b in range(logits_np.shape[0]):
+                if exact[b] == choice_np[b]:
+                    continue
+                gap = (
+                    logits_np[b, exact[b]] - logits_np[b, choice_np[b]]
+                )
+                assert 0 <= gap <= quantum, (
+                    f"divergence beyond the packed_int quantum: "
+                    f"{gap} > {quantum} (step {step}, row {b})"
+                )
+            word = (
+                np.asarray(sl)[choice_np] if sl is not None else choice_np
+            )
+            prev = jnp.asarray(word.astype(np.int32))
+
+
 def test_without_alignment_tokens_identical(params):
     """with_alignment=False (requests without Options.alignment/html)
     drops the alignment carry from the decode loop — tokens/valid must
