@@ -1,5 +1,12 @@
 """Shared-nothing fleet scaling demo (CPU; no TPU needed).
 
+NOTE (round 5): the absolute numbers this demo prints are bounded by
+CPU-JAX DECODE on each backend (~15k tok/s/backend), not by the fleet
+machinery — for the fleet/transport measurement at real scale use
+scripts/fleet_budget.py (device stubbed: router N=3 measured 1.43M
+tok/s on the same host). This demo remains the end-to-end smoke of
+the REAL decode path behind the router.
+
 Starts N independent slimt_tpu.server processes (the DEPLOYMENT.md
 "N hosts" mode, each process = one host) behind the runtime.router
 front door, pushes the same corpus through the router at each fleet
