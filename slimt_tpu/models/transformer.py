@@ -1015,7 +1015,13 @@ def output_argmax(
     if projection is None:
         projection = prepare_output_projection(params)
     w, b = projection
-    if provider != "f32" and os.environ.get("SLIMT_TPU_FUSED_ARGMAX") == "1":
+    if (
+        provider != "f32"
+        and method != "packed_int"  # the experimental kernel folds
+        # only float packed keys / exact; keep packed_int on the XLA
+        # path rather than silently substituting exact numerics
+        and os.environ.get("SLIMT_TPU_FUSED_ARGMAX") == "1"
+    ):
         from slimt_tpu.ops import logits_argmax
 
         if logits_argmax.supported(w.shape[1]) and logits_argmax._on_tpu():
